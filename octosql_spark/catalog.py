@@ -1,0 +1,72 @@
+"""Table catalog over a testdata directory.
+
+The reference resolves table names extension-first (``people.csv`` →
+CSV handler; cmd/root.go:192-217, physical/physical.go:52-63). Here the
+equivalent is a tiny name→DataFrame catalog: parquet-backed tables in a
+directory, registered as temp views so both the DataFrame combinators
+and the SQL front-end see the same names.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. (DuckDB-generated data uses them.)"""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    cols = []
+    schema = pq.read_schema(path)
+    for field in schema:
+        t = field.type
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            cols.append(field.name)
+    return cols
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one parquet table. Column pruning + predicate pushdown are
+    Catalyst's job — callers just select/filter declaratively.
+
+    Nanosecond parquet timestamps (unsupported by Spark) are read as
+    raw int64 via ``legacy.parquet.nanosAsLong`` and rebuilt as
+    TIMESTAMP_NTZ at microsecond precision — a documented deviation
+    (sub-µs is dropped; the reference's Time is Go time.Time, ns)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_ts_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(
+            c, F.expr(f"to_timestamp_ntz(timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT)))"))
+    # preserve original column order/names
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    out = {}
+    for name in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table in ``sf_dir`` as a temp view (idempotent)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference is a single-process engine (SURVEY.md §4: no shuffle, no
+spill, GOGC tuning — cmd/root.go:87). On Spark those concerns become
+session configs: AQE for runtime re-planning/skew handling, Arrow for
+any pandas-UDF path, sane shuffle partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale (see README "Scale design"):
+# - AQE on: coalesces small shuffle partitions, re-plans skew joins —
+#   at 100 TB the static `shuffle.partitions` number is always wrong,
+#   AQE makes it a ceiling, not a constant.
+# - broadcast threshold 64 MB: dimension tables (region/nation/part/
+#   supplier/customer at most SFs) should never shuffle.
+# - maxPartitionBytes 256 MB: fewer, fuller input splits for columnar
+#   parquet scans.
+_SCALE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet timestamps in the testdata are TIMESTAMP_NTZ; keep
+    # inference consistent so oracle comparisons are tz-stable.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def get_spark(app_name: str = "octosql_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real cluster pass ``None`` with a cluster master pre-configured, or
+    set it explicitly.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in _SCALE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.driver.memory",
+                             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Apply the runtime-settable subset of our confs to an existing
+    session (the verify driver passes us its own SparkSession)."""
+    static = {"spark.driver.memory", "spark.sql.parquet.inferTimestampNTZ.enabled"}
+    for k, v in _SCALE_CONFS.items():
+        if k in static:
+            continue
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # cluster may pin some confs; never fail on tuning

@@ -1,0 +1,699 @@
+"""Correctness-gate workload registry.
+
+One entry per implemented operator/feature from SURVEY.md §2: a Spark
+builder ``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible)
+an equivalent ANSI-SQL oracle that DuckDB runs on the same parquet.
+
+Conventions for oracle comparability (driver hashes values with
+columns sorted by name):
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded identically on both sides (sums of
+  doubles are order-dependent in any distributed engine — rounding is
+  the contract, like the reference's float rendering);
+- DuckDB's HUGEINT sums / BIGINT year() are cast to match Spark types.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from octosql_spark.catalog import load_table
+from octosql_spark.operators import (
+    anti_join, cross_join, distinct, except_all, group_by, intersect,
+    lookup_join, order_by_limit, outer_join, semi_join, stream_join,
+    theta_join, union_all, unnest,
+)
+
+
+@dataclass
+class Workload:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    headline: bool = False  # include in bench.py
+
+
+REGISTRY: dict[str, Workload] = {}
+
+
+def workload(name: str, oracle: Optional[str], headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = Workload(name, fn, oracle, headline)
+        return fn
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- scans
+
+@workload("scan_project_filter", """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-07-01'
+  AND l_discount > 0.05
+""")
+def scan_project_filter(spark, sf_dir):
+    """Filter + Map (execution/nodes/filter.go:22-41, map.go:22-44).
+    Both predicate and projection reach the parquet scan via Catalyst
+    (PushedFilters/ReadSchema) — the reference does this with explicit
+    rewrite rules (optimizer/remove_unused_datasource_fields.go)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li
+            .filter((F.col("l_shipdate") >= "1996-01-01")
+                    & (F.col("l_shipdate") < "1996-07-01")
+                    & (F.col("l_discount") > 0.05))
+            .select("l_orderkey", "l_linenumber",
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("revenue"),
+                    "l_returnflag"))
+
+
+@workload("select_star", "SELECT r_regionkey, r_name FROM region")
+def select_star(spark, sf_dir):
+    """SELECT * (logical/map.go:42-59)."""
+    return _t(spark, sf_dir, "region").select("*")
+
+
+# ----------------------------------------------------------- aggregates
+
+@workload("agg_global", """
+SELECT COUNT(*) AS cnt,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""")
+def agg_global(spark, sf_dir):
+    """Global aggregation — the reference's end-of-stream trigger emit
+    (execution/nodes/simple_group_by.go:45-147) with count/sum/avg/
+    min/max/count_distinct (aggregates/*.go)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return group_by(li, [], [
+        ("count", "*", "cnt"),
+    ]).crossJoin(li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    ))
+
+
+@workload("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""", headline=True)
+def pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1 shape = the reference's published benchmark
+    shape (scan → hash aggregate, few groups; README.md:406-431).
+    Partial (map-side) aggregation means the shuffle carries
+    groups × partitions rows, not the 100 TB input."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= "2001-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(True)).alias("count_order")))
+
+
+@workload("agg_distinct_variants", """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS nd_parts,
+       ROUND(SUM(DISTINCT l_quantity), 2) AS sumd_qty,
+       ROUND(AVG(DISTINCT l_quantity), 4) AS avgd_qty
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_distinct_variants(spark, sf_dir):
+    """`<agg>_distinct` wrappers (aggregates/distinct.go:12-71;
+    DISTINCT-in-call → `_distinct` at parser/parser.go:469-472)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = group_by(li, ["l_returnflag"], [
+        ("count_distinct", "l_partkey", "nd_parts"),
+        ("sum_distinct", "l_quantity", "sumd_qty_raw"),
+        ("avg_distinct", "l_quantity", "avgd_qty_raw"),
+    ])
+    return out.select("l_returnflag", "nd_parts",
+                      F.round("sumd_qty_raw", 2).alias("sumd_qty"),
+                      F.round("avgd_qty_raw", 4).alias("avgd_qty"))
+
+
+@workload("array_agg_sorted", """
+SELECT n_regionkey, list_sort(list(n_name)) AS names
+FROM nation GROUP BY n_regionkey
+""")
+def array_agg_sorted(spark, sf_dir):
+    """array_agg (aggregates/array.go:14-89). Collection order is
+    nondeterministic distributed — sort the array for a stable value
+    (the reference's btree multiset iterates sorted, same result)."""
+    n = _t(spark, sf_dir, "nation")
+    return (group_by(n, ["n_regionkey"], [("array_agg", "n_name", "names_raw")])
+            .select("n_regionkey", F.array_sort("names_raw").alias("names")))
+
+
+# ---------------------------------------------------------------- joins
+
+@workload("join_inner_agg", """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""", headline=True)
+def join_inner_agg(spark, sf_dir):
+    """Inner equi join (execution/nodes/stream_join.go:40-318) + agg.
+    customer is the small side → Catalyst broadcasts it (threshold
+    64 MB in session.py); the lineitem/orders side never shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = stream_join(c, o, [("c_custkey", "o_custkey")])
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(True)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@workload("join_theta", """
+SELECT c_nationkey AS nationkey, COUNT(*) AS n
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+GROUP BY c_nationkey
+""")
+def join_theta(spark, sf_dir):
+    """Theta join — the reference parses non-equi ON into
+    Filter-over-cross-join and re-extracts equality keys
+    (parser/parser.go:388-416, optimizer/push_filter_into_stream_join_key.go).
+    Catalyst's ExtractEquiJoinKeys does the same: this plan hash-joins
+    on nationkey and post-filters the inequality, never a cartesian."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    j = theta_join(s, c, (s["s_nationkey"] == c["c_nationkey"])
+                   & (s["s_acctbal"] > c["c_acctbal"]))
+    return j.groupBy(c["c_nationkey"].alias("nationkey")) \
+            .agg(F.count(F.lit(True)).alias("n"))
+
+
+@workload("join_left_outer", """
+SELECT n_orders, COUNT(*) AS n_customers FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders
+""")
+def join_left_outer(spark, sf_dir):
+    """LEFT JOIN with null padding (execution/nodes/outer_join.go:352-372):
+    customers with zero orders survive with NULL o_*, and COUNT(col)
+    skips NULLs — the histogram's n_orders=0 bucket proves it."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (outer_join(c, o, [("c_custkey", "o_custkey")], "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("n_orders")))
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(True)).alias("n_customers"))
+
+
+@workload("join_right_outer", """
+SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_orders
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def join_right_outer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = outer_join(o, c, [("o_custkey", "c_custkey")], "right")
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(True)).alias("n_rows"),
+                 F.count("o_orderkey").alias("n_orders")))
+
+
+@workload("join_full_outer", """
+SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      FROM customer GROUP BY c_nationkey) cn
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey) sn
+USING (nationkey)
+""")
+def join_full_outer(spark, sf_dir):
+    """FULL JOIN (outer_join.go:33-289): name-keyed join coalesces the
+    key column like SQL USING."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")) \
+          .agg(F.count(F.lit(True)).alias("n_cust"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")) \
+          .agg(F.count(F.lit(True)).alias("n_supp"))
+    j = outer_join(cn, sn, ["nationkey"], "full")
+    return j.select("nationkey",
+                    F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                    F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
+
+
+@workload("join_cross", """
+SELECT a.r_name AS r1, b.r_name AS r2
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey < b.r_regionkey
+""")
+def join_cross(spark, sf_dir):
+    """Comma-FROM cross product (parser/parser.go:60-71)."""
+    r = _t(spark, sf_dir, "region")
+    a = r.alias("a")
+    b = r.alias("b")
+    return (cross_join(a, b)
+            .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+            .select(F.col("a.r_name").alias("r1"), F.col("b.r_name").alias("r2")))
+
+
+@workload("join_semi", """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""")
+def join_semi(spark, sf_dir):
+    """IN-subquery → left_semi join. The reference materializes the
+    subquery to a List value per evaluation (execution/expressions.go:
+    202-255) — a semi join is the scalable equivalent (no driver-side
+    materialization, dedup happens distributed)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return semi_join(c, o, [("c_custkey", "o_custkey")]).select("c_custkey", "c_name")
+
+
+@workload("join_anti", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return anti_join(c, o, [("c_custkey", "o_custkey")]).select("c_custkey", "c_name")
+
+
+@workload("join_lookup", """
+SELECT p_brand, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""", headline=True)
+def join_lookup(spark, sf_dir):
+    """LOOKUP JOIN (execution/nodes/lookup_join.go:21-50) → broadcast
+    join: part (dimension) ships to executors once; the fact side
+    streams through with zero shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = lookup_join(li, p, [("l_partkey", "p_partkey")])
+    return (j.groupBy("p_brand")
+            .agg(F.count(F.lit(True)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue")))
+
+
+# ------------------------------------------------- distinct / set ops
+
+@workload("distinct_pairs",
+          "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+def distinct_pairs(spark, sf_dir):
+    """DISTINCT (execution/nodes/distinct.go:26-75)."""
+    return distinct(_t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus"))
+
+
+@workload("union_all_counts", """
+SELECT nk, side, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nk, 'cust' AS side FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nk, 'supp' AS side FROM supplier
+) GROUP BY nk, side
+""")
+def union_all_counts(spark, sf_dir):
+    """UNION ALL — claimed by the reference's dialect, unimplemented
+    there (logical/union_all.go:17-19); real here."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"),
+                                             F.lit("cust").alias("side"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"),
+                                             F.lit("supp").alias("side"))
+    return union_all(c, s).groupBy("nk", "side").agg(F.count(F.lit(True)).alias("n"))
+
+
+@workload("intersect_keys", """
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+""")
+def intersect_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return intersect(c, s)
+
+
+@workload("except_keys", """
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier
+""")
+def except_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return except_all(c, s, all=False)
+
+
+# ------------------------------------------------------- order / limit
+
+@workload("order_by_limit", """
+SELECT o_orderkey, o_totalprice AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""", headline=True)
+def order_by_limit_q(spark, sf_dir):
+    """ORDER BY + LIMIT → TakeOrderedAndProject: per-partition top-K
+    heap + single driver merge — same pruning idea as the reference's
+    order_sensitive_transform.go:111-116, but distributed (no global
+    sort at 100 TB). Unique-key tiebreak makes the result set
+    deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    res = order_by_limit(o, [("o_totalprice", "desc"), ("o_orderkey", "asc")], 10)
+    return res.select("o_orderkey", F.col("o_totalprice").alias("total"))
+
+
+# ----------------------------------------------------------- subqueries
+
+@workload("scalar_subquery", """
+SELECT COUNT(*) AS n_above,
+       ROUND(AVG(o_totalprice), 4) AS avg_above
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+""")
+def scalar_subquery(spark, sf_dir):
+    """Scalar subquery (QueryExpression, execution/expressions.go:
+    202-255) as a broadcast cross join — the single-row aggregate
+    ships to every executor, no driver round-trip."""
+    o = _t(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (o.crossJoin(F.broadcast(avg_df))
+            .filter(F.col("o_totalprice") > F.col("_avg"))
+            .agg(F.count(F.lit(True)).alias("n_above"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_above")))
+
+
+@workload("in_subquery_chain", """
+SELECT c_custkey, c_name FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+    SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+""")
+def in_subquery_chain(spark, sf_dir):
+    """Nested IN-subqueries compiled to chained semi joins."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    asia = r.filter(F.col("r_name") == "ASIA")
+    n_asia = semi_join(n, asia, [("n_regionkey", "r_regionkey")])
+    return semi_join(c, n_asia, [("c_nationkey", "n_nationkey")]) \
+        .select("c_custkey", "c_name")
+
+
+# ------------------------------------------------ expressions/functions
+
+@workload("string_functions", """
+SELECT p_partkey,
+       UPPER(p_name) AS uname,
+       LOWER(p_brand) AS lbrand,
+       SUBSTR(p_type, 1, 4) AS type4,
+       REPLACE(p_name, ' ', '_') AS underscored,
+       STRPOS(p_name, 'e') AS pos_e,
+       CAST(LENGTH(p_name) AS INT) AS name_len,
+       REVERSE(p_brand) AS rbrand,
+       (p_name LIKE '%red%') AS is_red,
+       REGEXP_MATCHES(p_type, '^(ECONOMY|STANDARD)') AS is_cheap
+FROM part
+""")
+def string_functions(spark, sf_dir):
+    """§2.7 string catalog: upper/lower/substr/replace/position/len/
+    reverse/LIKE/`~` (functions/functions.go:487-832). `~` is regex
+    match → rlike."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_type", 1, 4).alias("type4"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("underscored"),
+        F.instr("p_name", "e").alias("pos_e"),
+        F.length("p_name").alias("name_len"),
+        F.reverse("p_brand").alias("rbrand"),
+        F.col("p_name").like("%red%").alias("is_red"),
+        F.col("p_type").rlike("^(ECONOMY|STANDARD)").alias("is_cheap"))
+
+
+@workload("math_functions", """
+SELECT p_partkey,
+       ABS(p_retailprice - 1000) AS abs_diff,
+       ROUND(SQRT(p_retailprice), 4) AS sqrt_price,
+       CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+       ROUND(LN(p_retailprice), 4) AS ln_price,
+       ROUND(LOG2(p_retailprice), 4) AS log2_price,
+       ROUND(LOG10(p_retailprice), 4) AS log10_price,
+       ROUND(POW(p_size, 2), 1) AS size_sq
+FROM part
+""")
+def math_functions(spark, sf_dir):
+    """§2.7 math catalog (functions/functions.go:357-472)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000).alias("abs_diff"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+        F.ceil("p_retailprice").alias("ceil_price"),
+        F.floor("p_retailprice").alias("floor_price"),
+        F.round(F.log("p_retailprice"), 4).alias("ln_price"),
+        F.round(F.log2("p_retailprice"), 4).alias("log2_price"),
+        F.round(F.log10("p_retailprice"), 4).alias("log10_price"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"))
+
+
+@workload("time_functions", """
+SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+       CAST(MONTH(o_orderdate) AS INT) AS mon,
+       COUNT(*) AS n,
+       MIN(o_orderdate + INTERVAL 30 DAY) AS min_plus30
+FROM orders
+GROUP BY 1, 2
+""")
+def time_functions(spark, sf_dir):
+    """Time arithmetic (§2.7: Time±Duration — functions.go:156-267;
+    INTERVAL literals parser/parser.go:668-701)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").alias("yr"),
+                      F.month("o_orderdate").alias("mon"))
+            .agg(F.count(F.lit(True)).alias("n"),
+                 F.min(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+                  .alias("min_plus30")))
+
+
+@workload("conversions", """
+SELECT p_partkey,
+       TRY_CAST(SUBSTR(p_brand, 7, 2) AS BIGINT) AS brand_num,
+       TRY_CAST(p_name AS BIGINT) AS name_as_int,
+       CAST(p_size AS DOUBLE) AS size_f,
+       CAST(p_size AS VARCHAR) AS size_s
+FROM part
+""")
+def conversions(spark, sf_dir):
+    """int()/float()/string() conversions — String failure → NULL
+    (functions/functions.go:900-1013) ↔ try_cast."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_brand", 7, 2).try_cast("bigint").alias("brand_num"),
+        F.col("p_name").try_cast("bigint").alias("name_as_int"),
+        F.col("p_size").cast("double").alias("size_f"),
+        F.col("p_size").cast("string").alias("size_s"))
+
+
+@workload("case_coalesce_nullif", """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN 'finished'
+            WHEN o_orderstatus = 'O' THEN 'open'
+            ELSE 'other' END AS status_word,
+       COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS prio,
+       (o_totalprice IS NULL) AS price_missing
+FROM orders
+""")
+def case_coalesce_nullif(spark, sf_dir):
+    """CASE WHEN (exceeds parity — reference lacks it, §2.6), COALESCE
+    (execution/expressions.go:410-433), is null (functions.go:123)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+         .when(F.col("o_orderstatus") == "O", "open")
+         .otherwise("other").alias("status_word"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+                   F.lit("urgent!")).alias("prio"),
+        F.col("o_totalprice").isNull().alias("price_missing"))
+
+
+@workload("in_list", """
+SELECT n_name, (n_regionkey IN (1, 2)) AS in_am_asia
+FROM nation WHERE n_name NOT IN ('JAPAN', 'CHINA')
+""")
+def in_list(spark, sf_dir):
+    """IN / NOT IN value lists (functions/functions.go:1044-1134)."""
+    n = _t(spark, sf_dir, "nation")
+    return (n.filter(~F.col("n_name").isin("JAPAN", "CHINA"))
+            .select("n_name", F.col("n_regionkey").isin(1, 2).alias("in_am_asia")))
+
+
+# -------------------------------------------------- window (exceeds)
+
+@workload("window_topn_per_group", """
+SELECT c_custkey, o_orderkey, o_totalprice AS total FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+) WHERE rn = 1
+""")
+def window_topn_per_group(spark, sf_dir):
+    """Analytic window functions (exceed parity: §2.6 'not implemented'
+    in the reference). Partition-local sort only, no global shuffle
+    beyond the hash partition by key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = stream_join(c, o, [("c_custkey", "o_custkey")])
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_custkey", "o_orderkey",
+                    F.col("o_totalprice").alias("total")))
+
+
+@workload("window_running_sum", """
+SELECT o_custkey, o_orderkey,
+       SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+FROM orders
+""")
+def window_running_sum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select("o_custkey", "o_orderkey",
+                    F.sum("o_totalprice").over(w).alias("running"))
+
+
+# ------------------------------------------------------------ TVF-ish
+
+@workload("tvf_range", """
+SELECT CAST(SUM(i) AS BIGINT) AS total, COUNT(*) AS n
+FROM range(1, 1001) t(i)
+""")
+def tvf_range(spark, sf_dir):
+    """range(start, end) TVF (table_valued_functions/range.go:14-109)
+    → spark.range — generated distributed, no data movement."""
+    return (spark.range(1, 1001).select(F.col("id").alias("i"))
+            .agg(F.sum("i").alias("total"), F.count(F.lit(True)).alias("n")))
+
+
+@workload("tumble_window", """
+SELECT time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def tumble_window(spark, sf_dir):
+    """tumble() TVF (table_valued_functions/tumble.go:13-192) →
+    F.window: appends window start/end, groups by window_end —
+    identical bucketing (epoch-aligned)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "5 minutes").getField("end").alias("window_end"),
+                      "event_type")
+            .agg(F.count(F.lit(True)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# -------------------------------------------------------- nested data
+
+@workload("unnest_words", """
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+) GROUP BY word
+""")
+def unnest_words(spark, sf_dir):
+    """unnest(list) (execution/nodes/unnest.go:21-37) → explode, a
+    narrow pipelined generator."""
+    p = _t(spark, sf_dir, "part")
+    words = unnest(p.select(F.split("p_name", " ").alias("ws")), "ws",
+                   alias="word", keep=[])
+    return words.groupBy("word").agg(F.count(F.lit(True)).alias("n"))
+
+
+@workload("explode_struct", """
+SELECT o_orderkey AS key, o_totalprice AS price
+FROM orders
+""")
+def explode_struct(spark, sf_dir):
+    """obj->* struct explosion (logical/map.go:60-78): build a struct,
+    then select obj.* — columns come back out."""
+    o = _t(spark, sf_dir, "orders")
+    nested = o.select(F.struct(F.col("o_orderkey").alias("key"),
+                               F.col("o_totalprice").alias("price")).alias("obj"))
+    return nested.select("obj.*")
+
+
+@workload("json_props", """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+""")
+def json_props(spark, sf_dir):
+    """JSON field extraction over a string column (the reference
+    parses whole-file JSON; per-value JSON functions exceed parity)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.select((F.get_json_object("props", "$.k").cast("bigint") % 10)
+                     .alias("k_mod"))
+            .groupBy("k_mod").agg(F.count(F.lit(True)).alias("n")))
+
+
+def queries():
+    return {name: w.build for name, w in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: w.oracle for name, w in REGISTRY.items() if w.oracle}
+
+
+def headline_queries():
+    return {name: w.build for name, w in REGISTRY.items() if w.headline}

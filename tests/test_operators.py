@@ -1,0 +1,120 @@
+"""Operator-level unit tests (the reference's golden-scenario idea —
+tests/scenarios/nodes/* — as pytest cases over small DataFrames)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from octosql_spark.operators import (
+    anti_join, cross_join, distinct, except_all, group_by, intersect,
+    lookup_join, order_by_limit, outer_join, semi_join, stream_join,
+    theta_join, union_all, union_distinct, unnest,
+)
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="a", v=2), Row(k="b", v=3), Row(k="x", v=9)])
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [Row(k2="a", w=10), Row(k2="b", w=20), Row(k2="z", w=30)])
+
+
+def test_stream_join_inner(spark):
+    out = stream_join(_left(spark), _right(spark), [("k", "k2")])
+    rows = {(r.k, r.v, r.w) for r in out.collect()}
+    assert rows == {("a", 1, 10), ("a", 2, 10), ("b", 3, 20)}
+
+
+def test_theta_join(spark):
+    # mirrors tests/scenarios/nodes/inner_join_0.in: ON l.i > r.i
+    l = spark.range(0, 4).select(F.col("id").alias("i"))
+    r = spark.range(0, 4).select(F.col("id").alias("j"))
+    out = theta_join(l, r, F.col("i") > F.col("j"))
+    assert out.count() == 6  # pairs i>j among 0..3
+
+
+def test_outer_joins(spark):
+    left = outer_join(_left(spark), _right(spark), [("k", "k2")], "left")
+    assert left.filter(F.col("w").isNull()).count() == 1  # k=x null-padded
+    full = outer_join(_left(spark), _right(spark), [("k", "k2")], "full")
+    assert full.count() == 5  # 3 matches + x + z
+
+
+def test_semi_anti(spark):
+    semi = semi_join(_left(spark), _right(spark), [("k", "k2")])
+    assert {r.k for r in semi.collect()} == {"a", "b"}
+    anti = anti_join(_left(spark), _right(spark), [("k", "k2")])
+    assert {r.k for r in anti.collect()} == {"x"}
+
+
+def test_lookup_join_is_broadcast(spark):
+    out = lookup_join(_left(spark), _right(spark), [("k", "k2")])
+    assert out.count() == 3
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cross_join(spark):
+    assert cross_join(_left(spark), _right(spark)).count() == 12
+
+
+def test_group_by_aggregates(spark):
+    df = _left(spark)
+    out = group_by(df, ["k"], [
+        ("count", "*", "n"), ("sum", "v", "s"), ("avg", "v", "a"),
+        ("min", "v", "mn"), ("max", "v", "mx"),
+    ])
+    rows = {r.k: (r.n, r.s, r.a, r.mn, r.mx) for r in out.collect()}
+    assert rows["a"] == (2, 3, 1.5, 1, 2)
+    assert rows["b"] == (1, 3, 3.0, 3, 3)
+
+
+def test_group_by_global_and_distinct(spark):
+    df = spark.createDataFrame([Row(v=1), Row(v=1), Row(v=2)])
+    out = group_by(df, [], [("count_distinct", "v", "nd"),
+                            ("sum_distinct", "v", "sd"),
+                            ("avg_distinct", "v", "ad")])
+    r = out.collect()[0]
+    assert (r.nd, r.sd, r.ad) == (2, 3, 1.5)
+
+
+def test_count_skips_nulls(spark):
+    # NULL inputs are skipped by aggregates (simple_group_by.go:45-147)
+    df = spark.createDataFrame([Row(v=1), Row(v=None), Row(v=3)],
+                               schema="v int")
+    r = group_by(df, [], [("count", "v", "n"), ("sum", "v", "s")]).collect()[0]
+    assert (r.n, r.s) == (2, 4)
+
+
+def test_order_by_limit_topk(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("i"))
+    out = order_by_limit(df, [("i", "desc")], 3)
+    assert [r.i for r in out.collect()] == [99, 98, 97]
+
+
+def test_distinct(spark):
+    df = spark.createDataFrame([Row(a=1, b=1), Row(a=1, b=1), Row(a=1, b=2)])
+    assert distinct(df).count() == 2
+    assert distinct(df, ["a"]).count() == 1
+
+
+def test_setops(spark):
+    a = spark.createDataFrame([Row(x=1), Row(x=2), Row(x=2)])
+    b = spark.createDataFrame([Row(x=2), Row(x=3)])
+    assert union_all(a, b).count() == 5
+    assert union_distinct(a, b).count() == 3
+    assert {r.x for r in intersect(a, b).collect()} == {2}
+    assert {r.x for r in except_all(a, b, all=False).collect()} == {1}
+
+
+def test_unnest(spark):
+    df = spark.createDataFrame([Row(id=1, xs=[1, 2]), Row(id=2, xs=[]),
+                                Row(id=3, xs=None)],
+                               schema="id int, xs array<int>")
+    flat = unnest(df, "xs", alias="x", keep=["id"])
+    assert [(r.id, r.x) for r in flat.collect()] == [(1, 1), (1, 2)]
+    outer = unnest(df, "xs", alias="x", keep=["id"], outer=True)
+    assert outer.count() == 4  # empty + NULL arrays keep their row

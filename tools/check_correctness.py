@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet dir, then compares row count, column
+names, and order-insensitive values (columns sorted by name, rows
+sorted by all columns). Run:  python tools/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from octosql_spark.catalog import TPCH_TABLES
+from octosql_spark.session import get_spark
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True,
+                          key=lambda s: s.map(str))
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
+    if (a is None or a != a) and (b is None or b != b):  # NaN/None cross
+        return True
+    return a == b
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        problems.append(f"columns spark={sc} oracle={oc}")
+        return problems
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    if len(a) == len(b):
+        for col in a.columns:
+            av, bv = a[col].tolist(), b[col].tolist()
+            bad = [i for i, (x, y) in enumerate(zip(av, bv)) if not _values_equal(x, y)]
+            if bad:
+                i = bad[0]
+                problems.append(
+                    f"col {col}: {len(bad)} mismatches, first at row {i}: "
+                    f"spark={av[i]!r} oracle={bv[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+    import __spark_entry__ as e
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    spark = get_spark("correctness")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    failed, passed, rows_only = [], [], []
+    for name, build in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = build(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as ex:
+            failed.append(name)
+            print(f"FAIL  {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"rows  {name}: {len(spdf)} rows (no oracle)")
+            continue
+        try:
+            opdf = con.execute(oracles[name]).df()
+        except Exception as ex:
+            failed.append(name)
+            print(f"FAIL  {name}: oracle error: {ex}")
+            continue
+        problems = compare(name, spdf, opdf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            passed.append(name)
+            print(f"ok    {name} ({len(spdf)} rows)")
+
+    print(f"\n{len(passed)} ok, {len(failed)} failed, {len(rows_only)} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
