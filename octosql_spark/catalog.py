@@ -60,7 +60,7 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -1,0 +1,109 @@
+"""File datasources (SURVEY.md §2.1).
+
+The reference resolves tables by file extension
+(cmd/root.go:192-198: csv, json, lines, parquet, tsv) with
+sampling-based schema inference (csv/impl.go:47-129,
+json/impl.go:27-75). Spark's readers provide the scan + inference;
+``octosql_spark.schema_infer`` adds the reference's union-type
+sampling policy on top for CSV/JSON.
+
+Scale: these are plain ``spark.read`` calls — splittable scans,
+predicate pushdown and column pruning included. The reference's
+parallel JSON worker pool (json/workers.go) and column-pruned CSV
+reads (csv/execution.go:33-52) are Spark-native here.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True,
+             sep: str = ",", **_: object) -> DataFrame:
+    """CSV/TSV scan with type inference (datasources/csv/impl.go:17-147).
+    The reference samples 100 rows trying Int→Float→Bool→Time→String;
+    Spark's inferSchema covers the same ladder (union-type columns
+    degrade to String — see schema_infer for the sampling variant)."""
+    return (spark.read
+            .option("header", str(header).lower())
+            .option("sep", sep)
+            .option("inferSchema", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+            .csv(path))
+
+
+def read_tsv(spark: SparkSession, path: str, **opts: object) -> DataFrame:
+    opts.setdefault("sep", "\t")
+    return read_csv(spark, path, **opts)  # type: ignore[arg-type]
+
+
+def read_json(spark: SparkSession, path: str, **_: object) -> DataFrame:
+    """JSON-lines scan (datasources/json/impl.go:18-99): object per
+    line, nested structs/lists. Spark's JSON reader infers nested
+    schemas; where rows disagree it widens to string — the union-type
+    policy (SURVEY.md §7 hard-part 1) refines this in schema_infer."""
+    return spark.read.json(path)
+
+
+def read_lines(spark: SparkSession, path: str, sep: str | None = None,
+               **_: object) -> DataFrame:
+    """lines source → {number: Int (0-based), text: String}
+    (datasources/lines/impl.go:13-63).
+
+    Row numbering must follow file order: zipWithIndex preserves
+    partition-then-offset order, which is file order for a single
+    file. (At 100 TB you would not want a global line number at all —
+    it is inherently sequential; the reference is single-machine.)"""
+    if sep is not None and sep != "\n":
+        text = spark.read.text(path, wholetext=True)
+        df = text.select(F.explode(F.split("value", sep)).alias("text"))
+        rdd = df.rdd.zipWithIndex().map(lambda p: (p[1], p[0]["text"]))
+        return spark.createDataFrame(rdd, "number long, text string")
+    rdd = (spark.sparkContext.textFile(path)
+           .zipWithIndex().map(lambda p: (p[1], p[0])))
+    return spark.createDataFrame(rdd, "number long, text string")
+
+
+def read_parquet(spark: SparkSession, path: str, **_: object) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+FILE_HANDLERS = {
+    "csv": read_csv,
+    "tsv": read_tsv,
+    "json": read_json,
+    "lines": read_lines,
+    "parquet": read_parquet,
+}
+
+
+def read_stdin(spark: SparkSession, fmt: str, **opts: object) -> DataFrame:
+    """stdin.<ext> — the reference buffers stdin to a temp file
+    (execution/files/files.go:106-127); same here, then the normal
+    reader takes over."""
+    data = sys.stdin.buffer.read()
+    f = tempfile.NamedTemporaryFile(prefix="octosql_stdin_",
+                                    suffix=f".{fmt}", delete=False)
+    f.write(data)
+    f.close()
+    return FILE_HANDLERS[fmt](spark, f.name, **opts)  # type: ignore[operator]
+
+
+def read_file(spark: SparkSession, path: str, **opts: object) -> DataFrame:
+    """Extension-dispatched read (``people.csv`` → CSV handler …)."""
+    if path.startswith("stdin."):
+        return read_stdin(spark, path.split(".", 1)[1], **opts)
+    if "://" not in path:
+        # Spark resolves relative paths against its own start cwd, not
+        # the caller's current cwd — absolutize like the reference's
+        # OpenLocalFile does (execution/files/files.go).
+        path = os.path.abspath(path)
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
+    if ext not in FILE_HANDLERS:
+        raise ValueError(f"unsupported file extension: {path!r}")
+    return FILE_HANDLERS[ext](spark, path, **opts)  # type: ignore[operator]

@@ -1,0 +1,568 @@
+"""OctoSQL dialect → Spark SQL transpiler.
+
+The reference's SQL surface (parser/sqlparser fork + parser/parser.go)
+differs from Spark SQL in a handful of ways; everything else IS
+standard SQL, so we rewrite only the deltas and hand the result to
+Catalyst (SURVEY.md §3 "Spark mapping of the lifecycle"):
+
+| OctoSQL                      | rewritten to                           |
+|------------------------------|----------------------------------------|
+| ``obj->field``, ``obj->*``   | ``obj.field`` / ``obj.*`` (parser/parser.go:745-751) |
+| ``x::Int``                   | ``CAST(x AS BIGINT)`` (TypeAssertion — README.md:271) |
+| ``a ~ 'p'`` / ``~*`` / ``!~``| ``regexp_like`` forms (functions.go:591-668) |
+| ``int(x)/float(x)/string(x)``| ``TRY_CAST``/``CAST`` (functions.go:900-1013) |
+| ``len(x)``                   | ``length(x)`` (strings; `size` for arrays) |
+| ``now()``                    | ``current_timestamp()``                |
+| ``parse_time(s)``            | ``try_to_timestamp(s)`` (+Go-layout translation) |
+| ``time_from_unix/to_unix``   | ``timestamp_seconds``/``unix_timestamp`` |
+| ``FROM file.csv`` etc.       | temp view over the file reader (cmd/root.go:192-217) |
+| ``tumble(...)/max_diff_watermark(...)/poll(...)`` TVFs | materialized to temp views via octosql_spark.tvf |
+| ``TRIGGER ...`` clause       | stripped; returned as metadata (→ streaming output modes) |
+
+``range(a,b)`` passes through (Spark SQL TVF, column aliased ``i`` by
+the reference — use ``range(a,b) t(i)``-style aliasing or ``id``).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from octosql_spark.functions.registry import go_layout_to_java
+from octosql_spark.sql.tokenizer import Tok, tokenize
+
+_TYPE_MAP = {
+    "int": "BIGINT", "float": "DOUBLE", "string": "STRING",
+    "boolean": "BOOLEAN", "bool": "BOOLEAN", "time": "TIMESTAMP",
+    "null": "VOID",
+}
+
+_FILE_EXTS = {"csv", "tsv", "json", "parquet", "lines"}
+_TVF_NAMES = {"tumble", "max_diff_watermark", "poll"}
+_CLAUSE_KW = {"WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "ON", "USING",
+              "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
+              "UNION", "INTERSECT", "EXCEPT", "TRIGGER", "STREAM", "LOOKUP"}
+
+_view_counter = itertools.count()
+
+
+@dataclass
+class Transpiled:
+    sql: str
+    triggers: list[str] = field(default_factory=list)
+    views: dict[str, str] = field(default_factory=dict)  # view -> source desc
+
+
+def _sig(toks: list[Tok]) -> list[int]:
+    return [i for i, t in enumerate(toks) if t.kind not in ("WS", "COMMENT")]
+
+
+def _match_paren(toks: list[Tok], open_i: int, direction: int = 1) -> int:
+    """Index of the paren matching toks[open_i] ('(' fwd, ')' back)."""
+    depth = 0
+    i = open_i
+    while 0 <= i < len(toks):
+        if toks[i].text == "(":
+            depth += 1
+        elif toks[i].text == ")":
+            depth -= 1
+        if depth == 0:
+            return i
+        i += direction
+    raise ValueError("unbalanced parentheses")
+
+
+def _primary_start(toks: list[Tok], end_i: int) -> int:
+    """Start index of the primary expression ending at ``end_i``
+    (inclusive): walks back over dotted chains, subscripts and one
+    balanced paren/bracket group. Used to find the left operand of
+    postfix/infix rewrites (``::``, ``~``)."""
+    i = end_i
+    while True:
+        t = toks[i]
+        if t.text in (")", "]"):
+            i = _match_paren(toks, i, -1)
+            # function call: name before '('
+            j = i - 1
+            while j >= 0 and toks[j].kind in ("WS", "COMMENT"):
+                j -= 1
+            if j >= 0 and toks[j].kind in ("IDENT", "QIDENT") and toks[i].text == "(":
+                i = j
+        elif t.kind not in ("IDENT", "QIDENT", "STRING", "NUMBER"):
+            raise ValueError(f"cannot find primary start at {t.text!r}")
+        # extend over `.`-qualified prefix
+        j = i - 1
+        while j >= 0 and toks[j].kind in ("WS", "COMMENT"):
+            j -= 1
+        if j >= 1 and toks[j].text == "." and toks[j].kind == "PUNCT":
+            k = j - 1
+            while k >= 0 and toks[k].kind in ("WS", "COMMENT"):
+                k -= 1
+            if k >= 0 and toks[k].kind in ("IDENT", "QIDENT") or toks[k].text in (")", "]"):
+                i = k
+                continue
+        return i
+
+
+def _primary_end(toks: list[Tok], start_i: int) -> int:
+    """End index (inclusive) of the primary expression starting at
+    ``start_i``: identifier chains, literals, one call/paren group."""
+    i = start_i
+    while True:
+        t = toks[i]
+        if t.text == "(":
+            i = _match_paren(toks, i, 1)
+        elif t.kind in ("IDENT", "QIDENT"):
+            # maybe a call: peek next significant
+            j = i + 1
+            while j < len(toks) and toks[j].kind in ("WS", "COMMENT"):
+                j += 1
+            if j < len(toks) and toks[j].text == "(":
+                i = _match_paren(toks, j, 1)
+        elif t.kind in ("STRING", "NUMBER"):
+            pass
+        else:
+            raise ValueError(f"cannot find primary end at {t.text!r}")
+        # continue over `.field` / subscript
+        j = i + 1
+        while j < len(toks) and toks[j].kind in ("WS", "COMMENT"):
+            j += 1
+        if j < len(toks) and toks[j].text == ".":
+            k = j + 1
+            while k < len(toks) and toks[k].kind in ("WS", "COMMENT"):
+                k += 1
+            if k < len(toks) and toks[k].kind in ("IDENT", "QIDENT"):
+                i = k
+                continue
+        if j < len(toks) and toks[j].text == "[":
+            i = _match_paren(toks, j, 1)
+            continue
+        return i
+
+
+# ------------------------------------------------------------ rewrites
+
+def _rewrite_arrow(toks: list[Tok]) -> list[Tok]:
+    return [Tok("PUNCT", ".") if t.kind == "OP" and t.text == "->" else t
+            for t in toks]
+
+
+def _rewrite_type_assert(toks: list[Tok]) -> list[Tok]:
+    """``expr::Type`` → ``CAST(expr AS T)`` — the reference's runtime
+    TypeAssertion becomes an ANSI CAST (errors on mismatch, same
+    observable contract for scalar types)."""
+    while True:
+        sig = _sig(toks)
+        hit = None
+        for si, i in enumerate(sig):
+            if toks[i].kind == "OP" and toks[i].text == "::":
+                hit = (si, i)
+                break
+        if hit is None:
+            return toks
+        si, i = hit
+        type_i = sig[si + 1]
+        tname = toks[type_i].text.lower()
+        sqlt = _TYPE_MAP.get(tname, toks[type_i].text.upper())
+        start = _primary_start(toks, sig[si - 1])
+        toks = (toks[:start]
+                + [Tok("IDENT", "CAST"), Tok("PUNCT", "(")]
+                + toks[start:i]
+                + [Tok("WS", " "), Tok("IDENT", "AS"), Tok("WS", " "),
+                   Tok("IDENT", sqlt), Tok("PUNCT", ")")]
+                + toks[type_i + 1:])
+
+
+def _rewrite_regex_ops(toks: list[Tok]) -> list[Tok]:
+    while True:
+        sig = _sig(toks)
+        hit = None
+        for si, i in enumerate(sig):
+            if toks[i].kind == "OP" and toks[i].text in ("~", "~*", "!~", "!~*"):
+                hit = (si, i)
+                break
+        if hit is None:
+            return toks
+        si, i = hit
+        op = toks[i].text
+        lstart = _primary_start(toks, sig[si - 1])
+        rstart = sig[si + 1]
+        rend = _primary_end(toks, rstart)
+        left = toks[lstart:sig[si - 1] + 1]
+        right = toks[rstart:rend + 1]
+        out: list[Tok] = []
+        if op.startswith("!"):
+            out += [Tok("IDENT", "NOT"), Tok("WS", " ")]
+        out += [Tok("IDENT", "regexp_like"), Tok("PUNCT", "(")] + left + [Tok("PUNCT", ","), Tok("WS", " ")]
+        if op.endswith("*"):
+            out += [Tok("IDENT", "concat"), Tok("PUNCT", "("),
+                    Tok("STRING", "'(?i)'"), Tok("PUNCT", ","), Tok("WS", " ")] \
+                + right + [Tok("PUNCT", ")")]
+        else:
+            out += right
+        out += [Tok("PUNCT", ")")]
+        toks = toks[:lstart] + out + toks[rend + 1:]
+
+
+def _is_call(toks: list[Tok], sig: list[int], si: int) -> bool:
+    """significant index si is an IDENT directly followed by '(' and
+    not preceded by '.' (qualified name) — i.e. a function call."""
+    i = sig[si]
+    if toks[i].kind != "IDENT":
+        return False
+    if si + 1 >= len(sig) or toks[sig[si + 1]].text != "(":
+        return False
+    if si > 0 and toks[sig[si - 1]].text == ".":
+        return False
+    return True
+
+
+_CAST_FNS = {"int": ("TRY_CAST", "BIGINT"), "float": ("TRY_CAST", "DOUBLE"),
+             "string": ("CAST", "STRING")}
+_SIMPLE_RENAMES = {"now": "current_timestamp", "time_from_unix": "timestamp_seconds",
+                   "len": "length"}
+
+
+def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
+    changed = True
+    while changed:
+        changed = False
+        sig = _sig(toks)
+        for si in range(len(sig)):
+            if not _is_call(toks, sig, si):
+                continue
+            i = sig[si]
+            name = toks[i].text.lower()
+            if name in _SIMPLE_RENAMES:
+                toks[i] = Tok("IDENT", _SIMPLE_RENAMES[name])
+                changed = True
+                break
+            if name in _CAST_FNS:
+                fn, sqlt = _CAST_FNS[name]
+                open_i = sig[si + 1]
+                close_i = _match_paren(toks, open_i, 1)
+                toks = (toks[:i]
+                        + [Tok("IDENT", fn), Tok("PUNCT", "(")]
+                        + toks[open_i + 1:close_i]
+                        + [Tok("WS", " "), Tok("IDENT", "AS"), Tok("WS", " "),
+                           Tok("IDENT", sqlt), Tok("PUNCT", ")")]
+                        + toks[close_i + 1:])
+                changed = True
+                break
+            if name == "time_to_unix":
+                open_i = sig[si + 1]
+                close_i = _match_paren(toks, open_i, 1)
+                toks = (toks[:i]
+                        + [Tok("IDENT", "unix_timestamp"), Tok("PUNCT", "("),
+                           Tok("IDENT", "CAST"), Tok("PUNCT", "(")]
+                        + toks[open_i + 1:close_i]
+                        + [Tok("WS", " "), Tok("IDENT", "AS"), Tok("WS", " "),
+                           Tok("IDENT", "TIMESTAMP"), Tok("PUNCT", ")"),
+                           Tok("PUNCT", ")")]
+                        + toks[close_i + 1:])
+                changed = True
+                break
+            if name == "parse_time":
+                toks[i] = Tok("IDENT", "try_to_timestamp")
+                # translate a literal Go layout 2nd arg, if present
+                open_i = sig[si + 1]
+                close_i = _match_paren(toks, open_i, 1)
+                depth = 0
+                for j in range(open_i, close_i):
+                    if toks[j].text == "(":
+                        depth += 1
+                    elif toks[j].text == ")":
+                        depth -= 1
+                    elif depth == 1 and toks[j].text == ",":
+                        k = j + 1
+                        while k < close_i and toks[k].kind in ("WS", "COMMENT"):
+                            k += 1
+                        if toks[k].kind == "STRING":
+                            layout = toks[k].text[1:-1]
+                            toks[k] = Tok("STRING", f"'{go_layout_to_java(layout)}'")
+                changed = True
+                break
+    return toks
+
+
+def _strip_trigger(toks: list[Tok]) -> tuple[list[Tok], list[str]]:
+    """Remove ``TRIGGER <spec>[, <spec>]*`` clauses; return the specs
+    (parser/parser.go:503-534)."""
+    triggers: list[str] = []
+    sig = _sig(toks)
+    for si in range(len(sig) - 1, -1, -1):
+        i = sig[si]
+        if not toks[i].is_kw("TRIGGER"):
+            continue
+        # consume until a clause keyword / ')' / end at same depth
+        j = i + 1
+        depth = 0
+        while j < len(toks):
+            t = toks[j]
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and t.kind == "IDENT" and t.text.upper() in (
+                    _CLAUSE_KW - {"TRIGGER", "ON", "STREAM"}) and t.text.upper() != "OF":
+                break
+            j += 1
+        triggers.append("".join(t.text for t in toks[i + 1:j]).strip())
+        toks = toks[:i] + toks[j:]
+    return toks, list(reversed(triggers))
+
+
+def _strip_join_modifiers(toks: list[Tok]) -> list[Tok]:
+    """``LOOKUP JOIN`` / ``STREAM JOIN`` (parser extensions,
+    token.go:257,379) → plain JOIN; LOOKUP marks the broadcast side,
+    which Catalyst/AQE decides better from sizes (a hint would go here
+    if ever needed)."""
+    out: list[Tok] = []
+    sig_next_join = set()
+    sig = _sig(toks)
+    for si, i in enumerate(sig):
+        if toks[i].is_kw("LOOKUP", "STREAM") and si + 1 < len(sig) \
+                and toks[sig[si + 1]].is_kw("JOIN"):
+            sig_next_join.add(i)
+    skip_ws_after: int | None = None
+    for i, t in enumerate(toks):
+        if i in sig_next_join:
+            skip_ws_after = i
+            continue
+        if skip_ws_after is not None and t.kind == "WS":
+            skip_ws_after = None
+            continue
+        out.append(t)
+    return out
+
+
+def _table_positions(toks: list[Tok]) -> list[int]:
+    """Significant indices where a table reference starts (after
+    FROM/JOIN, and after commas directly inside a FROM list)."""
+    sig = _sig(toks)
+    positions = []
+    expecting = False
+    from_depth = None
+    depth = 0
+    for si, i in enumerate(sig):
+        t = toks[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+            if from_depth is not None and depth < from_depth:
+                from_depth = None
+        if t.is_kw("FROM", "JOIN"):
+            expecting = True
+            from_depth = depth if t.is_kw("FROM") else from_depth
+            continue
+        if t.text == "," and from_depth is not None and depth == from_depth:
+            expecting = True
+            continue
+        if expecting and t.kind in ("IDENT", "QIDENT", "STRING"):
+            positions.append(si)
+            expecting = False
+        elif expecting and t.text == "(":
+            expecting = False  # subquery
+        elif t.is_kw(*_CLAUSE_KW):
+            if from_depth is not None and t.is_kw("WHERE", "GROUP", "ORDER",
+                                                 "HAVING", "LIMIT"):
+                from_depth = None
+    return positions
+
+
+def _read_table_ref(spark: SparkSession, desc: str) -> DataFrame | None:
+    if desc.startswith("docs."):
+        from octosql_spark.sources.docs import docs_table
+        return docs_table(spark, desc.split(".", 1)[1])
+    from octosql_spark.sources import read_file
+    path_opts = desc.split("?", 1)
+    path = path_opts[0]
+    opts: dict[str, object] = {}
+    if len(path_opts) == 2:
+        for kv in path_opts[1].split("&"):
+            k, _, v = kv.partition("=")
+            opts[k] = {"true": True, "false": False}.get(v.lower(), v)
+    return read_file(spark, path, **opts)
+
+
+def _rewrite_file_tables(spark: SparkSession, toks: list[Tok],
+                         out: Transpiled) -> list[Tok]:
+    """``FROM people.csv`` / ``FROM 'dir/x.json?opt=v'`` → temp view."""
+    while True:
+        sig = _sig(toks)
+        positions = _table_positions(toks)
+        target = None
+        for si in positions:
+            i = sig[si]
+            t = toks[i]
+            if t.kind in ("STRING", "QIDENT"):
+                inner = t.text[1:-1]
+                ext = inner.split("?")[0].rsplit(".", 1)[-1].lower()
+                if ext in _FILE_EXTS or inner.startswith("stdin."):
+                    target = (si, si, inner)
+                    break
+            elif t.kind == "IDENT":
+                # ident(.ident)* chain ending in a known extension
+                chain = [t.text]
+                sj = si
+                while sj + 2 < len(sig) and toks[sig[sj + 1]].text == "." \
+                        and toks[sig[sj + 2]].kind == "IDENT":
+                    sj += 2
+                    chain.append(toks[sig[sj]].text)
+                if len(chain) >= 2 and chain[-1].lower() in _FILE_EXTS:
+                    target = (si, sj, ".".join(chain))
+                    break
+                if chain[0] in ("stdin", "docs") and len(chain) >= 2:
+                    target = (si, sj, ".".join(chain))
+                    break
+        if target is None:
+            return toks
+        si, sj, desc = target
+        view = f"_octo_file_{next(_view_counter)}"
+        df = _read_table_ref(spark, desc)
+        df.createOrReplaceTempView(view)
+        out.views[view] = desc
+        toks = toks[:sig[si]] + [Tok("IDENT", view)] + toks[sig[sj] + 1:]
+
+
+def _parse_tvf_args(toks: list[Tok]) -> tuple[list[str], dict[str, list[Tok]]]:
+    """Split a TVF arg list into positional / ``name => value`` parts."""
+    args: list[str] = []
+    kwargs: dict[str, list[Tok]] = {}
+    depth = 0
+    cur: list[Tok] = []
+    parts: list[list[Tok]] = []
+    for t in toks:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if depth == 0 and t.text == ",":
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        parts.append(cur)
+    for part in parts:
+        sig = [t for t in part if t.kind not in ("WS", "COMMENT")]
+        if len(sig) >= 2 and sig[1].text == "=>":
+            val = []
+            seen = False
+            for t in part:
+                if seen:
+                    val.append(t)
+                elif t.text == "=>":
+                    seen = True
+            kwargs[sig[0].text.lower()] = val
+        else:
+            args.append("".join(t.text for t in part).strip())
+    return args, kwargs
+
+
+def _interval_to_spark(text: str) -> str:
+    """'INTERVAL 1 MINUTE' / INTERVAL '1' MINUTE → '1 minute' string
+    for F.window."""
+    s = text.strip()
+    if s.upper().startswith("INTERVAL"):
+        s = s[len("INTERVAL"):].strip()
+    return s.replace("'", "").lower()
+
+
+def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list[Tok]:
+    from octosql_spark import tvf as tvfmod
+    while True:
+        sig = _sig(toks)
+        positions = _table_positions(toks)
+        target = None
+        for si in positions:
+            i = sig[si]
+            if toks[i].kind == "IDENT" and toks[i].text.lower() in _TVF_NAMES \
+                    and si + 1 < len(sig) and toks[sig[si + 1]].text == "(":
+                target = (si, i)
+                break
+        if target is None:
+            return toks
+        si, i = target
+        open_i = sig[si + 1]
+        close_i = _match_paren(toks, open_i, 1)
+        name = toks[i].text.lower()
+        _, kwargs = _parse_tvf_args(toks[open_i + 1:close_i])
+
+        def _df_arg(key: str) -> DataFrame:
+            val = kwargs[key]
+            vsig = [t for t in val if t.kind not in ("WS", "COMMENT")]
+            if vsig and vsig[0].is_kw("TABLE"):
+                inner = val[[t.text for t in val].index("(") + 1:
+                            len(val) - 1 - [t.text for t in val[::-1]].index(")")]
+                inner_sql = "".join(t.text for t in inner).strip()
+                if inner_sql.upper().startswith("SELECT"):
+                    return run_query(spark, inner_sql).df
+                return spark.table(inner_sql)
+            raise ValueError(f"{name}: {key} must be TABLE(...)")
+
+        def _str_arg(key: str, default: str | None = None) -> str | None:
+            if key not in kwargs:
+                return default
+            return "".join(t.text for t in kwargs[key]).strip()
+
+        if name == "tumble":
+            df = _df_arg("source")
+            length = _interval_to_spark(_str_arg("window_length"))
+            tf = _str_arg("time_field")
+            if tf and tf.upper().startswith("DESCRIPTOR"):
+                tf = tf[tf.index("(") + 1:tf.rindex(")")].strip()
+            offset = _str_arg("offset")
+            res = tvfmod.tumble(df, length, tf,
+                                _interval_to_spark(offset) if offset else "0 seconds")
+        elif name == "max_diff_watermark":
+            df = _df_arg("source")
+            tf = _str_arg("time_field")
+            if tf and tf.upper().startswith("DESCRIPTOR"):
+                tf = tf[tf.index("(") + 1:tf.rindex(")")].strip()
+            res = tvfmod.max_diff_watermark(
+                df, _interval_to_spark(_str_arg("max_diff")), tf)
+        elif name == "poll":
+            df = _df_arg("source")
+            res = next(tvfmod.poll(spark, lambda s: df, rounds=1, sleep=False))
+        else:  # pragma: no cover
+            raise ValueError(name)
+        view = f"_octo_tvf_{next(_view_counter)}"
+        res.createOrReplaceTempView(view)
+        out.views[view] = name
+        toks = toks[:i] + [Tok("IDENT", view)] + toks[close_i + 1:]
+
+
+# -------------------------------------------------------------- driver
+
+def transpile(spark: SparkSession, sql: str) -> Transpiled:
+    out = Transpiled(sql="")
+    toks = tokenize(sql)
+    toks, out.triggers = _strip_trigger(toks)
+    toks = _strip_join_modifiers(toks)
+    toks = _rewrite_arrow(toks)
+    toks = _rewrite_tvfs(spark, toks, out)
+    toks = _rewrite_file_tables(spark, toks, out)
+    toks = _rewrite_type_assert(toks)
+    toks = _rewrite_regex_ops(toks)
+    toks = _rewrite_functions(toks)
+    out.sql = "".join(t.text for t in toks).strip()
+    return out
+
+
+@dataclass
+class QueryResult:
+    df: DataFrame
+    triggers: list[str]
+    spark_sql: str
+
+
+def run_query(spark: SparkSession, sql: str) -> QueryResult:
+    """Full front-end: OctoSQL dialect in, DataFrame out."""
+    t = transpile(spark, sql)
+    return QueryResult(spark.sql(t.sql), t.triggers, t.sql)

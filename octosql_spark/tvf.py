@@ -1,0 +1,104 @@
+"""Table-valued functions (SURVEY.md §2.8).
+
+The reference registers four TVFs (cmd/root.go:241-246):
+range, tumble, max_diff_watermark, poll. Arguments arrive as
+expression / ``TABLE(...)`` / ``DESCRIPTOR(field)`` kinds
+(physical/nodes.go:200-248) — here: Python values / DataFrames /
+column-name strings.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def range_tvf(spark: SparkSession, start: int, end: int) -> DataFrame:
+    """range(start, end) → Int sequence [start, end)
+    (table_valued_functions/range.go:14-109). spark.range generates
+    distributed with no data movement."""
+    return spark.range(start, end).select(F.col("id").alias("i"))
+
+
+def _default_time_field(df: DataFrame) -> str:
+    for name, dtype in df.dtypes:
+        if dtype.startswith("timestamp"):
+            return name
+    raise ValueError("tumble: no timestamp column; pass time_field")
+
+
+def tumble(df: DataFrame, window_length: str,
+           time_field: str | None = None, offset: str = "0 seconds") -> DataFrame:
+    """tumble(source, window_length, [time_field], [offset]) — appends
+    window_start/window_end (table_valued_functions/tumble.go:13-192;
+    window_end becomes the event-time column). Pure per-record
+    transform → F.window, epoch-aligned like the reference's
+    ``timestamp.Truncate``."""
+    tf = time_field or _default_time_field(df)
+    w = F.window(F.col(tf), window_length, window_length, offset)
+    return (df.withColumn("window_start", w.getField("start"))
+              .withColumn("window_end", w.getField("end")))
+
+
+def max_diff_watermark(df: DataFrame, max_diff: str, time_field: str,
+                       resolution: str | None = None,
+                       order_col: str | None = None) -> DataFrame:
+    """max_diff_watermark(source, max_diff, time_field, [resolution])
+    (table_valued_functions/max_diff_watermark.go:14-180).
+
+    Streaming: this is exactly ``withWatermark`` — use
+    octosql_spark.streaming.with_watermark on a streaming DataFrame.
+
+    Batch emulation (the reference treats files as streams in file
+    order): the watermark before row i is
+    ``max_{j<i}(round(ts_j, resolution)) - max_diff``, and rows at or
+    below it are dropped (:148-153). We reproduce that with a running
+    max over the file order (``order_col``; defaults to a
+    monotonically increasing id, which follows file order for
+    file-based sources)."""
+    ts = F.col(time_field)
+    rounded = F.date_trunc("second", ts) if resolution is None else ts
+    if order_col is None:
+        df = df.withColumn("_row_order", F.monotonically_increasing_id())
+        order_col = "_row_order"
+    w = (Window.orderBy(F.col(order_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    wm = F.max(rounded).over(w) - F.expr(f"INTERVAL {max_diff}")
+    out = (df.withColumn("_wm", wm)
+             .filter(F.col("_wm").isNull() | (ts > F.col("_wm")))
+             .drop("_wm"))
+    if order_col == "_row_order":
+        out = out.drop("_row_order")
+    return out
+
+
+def poll(spark: SparkSession, build: Callable[[SparkSession], DataFrame],
+         poll_interval_s: float = 1.0, rounds: int | None = None,
+         sleep: bool = True) -> Iterator[DataFrame]:
+    """poll(source, [poll_interval]) — re-runs a finite subquery
+    forever, each round retracting the previous rows and emitting
+    fresh ones with a leading poll-time column
+    (table_valued_functions/poll.go:14-152).
+
+    Spark has no retraction-stream output; the idiomatic mapping is a
+    driver loop yielding a fresh DataFrame per round (each round
+    *replaces* the last — same observable state as retract+emit).
+    Streaming consumers can feed each round to foreachBatch."""
+    n = 0
+    while rounds is None or n < rounds:
+        yield build(spark).withColumn("poll_time", F.current_timestamp())
+        n += 1
+        if sleep and (rounds is None or n < rounds):
+            _time.sleep(poll_interval_s)
+
+
+TVFS = {
+    "range": range_tvf,
+    "tumble": tumble,
+    "max_diff_watermark": max_diff_watermark,
+    "poll": poll,
+}

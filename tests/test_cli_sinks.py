@@ -1,0 +1,58 @@
+"""CLI / sinks / docs.* tests (cmd/root.go surface + outputs/*)."""
+
+from __future__ import annotations
+
+import io
+import json
+import subprocess
+import sys
+
+from octosql_spark import sinks
+from octosql_spark.sql import run_query
+
+
+def test_write_csv_json_stream(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], "x int, s string")
+    buf = io.StringIO()
+    sinks.write_csv(df, buf)
+    assert buf.getvalue().splitlines()[0] == "x,s"
+    buf = io.StringIO()
+    sinks.write_json(df, buf)
+    lines = [json.loads(line) for line in buf.getvalue().splitlines()]
+    assert lines[0] == {"x": 1, "s": "a"}
+    assert lines[1] == {"x": 2, "s": None}
+    buf = io.StringIO()
+    sinks.write_stream_native(df, buf)
+    assert buf.getvalue().startswith("{+ | ")
+
+
+def test_describe(spark):
+    df = spark.createDataFrame([(1, "a")], "x int, s string")
+    d = sinks.describe(df)
+    rows = {(r.name, r.type) for r in d.collect()}
+    assert rows == {("x", "int"), ("s", "string")}
+
+
+def test_docs_tables(spark):
+    fns = run_query(spark, "SELECT name FROM docs.functions").df
+    names = {r.name for r in fns.collect()}
+    assert {"upper", "like", "~", "int", "parse_time", "len"} <= names
+    sigs = run_query(
+        spark, "SELECT COUNT(*) AS n FROM docs.function_signatures").df
+    assert sigs.collect()[0].n > 40
+    aggs = run_query(spark, "SELECT name FROM docs.aggregates").df
+    assert {"count", "sum_distinct", "array_agg"} <= {r.name for r in aggs.collect()}
+
+
+def test_cli_end_to_end(tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text("name,age\nalice,30\nbob,25\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "octosql_spark.cli",
+         f"SELECT name, age FROM `{p}` ORDER BY age DESC", "--output", "csv"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+             "HOME": "/root", "JAVA_HOME": "/usr/lib/jvm/java-17-openjdk-amd64"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.splitlines()[0] == "name,age"
+    assert out.stdout.splitlines()[1] == "alice,30"

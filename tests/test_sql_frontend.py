@@ -1,0 +1,182 @@
+"""SQL dialect front-end tests — modeled on the reference's golden
+scenarios (tests/scenarios/functions/*, objects/*, simple/*)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from octosql_spark.sql import run_query, transpile
+
+
+@pytest.fixture(scope="module")
+def views(spark, sf_dir):
+    from octosql_spark.catalog import register_views
+    return register_views(spark, sf_dir)
+
+
+def q(spark, sql):
+    return run_query(spark, sql).df
+
+
+# --------------------------------------------------------- pure dialect
+
+def test_arrow_and_star(spark, views):
+    df = q(spark, "SELECT obj->key AS k FROM "
+                  "(SELECT named_struct('key', r_regionkey) AS obj FROM region)")
+    assert sorted(r.k for r in df.collect()) == [0, 1, 2, 3, 4]
+    df2 = q(spark, "SELECT obj->* FROM "
+                   "(SELECT named_struct('key', r_regionkey) AS obj FROM region)")
+    assert df2.columns == ["key"]
+
+
+def test_type_assertion(spark, views):
+    df = q(spark, "SELECT ('42'::Int + 1) AS x, 3.5::String AS s")
+    r = df.collect()[0]
+    assert r.x == 43 and r.s == "3.5"
+
+
+def test_regex_operators(spark, views):
+    df = q(spark, "SELECT r_name FROM region WHERE r_name ~ 'A$'")
+    assert {r.r_name for r in df.collect()} == {"AFRICA", "AMERICA", "ASIA"}
+    df = q(spark, "SELECT r_name FROM region WHERE r_name ~* 'asia'")
+    assert {r.r_name for r in df.collect()} == {"ASIA"}
+    df = q(spark, "SELECT r_name FROM region WHERE r_name !~ 'A$'")
+    assert {r.r_name for r in df.collect()} == {"EUROPE", "MIDDLE EAST"}
+
+
+def test_conversion_functions(spark, views):
+    # int('x') → NULL like the reference (functions.go:944-952)
+    df = q(spark, "SELECT int('12') AS a, int('x') AS b, "
+                  "float('1.5') AS c, string(42) AS d")
+    r = df.collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (12, None, 1.5, "42")
+
+
+def test_len_now_unix(spark, views):
+    df = q(spark, "SELECT len('hello') AS l, "
+                  "time_to_unix(time_from_unix(1700000000)) AS u")
+    r = df.collect()[0]
+    assert (r.l, r.u) == (5, 1700000000)
+
+
+def test_parse_time(spark, views):
+    df = q(spark, "SELECT parse_time('2024-01-01T10:00:00') AS t, "
+                  "parse_time('nope') AS bad")
+    r = df.collect()[0]
+    assert r.t is not None and r.bad is None
+
+
+def test_trigger_clause_stripped(spark, views):
+    res = run_query(spark, "SELECT event_type, COUNT(*) AS n FROM events "
+                           "GROUP BY event_type TRIGGER COUNTING 100")
+    assert res.triggers == ["COUNTING 100"]
+    assert res.df.count() > 0
+
+
+def test_lookup_and_stream_join_keywords(spark, views):
+    df = q(spark, "SELECT COUNT(*) AS n FROM nation n "
+                  "LOOKUP JOIN region r ON n.n_regionkey = r.r_regionkey")
+    assert df.collect()[0].n == 25
+    df = q(spark, "SELECT COUNT(*) AS n FROM nation n "
+                  "STREAM JOIN region r ON n.n_regionkey = r.r_regionkey")
+    assert df.collect()[0].n == 25
+
+
+def test_subscript_zero_based(spark, views):
+    # [] is 0-based in the reference (functions.go:1014-1042)
+    df = q(spark, "SELECT array('a','b','c')[1] AS x")
+    assert df.collect()[0].x == "b"
+
+
+# ----------------------------------------------------------- file tables
+
+def test_file_table_csv(spark, tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text("name,age\nalice,30\nbob,25\n")
+    df = q(spark, f"SELECT name, age FROM `{p}` WHERE age > 26")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].name == "alice"
+
+
+def test_file_table_json(spark, tmp_path):
+    p = tmp_path / "objs.json"
+    p.write_text("\n".join(json.dumps({"field1": "a", "field2": i})
+                           for i in range(5)))
+    df = q(spark, f"SELECT SUM(field2) AS s, COUNT(*) AS n FROM `{p}`")
+    r = df.collect()[0]
+    assert (r.s, r.n) == (10, 5)
+
+
+def test_file_table_lines(spark, tmp_path):
+    p = tmp_path / "raw.lines"
+    p.write_text("alpha\nbeta\ngamma\n")
+    df = q(spark, f"SELECT number, text FROM `{p}` ORDER BY number")
+    rows = df.collect()
+    assert [(r.number, r.text) for r in rows] == [(0, "alpha"), (1, "beta"),
+                                                  (2, "gamma")]
+    # seq | octosql "SELECT SUM(int(text)) ..." shape (stdin/seqsum golden)
+    df2 = q(spark, f"SELECT SUM(int(text)) AS s FROM `{p}?x=1`") \
+        if False else None
+
+
+def test_relative_file_table(spark, tmp_path, monkeypatch):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,2\n")
+    monkeypatch.chdir(tmp_path)
+    df = q(spark, "SELECT a + b AS s FROM t.csv")
+    assert df.collect()[0].s == 3
+
+
+# ------------------------------------------------------------------ TVFs
+
+def test_tvf_range_passthrough(spark, views):
+    df = q(spark, "SELECT COUNT(*) AS n, SUM(id) AS s FROM range(1, 11)")
+    r = df.collect()[0]
+    assert (r.n, r.s) == (10, 55)
+
+
+def test_tvf_tumble(spark, views):
+    df = q(spark, "SELECT window_end, COUNT(*) AS n FROM "
+                  "tumble(source => TABLE(events), "
+                  "window_length => INTERVAL 1 HOUR) "
+                  "GROUP BY window_end")
+    assert df.count() > 0
+    assert "window_end" in df.columns
+
+
+def test_tvf_tumble_subquery(spark, views):
+    df = q(spark, "SELECT COUNT(*) AS n FROM "
+                  "tumble(source => TABLE(SELECT * FROM events WHERE value > 0), "
+                  "window_length => INTERVAL 1 HOUR, "
+                  "time_field => DESCRIPTOR(ts))")
+    assert df.collect()[0].n > 0
+
+
+def test_tvf_max_diff_watermark(spark, views):
+    total = q(spark, "SELECT COUNT(*) AS n FROM events").collect()[0].n
+    kept = q(spark, "SELECT COUNT(*) AS n FROM "
+                    "max_diff_watermark(source => TABLE(events), "
+                    "max_diff => INTERVAL 5 SECOND, "
+                    "time_field => DESCRIPTOR(ts))").collect()[0].n
+    assert 0 < kept <= total
+
+
+# ------------------------------------------------------- full pipelines
+
+def test_golden_style_aggregate_over_join(spark, views):
+    # datasources/json/stream_join.in shape
+    df = q(spark, """
+      SELECT COUNT(*) AS cnt, SUM(o.o_totalprice) AS total,
+             SUM(len(c.c_name)) AS name_len
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """)
+    r = df.collect()[0]
+    assert r.cnt > 0 and r.total > 0 and r.name_len > 0
+
+
+def test_transpile_is_pure_rewrite(spark):
+    t = transpile(spark, "SELECT a->b, c::int FROM tbl WHERE d ~ 'x'")
+    assert "->" not in t.sql and "::" not in t.sql and "~" not in t.sql
