@@ -1,0 +1,4 @@
+from octosql_spark.streaming.core import (  # noqa: F401
+    read_stream_file, with_watermark, windowed_aggregate,
+    stream_stream_join, map_trigger, run_to_memory, write_stream,
+)

@@ -1,0 +1,134 @@
+"""Structured-Streaming mapping of the reference's dataflow engine
+(SURVEY.md §2.8, §7-M6).
+
+The reference models EVERYTHING as a retraction-capable record stream
+with watermark metadata (execution/execution.go:58-106); batch files
+are just streams that end. Spark splits the two worlds: DataFrames
+for batch, Structured Streaming for unbounded input — with the
+retraction/watermark machinery (the reference's hand-built btrees and
+min-watermark alignment, stream_join.go:114-145) provided by the
+engine's state store.
+
+Mapping table:
+
+| reference                               | here                      |
+|-----------------------------------------|---------------------------|
+| ``tail=true`` file source (files.go:26) | ``readStream`` file source|
+| ``max_diff_watermark`` TVF              | ``withWatermark``         |
+| TRIGGER ON WATERMARK (triggers.go:89)   | append output mode        |
+| TRIGGER ON END OF STREAM (:182)         | batch / Trigger.AvailableNow |
+| TRIGGER COUNTING n (:17)                | update mode (per-batch re-emission; counting granularity is per micro-batch, not per n records — documented deviation) |
+| stream-stream join min-watermark buffering | Spark stream-stream join state + watermarks |
+| ``stream_native`` retraction output     | console sink, update mode |
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from octosql_spark.operators.aggregate import AGGREGATES
+
+
+def read_stream_file(spark: SparkSession, path: str, fmt: str = "json",
+                     schema=None, **options) -> DataFrame:
+    """Streaming file source — the ``tail=true`` equivalent
+    (execution/files/files.go:26-68 re-opens and follows a file; the
+    Spark idiom is new-file discovery in a directory)."""
+    reader = spark.readStream.format(fmt)
+    if schema is None:
+        # streaming sources need a schema: infer from current contents
+        static = getattr(spark.read, fmt)(path)
+        schema = static.schema
+    reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def with_watermark(df: DataFrame, time_field: str, max_diff: str) -> DataFrame:
+    """max_diff_watermark → withWatermark: watermark trails the max
+    observed event time by ``max_diff`` and late rows are dropped —
+    the same contract as max_diff_watermark.go:134-153."""
+    return df.withWatermark(time_field, max_diff)
+
+
+def windowed_aggregate(df: DataFrame, window_length: str,
+                       keys: Sequence[str],
+                       aggs: Sequence[tuple[str, str, str]],
+                       time_field: str = "ts") -> DataFrame:
+    """tumble + GROUP BY window_end, keys — the reference's
+    CustomTriggerGroupBy over a tumble TVF
+    (custom_trigger_group_by.go:62-233 + tumble.go). State is bounded
+    by the watermark; emission policy comes from the output mode at
+    sink time (map_trigger)."""
+    agg_cols = []
+    for name, col, alias in aggs:
+        fn = AGGREGATES[name]
+        c = F.lit(True) if col == "*" else F.col(col)
+        agg_cols.append(fn(c).alias(alias))
+    return (df.groupBy(F.window(F.col(time_field), window_length), *keys)
+              .agg(*agg_cols)
+              .withColumn("window_start", F.col("window.start"))
+              .withColumn("window_end", F.col("window.end"))
+              .drop("window"))
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame, on, how: str = "inner",
+                       left_watermark: tuple[str, str] | None = None,
+                       right_watermark: tuple[str, str] | None = None) -> DataFrame:
+    """Stream-stream join: the reference's symmetric hash join with
+    min-watermark buffering (stream_join.go:40-318) is what Spark's
+    stream-stream join implements (state pruned by watermark)."""
+    if left_watermark:
+        left = left.withWatermark(*left_watermark)
+    if right_watermark:
+        right = right.withWatermark(*right_watermark)
+    return left.join(right, on, how)
+
+
+def map_trigger(spec: str | None):
+    """OctoSQL TRIGGER spec (parser/parser.go:503-534) → (outputMode,
+    writeStream trigger kwargs)."""
+    s = (spec or "").strip().upper()
+    if not s or s == "ON END OF STREAM":
+        # the reference flushes all state at EOS (WatermarkMaxValue,
+        # execution/execution.go:106). Spark's append mode would hold
+        # back windows the watermark hasn't passed — update mode emits
+        # every group by the time the AvailableNow run terminates.
+        return "update", {"availableNow": True}
+    if s == "ON WATERMARK":
+        return "append", {}
+    if s.startswith("COUNTING"):
+        # per-key counting trigger has no Spark equivalent; update mode
+        # re-emits refined values per micro-batch (SURVEY.md §7 hard-part 2)
+        return "update", {}
+    raise ValueError(f"unsupported trigger: {spec!r}")
+
+
+def write_stream(df: DataFrame, fmt: str = "console", output_mode: str = "append",
+                 path: str | None = None, checkpoint: str | None = None,
+                 query_name: str | None = None, **trigger_kwargs):
+    w = df.writeStream.format(fmt).outputMode(output_mode)
+    if path:
+        w = w.option("path", path)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if query_name:
+        w = w.queryName(query_name)
+    if trigger_kwargs:
+        w = w.trigger(**trigger_kwargs)
+    return w.start()
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
+                  timeout_s: float = 120.0) -> DataFrame:
+    """Run an AvailableNow pass into an in-memory table and return it —
+    end-of-stream semantics (the reference's default for finite
+    inputs), used by tests."""
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)

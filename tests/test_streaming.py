@@ -1,0 +1,101 @@
+"""Streaming subset tests (SURVEY.md §2.8/M6): file stream sources,
+watermarks, windowed aggregation, stream-stream join, trigger mapping.
+All runs use Trigger.AvailableNow (end-of-stream semantics — finite
+inputs, like the reference's batch-as-stream model) so they terminate."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+
+from octosql_spark import streaming as st
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    rows = [
+        {"ts": "2024-01-01T00:00:05", "user": 1, "v": 1.0},
+        {"ts": "2024-01-01T00:00:30", "user": 2, "v": 2.0},
+        {"ts": "2024-01-01T00:01:10", "user": 1, "v": 3.0},
+        {"ts": "2024-01-01T00:02:20", "user": 2, "v": 4.0},
+        {"ts": "2024-01-01T00:00:01", "user": 1, "v": 9.0},  # late
+    ]
+    p = tmp_path / "stream"
+    p.mkdir()
+    (p / "part1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def _mem(df, mode="append"):
+    return st.run_to_memory(df, f"t_{uuid.uuid4().hex[:8]}", output_mode=mode)
+
+
+def test_read_stream_and_windowed_agg(spark, events_dir):
+    src = st.read_stream_file(spark, events_dir, "json")
+    assert src.isStreaming
+    from pyspark.sql import functions as F
+    typed = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    wm = st.with_watermark(typed, "ts", "10 seconds")
+    agg = st.windowed_aggregate(wm, "1 minute", ["user"],
+                                [("count", "*", "n"), ("sum", "v", "sv")],
+                                time_field="ts")
+    # append mode: only watermark-finalized windows emit — the last
+    # window (00:02) is held back because Spark does NOT flush state at
+    # end-of-stream (deviation from the reference's WatermarkMaxValue
+    # flush; use map_trigger("ON END OF STREAM") → update mode for that)
+    out = _mem(agg)
+    rows = {(r.user, str(r.window_start)[11:16], r.n, r.sv)
+            for r in out.collect()}
+    assert (1, "00:00", 2, 10.0) in rows  # late row in same micro-batch counts
+    assert (2, "00:00", 1, 2.0) in rows
+    assert not any(w == "00:02" for (_, w, _, _) in rows)
+
+    # EOS trigger mapping flushes everything:
+    mode, _kw = st.map_trigger("ON END OF STREAM")
+    out2 = _mem(st.windowed_aggregate(wm, "1 minute", ["user"],
+                                      [("count", "*", "n"), ("sum", "v", "sv")],
+                                      time_field="ts"), mode=mode)
+    rows2 = {(r.user, str(r.window_start)[11:16], r.n, r.sv)
+             for r in out2.collect()}
+    assert (2, "00:02", 1, 4.0) in rows2
+
+
+def test_stream_stream_join(spark, events_dir):
+    from pyspark.sql import functions as F
+    src = st.read_stream_file(spark, events_dir, "json")
+    typed = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    left = typed.select("user", F.col("ts").alias("lts"), "v")
+    right = typed.select(F.col("user").alias("user_r"),
+                         F.col("ts").alias("rts"))
+    joined = st.stream_stream_join(
+        left, right,
+        (F.col("user") == F.col("user_r"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 MINUTE")),
+        "inner",
+        left_watermark=("lts", "10 seconds"),
+        right_watermark=("rts", "10 seconds"))
+    out = _mem(joined)
+    assert out.count() > 0
+
+
+def test_trigger_mapping():
+    assert st.map_trigger(None) == ("update", {"availableNow": True})
+    assert st.map_trigger("ON END OF STREAM") == ("update", {"availableNow": True})
+    assert st.map_trigger("ON WATERMARK") == ("append", {})
+    mode, kw = st.map_trigger("COUNTING 100")
+    assert mode == "update"
+    with pytest.raises(ValueError):
+        st.map_trigger("DELAY 5s")  # reference panics on Delay too
+
+
+def test_update_mode_counting_equivalent(spark, events_dir):
+    from pyspark.sql import functions as F
+    src = st.read_stream_file(spark, events_dir, "json")
+    agg = src.groupBy("user").agg(F.count(F.lit(1)).alias("n"))
+    mode, kw = st.map_trigger("COUNTING 1")
+    out = _mem(agg, mode=mode)
+    rows = {(r.user, r.n) for r in out.collect()}
+    assert rows == {(1, 3), (2, 2)}
