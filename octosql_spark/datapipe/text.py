@@ -1,0 +1,100 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, fingerprinting. Everything is a Catalyst
+expression (regex/split/aggregate) — these run at scan speed on a
+100 TB corpus; no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenization regex (GPT-2 style classes, simplified to
+# what Java regex supports): word pieces, numbers, punctuation runs.
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]+"
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "para"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "von", "zu"],
+}
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token counting: ``whitespace`` (split) or ``bpe`` (regex
+    pre-tokenizer pieces — a deterministic proxy for BPE vocab size)."""
+    if mode == "whitespace":
+        return F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+                .otherwise(F.size(F.split(F.trim(text), r"\s+"))).cast("long")
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), F.lit(0))) \
+                .cast("long")
+    raise ValueError(mode)
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals (length, word stats, punctuation /
+    digit / stopword ratios) + a composite [0,1] score. The usual
+    pre-filter columns for corpus curation."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_chars = F.length(t).cast("long")
+    n_words = token_count(t)
+    mean_word_len = F.when(n_words > 0,
+                           (n_chars - n_words + 1) / n_words).otherwise(0.0)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, F.lower(w))))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(0.0)
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), 0.4).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.2).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.2).otherwise(0.0)
+        + F.when(digit_ratio < 0.3, 0.2).otherwise(0.0)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"), n_words.alias("q_words"),
+        mean_word_len.alias("q_mean_word_len"),
+        punct_ratio.alias("q_punct_ratio"), digit_ratio.alias("q_digit_ratio"),
+        stop_ratio.alias("q_stop_ratio"), score.alias("q_score"))
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-vote language ID over {en,fr,es,de} (+ 'und' when no
+    vote). A deterministic n-gram-free heuristic: per language, count
+    hits of its top stopwords; argmax wins. CJK shortcut: any Han
+    codepoint → 'zh'."""
+    words = F.transform(F.split(F.trim(text), r"\s+"), F.lower)
+
+    def _hits(stops: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in stops])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = [F.struct(_hits(stops).alias("hits"), F.lit(lang).alias("lang"))
+              for lang, stops in _STOPWORDS.items()]
+    best = F.array_max(F.array(*scores))
+    han = text.rlike(r"[一-鿿]")
+    return (F.when(han, F.lit("zh"))
+            .when(best.getField("hits") > 0, best.getField("lang"))
+            .otherwise(F.lit("und")))
+
+
+def fingerprint(text: Column, mode: str = "md5") -> Column:
+    """Document fingerprint over whitespace-normalized, lowercased
+    text. ``md5`` = content hash; ``rolling`` = min of rolling window
+    hashes (winnowing-style, robust to small edits)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    if mode == "md5":
+        return F.md5(norm)
+    if mode == "rolling":
+        words = F.split(norm, " ")
+        k = F.greatest(F.size(words) - F.lit(3), F.lit(1))
+        idx = F.sequence(F.lit(1), k)
+        return F.array_min(F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, 4)))))
+    raise ValueError(mode)

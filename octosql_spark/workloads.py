@@ -697,3 +697,193 @@ def oracle_sql():
 
 def headline_queries():
     return {name: w.build for name, w in REGISTRY.items() if w.headline}
+
+
+# ===================================================== datapipe workloads
+# Training-data pipeline operators (octosql_spark.datapipe) as
+# first-class gate entries on the documents/embeddings tables.
+
+@workload("dedup_exact", """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count, text
+FROM documents GROUP BY text
+""")
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup: hash-groupBy, min-id representative (datapipe.dedup)."""
+    from octosql_spark.datapipe import exact_dedup
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_dedup(d, ["text"], "doc_id")
+
+
+@workload("text_token_count", """
+SELECT doc_id,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+       n_chars
+FROM documents
+""")
+def text_token_count_q(spark, sf_dir):
+    from octosql_spark.datapipe import token_count
+    from pyspark.sql import functions as F
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"),
+                    "n_chars")
+
+
+@workload("text_quality", """
+SELECT doc_id, q_chars, q_words, q_mean_word_len, q_punct_ratio, q_score
+FROM (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS q_chars,
+         CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS q_words,
+         (CAST(LENGTH(text) AS BIGINT) - CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) + 1)
+           / CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS q_mean_word_len,
+         LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+           / CAST(LENGTH(text) AS BIGINT) AS q_punct_ratio,
+         (CASE WHEN LEN(regexp_split_to_array(TRIM(text), '\\s+')) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN (CAST(LENGTH(text) AS BIGINT) - CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) + 1)
+                      / CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) BETWEEN 3 AND 12 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                      / CAST(LENGTH(text) AS BIGINT) < 0.2 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
+                      / CAST(LENGTH(text) AS BIGINT) < 0.3 THEN 0.2 ELSE 0.0 END) AS q_score
+  FROM documents
+)
+""")
+def text_quality_q(spark, sf_dir):
+    """Quality scoring (datapipe.text.quality_metrics) — the oracle
+    mirrors the exact per-row formula; ratios are single IEEE divides,
+    bitwise equal across engines."""
+    from octosql_spark.datapipe import quality_metrics
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_metrics(d).select("doc_id", "q_chars", "q_words",
+                                     "q_mean_word_len", "q_punct_ratio",
+                                     "q_score")
+
+
+@workload("text_fingerprint", """
+SELECT doc_id, md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""")
+def text_fingerprint_q(spark, sf_dir):
+    from octosql_spark.datapipe import fingerprint
+    from pyspark.sql import functions as F
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@workload("lang_stats", """
+SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+""")
+def lang_stats_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(True)).alias("n"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+@workload("langid_heuristic", None)
+def langid_heuristic_q(spark, sf_dir):
+    """Stopword-vote language ID (datapipe.text.language_id) — not
+    SQL-expressible concisely; rows-only check. Output includes the
+    corpus label for eyeballing accuracy."""
+    from octosql_spark.datapipe import language_id
+    from pyspark.sql import functions as F
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang",
+                    language_id(F.col("text")).alias("lang_pred"))
+
+
+@workload("dedup_minhash_lsh", None)
+def dedup_minhash_lsh_q(spark, sf_dir):
+    """MinHash+LSH near-dup pairs — banded signatures + bucket join
+    (datapipe.dedup.minhash_lsh_pairs). Hash-seeded, so rows-only."""
+    from octosql_spark.datapipe import minhash_lsh_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(d, num_hashes=32, bands=8,
+                             jaccard_threshold=0.8)
+
+
+@workload("dedup_simhash", None)
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3 via pigeonhole banding)."""
+    from octosql_spark.datapipe import simhash_near_dup_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_dup_pairs(d, max_hamming=3)
+
+
+@workload("dedup_ngram_jaccard", None)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    """Exact n-gram Jaccard pairs over an inverted-index candidate join."""
+    from octosql_spark.datapipe import ngram_jaccard_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.8)
+
+
+@workload("embedding_norms", """
+SELECT vec_id,
+       ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))), 6) AS norm
+FROM embeddings
+""")
+def embedding_norms_q(spark, sf_dir):
+    from octosql_spark.datapipe.similarity import embedding_norms
+    from pyspark.sql import functions as F
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return e.select("vec_id", F.round(embedding_norms(e), 6).alias("norm"))
+
+
+@workload("ann_cosine_topk", """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
+) WHERE rank <= 5
+""", headline=True)
+def ann_cosine_topk_q(spark, sf_dir):
+    """Brute-force cosine top-k (datapipe.similarity): broadcast the
+    query block, one streaming pass over the corpus, per-query top-k
+    window. IDs+ranks only in the gate output (the cosine itself is
+    checked in embedding_norms / unit tests)."""
+    from octosql_spark.datapipe import cosine_topk_bruteforce
+    from pyspark.sql import functions as F
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(q, e, k=5).select(
+        "query_id", "neighbor_id", "rank")
+
+
+@workload("ann_lsh_topk", None)
+def ann_lsh_topk_q(spark, sf_dir):
+    """Multi-table hyperplane-LSH ANN (the scale path) — approximate,
+    rows-only."""
+    from octosql_spark.datapipe import lsh_bucketed_topk
+    from pyspark.sql import functions as F
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 20)
+    return lsh_bucketed_topk(q, e, k=5, n_planes=3, n_tables=12)
+
+
+@workload("multimodal_metadata", """
+SELECT doc_id, octet_length(encode(text)) AS byte_size, md5(text) AS content_hash
+FROM documents
+""")
+def multimodal_metadata_q(spark, sf_dir):
+    """Binary-column metadata plumbing (datapipe.multimodal): treat the
+    utf-8 bytes of text as an opaque blob, extract typed metadata."""
+    from octosql_spark.datapipe import attach_media_metadata
+    from pyspark.sql import functions as F
+    d = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode("text", "utf-8").alias("media"))
+    m = attach_media_metadata(d, "media")
+    return m.select("doc_id", F.col("media_meta.byte_size").alias("byte_size"),
+                    F.col("media_meta.content_hash").alias("content_hash"))

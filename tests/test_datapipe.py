@@ -1,0 +1,143 @@
+"""Training-data pipeline operator tests (dedup/similarity/text/
+multimodal) on synthetic rows + the driver's documents/embeddings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from octosql_spark import datapipe as dp
+from octosql_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="completely different content about spark engines"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=5, text=""),
+    ])
+
+
+def test_exact_dedup(spark, docs):
+    out = dp.exact_dedup(docs, ["text"], "doc_id").collect()
+    by_text = {r.text: (r.doc_id, r.dup_count) for r in out}
+    assert by_text["the quick brown fox jumps over the lazy dog"] == (1, 2)
+    assert len(out) == 4  # 5 rows, one exact dup
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = dp.minhash_lsh_pairs(docs, "doc_id", "text",
+                                 num_hashes=32, bands=8,
+                                 jaccard_threshold=0.4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in got          # exact dup → jaccard 1.0
+    assert (1, 2) in got          # near dup (one word differs)
+    assert not any({a, b} == {1, 3} for a, b in got)  # unrelated
+    j = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert j[(1, 4)] == 1.0
+
+
+def test_simhash_near_dup(spark, docs):
+    pairs = dp.simhash_near_dup_pairs(docs, "doc_id", "text",
+                                      max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(1, 4)] == 0       # identical text → same signature
+    assert all(h <= 3 for h in got.values())
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dp.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                   threshold=0.3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in got and (1, 2) in got
+
+
+def test_cosine_topk_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = dp.cosine_topk_bruteforce(queries, emb, k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    assert set(per_q) == {0, 1, 2}
+    for q, lst in per_q.items():
+        lst.sort()
+        assert len(lst) == 5
+        sims = [c for _, _, c in lst]
+        assert sims == sorted(sims, reverse=True)
+        assert all(n != q for _, n, _ in lst)
+
+
+def test_lsh_bucketed_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = dp.cosine_topk_bruteforce(queries, emb, k=1)
+    approx = dp.lsh_bucketed_topk(queries, emb, k=1, n_planes=3, n_tables=12)
+    e = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+    # candidates are scored exactly: any overlapping pair has the same cosine
+    for pair in set(e) & set(a):
+        assert abs(e[pair] - a[pair]) < 1e-9
+    # multi-table LSH recall on *random* (near-orthogonal) vectors:
+    # p=(1-θ/π)^3 per table, 12 tables → expect a nontrivial fraction
+    assert len(set(e) & set(a)) >= 3  # ≥30% top-1 recall
+
+
+def test_token_count_and_quality(spark, docs):
+    out = docs.select("doc_id",
+                      dp.token_count(F.col("text")).alias("n_ws"),
+                      dp.token_count(F.col("text"), "bpe").alias("n_bpe"))
+    rows = {r.doc_id: (r.n_ws, r.n_bpe) for r in out.collect()}
+    assert rows[1][0] == 9
+    assert rows[5][0] == 0
+    assert rows[1][1] >= 9
+    q = dp.quality_metrics(docs).collect()
+    m = {r.doc_id: r for r in q}
+    assert m[1].q_words == 9 and m[1].q_stop_ratio > 0
+    assert m[5].q_score <= 0.4
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame([
+        Row(id=1, text="the cat is in the house and it is warm"),
+        Row(id=2, text="le chat est dans la maison et il est pour"),
+        Row(id=3, text="el gato es una maravilla para los amigos"),
+        Row(id=4, text="der hund ist nicht ein problem und das ist gut"),
+        Row(id=5, text="你好 世界"),
+        Row(id=6, text="xyzzy plugh"),
+    ])
+    out = {r.id: r.lang for r in
+           df.select("id", dp.language_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "zh", 6: "und"}
+
+
+def test_fingerprint(spark, docs):
+    fp = docs.select("doc_id",
+                     dp.fingerprint(F.col("text")).alias("f_md5"),
+                     dp.fingerprint(F.col("text"), "rolling").alias("f_roll"))
+    rows = {r.doc_id: (r.f_md5, r.f_roll) for r in fp.collect()}
+    assert rows[1] == rows[4]          # identical docs
+    assert rows[1][0] != rows[3][0]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, media=b"PNGfakebytes" * 10, kind="image/png"),
+         Row(media_id=2, media=b"MP4fakebytes" * 99, kind="video/mp4")])
+    meta = dp.attach_media_metadata(df, "media", "kind")
+    m = {r.media_id: r.media_meta for r in meta.collect()}
+    assert m[1].byte_size == 120 and m[1].media_type == "image/png"
+    decoded = dp.decode_media(meta, "media")
+    assert "width" in decoded.columns and "media" not in decoded.columns
+    rows = {r.media_id: r for r in decoded.collect()}
+    assert rows[1].width >= 16 and rows[2].n_frames >= 1
+    # deterministic fake: same bytes → same dims
+    again = {r.media_id: r for r in dp.decode_media(meta, "media").collect()}
+    assert again[1].width == rows[1].width
+    frames = dp.sample_frames(decoded.filter(F.col("media_id") == 2), every_n=10)
+    assert frames.count() == (rows[2].n_frames - 1) // 10 + 1
+    with pytest.raises(NotImplementedError):
+        dp.decode_media(meta, "media", backend="real")
