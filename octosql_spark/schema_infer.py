@@ -1,0 +1,141 @@
+"""Sampling-based schema inference with union types (SURVEY.md §1.3,
+§7 hard-part 4 — exact rule parity matters for oracle correctness).
+
+Reference rules reimplemented:
+- CSV (datasources/csv/impl.go:47-129): sample the first 100 rows;
+  per cell try Int → Float → Bool → RFC3339 Time → String; union-sum
+  across rows; empty cell ⇒ ``| NULL``.
+- JSON-lines (datasources/json/impl.go:27-99): sample 100 lines; JSON
+  numbers are ALWAYS Float (:89-90); RFC3339-parsable strings are
+  Time (:83-88); per-key TypeSum merge produces nested struct/list
+  and union types.
+
+The sample is a driver-side head read (100 rows — O(1) at any scale);
+the full scan then runs distributed with the inferred schema. Union
+columns come back as raw strings plus accessor columns per the policy
+in ``octosql_spark.types.to_spark``.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import json
+import re
+
+from pyspark.sql import types as T
+
+from octosql_spark import types as ot
+
+SAMPLE_ROWS = 100
+
+_RFC3339 = re.compile(
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$")
+_INT = re.compile(r"^[+-]?\d+$")
+_FLOAT = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
+
+
+def _infer_csv_cell(cell: str) -> ot.OctoType:
+    if cell == "":
+        return ot.NULL
+    if _INT.match(cell):
+        return ot.INT
+    if _FLOAT.match(cell):
+        return ot.FLOAT
+    if cell.lower() in ("true", "false"):
+        return ot.BOOLEAN
+    if _RFC3339.match(cell):
+        return ot.TIME
+    return ot.STRING
+
+
+def _infer_json_value(v) -> ot.OctoType:
+    if v is None:
+        return ot.NULL
+    if isinstance(v, bool):
+        return ot.BOOLEAN
+    if isinstance(v, (int, float)):
+        return ot.FLOAT  # JSON numbers are always Float (impl.go:89-90)
+    if isinstance(v, str):
+        return ot.TIME if _RFC3339.match(v) else ot.STRING
+    if isinstance(v, list):
+        elem = ot.NULL if not v else v and _sum_all(
+            [_infer_json_value(x) for x in v])
+        return ot.list_of(elem if v else ot.ANY)
+    if isinstance(v, dict):
+        return ot.struct_of({k: _infer_json_value(x) for k, x in v.items()})
+    return ot.ANY
+
+
+def _sum_all(types: list[ot.OctoType]) -> ot.OctoType:
+    out = types[0]
+    for t in types[1:]:
+        out = ot.type_sum(out, t)
+    return out
+
+
+def infer_csv(path: str, header: bool = True, sep: str = ",",
+              sample_rows: int = SAMPLE_ROWS) -> dict[str, ot.OctoType]:
+    """Column name → OctoType from the first ``sample_rows`` rows."""
+    with open(path, newline="") as f:
+        head = io.StringIO("".join(
+            line for _, line in zip(range(sample_rows + 1), f)))
+    rows = list(_csv.reader(head, delimiter=sep))
+    if not rows:
+        return {}
+    if header:
+        names, data = rows[0], rows[1:]
+    else:
+        names = [f"col{i}" for i in range(len(rows[0]))]
+        data = rows
+    out: dict[str, ot.OctoType] = {}
+    for i, name in enumerate(names):
+        cells = [r[i] if i < len(r) else "" for r in data]
+        kinds = [_infer_csv_cell(c) for c in cells] or [ot.STRING]
+        out[name] = _sum_all(kinds)
+    return out
+
+
+def infer_json(path: str, sample_rows: int = SAMPLE_ROWS) -> dict[str, ot.OctoType]:
+    """Key → OctoType from the first ``sample_rows`` JSON lines, with
+    per-key TypeSum merge (absent keys become nullable)."""
+    per_row: list[dict[str, ot.OctoType]] = []
+    with open(path) as f:
+        for _, line in zip(range(sample_rows), f):
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            per_row.append({k: _infer_json_value(v) for k, v in obj.items()})
+    all_keys: list[str] = []
+    for row in per_row:
+        for k in row:
+            if k not in all_keys:
+                all_keys.append(k)
+    out: dict[str, ot.OctoType] = {}
+    for k in all_keys:
+        kinds = [row.get(k, ot.NULL) for row in per_row]
+        out[k] = _sum_all(kinds)
+    return out
+
+
+def to_spark_schema(cols: dict[str, ot.OctoType]) -> T.StructType:
+    fields = []
+    for name, t in cols.items():
+        dt, nullable = ot.to_spark(t)
+        if isinstance(dt, T.NullType):
+            dt = T.StringType()  # all-NULL column: carrier type
+        fields.append(T.StructField(name, dt, nullable))
+    return T.StructType(fields)
+
+
+def union_columns(cols: dict[str, ot.OctoType]) -> dict[str, ot.OctoType]:
+    """Columns whose inferred type is a non-widening union — these are
+    read as raw strings; ``::T`` accessors try_cast out of them."""
+    out = {}
+    for name, t in cols.items():
+        core = ot.non_nullable(t)
+        if core.id == ot.TypeID.UNION and \
+                not {a.id for a in core.alts} <= {ot.TypeID.INT, ot.TypeID.FLOAT}:
+            out[name] = t
+    return out

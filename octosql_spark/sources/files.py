@@ -24,11 +24,24 @@ from pyspark.sql import functions as F
 
 
 def read_csv(spark: SparkSession, path: str, header: bool = True,
-             sep: str = ",", **_: object) -> DataFrame:
-    """CSV/TSV scan with type inference (datasources/csv/impl.go:17-147).
-    The reference samples 100 rows trying Int→Float→Bool→Time→String;
-    Spark's inferSchema covers the same ladder (union-type columns
-    degrade to String — see schema_infer for the sampling variant)."""
+             sep: str = ",", octosql_infer: bool = True,
+             **_: object) -> DataFrame:
+    """CSV/TSV scan with the reference's 100-row sampled inference
+    (datasources/csv/impl.go:17-147: Int→Float→Bool→RFC3339 Time→
+    String ladder, empty cell ⇒ nullable, mixed column ⇒ union →
+    raw-string carrier). The sample is a driver-side head read; the
+    scan itself runs distributed with an explicit schema — no
+    second full pass like Spark's own inferSchema would do."""
+    if octosql_infer and "://" not in path and os.path.isfile(path):
+        from octosql_spark.schema_infer import infer_csv, to_spark_schema
+        cols = infer_csv(path, header=header, sep=sep)
+        schema = to_spark_schema(cols)
+        return (spark.read
+                .option("header", str(header).lower())
+                .option("sep", sep)
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+                .schema(schema)
+                .csv(path))
     return (spark.read
             .option("header", str(header).lower())
             .option("sep", sep)
@@ -42,11 +55,20 @@ def read_tsv(spark: SparkSession, path: str, **opts: object) -> DataFrame:
     return read_csv(spark, path, **opts)  # type: ignore[arg-type]
 
 
-def read_json(spark: SparkSession, path: str, **_: object) -> DataFrame:
+def read_json(spark: SparkSession, path: str, octosql_infer: bool = True,
+              **_: object) -> DataFrame:
     """JSON-lines scan (datasources/json/impl.go:18-99): object per
-    line, nested structs/lists. Spark's JSON reader infers nested
-    schemas; where rows disagree it widens to string — the union-type
-    policy (SURVEY.md §7 hard-part 1) refines this in schema_infer."""
+    line, nested structs/lists, 100-line sampled inference with the
+    reference's rules (numbers→Float, RFC3339 strings→Time, per-key
+    TypeSum merge). Union-typed columns are read as raw JSON text and
+    accessed via ``::T`` try_cast accessors (SURVEY.md §7 policy)."""
+    if octosql_infer and "://" not in path and os.path.isfile(path):
+        from octosql_spark.schema_infer import infer_json, to_spark_schema
+        cols = infer_json(path)
+        schema = to_spark_schema(cols)
+        return (spark.read
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+                .schema(schema).json(path))
     return spark.read.json(path)
 
 
