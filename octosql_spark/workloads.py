@@ -887,3 +887,203 @@ def multimodal_metadata_q(spark, sf_dir):
     m = attach_media_metadata(d, "media")
     return m.select("doc_id", F.col("media_meta.byte_size").alias("byte_size"),
                     F.col("media_meta.content_hash").alias("content_hash"))
+
+
+# ================================================== SQL-surface workloads
+# Entries routed through the dialect front-end (octosql_spark.sql) and
+# Spark SQL — proving the reference's SQL surface on the gate, not just
+# the DataFrame combinators.
+
+def _sql(spark, sf_dir, query):
+    from octosql_spark.catalog import register_views
+    from octosql_spark.sql import run_query
+    register_views(spark, sf_dir)
+    return run_query(spark, query).df
+
+
+@workload("union_distinct_keys", """
+SELECT c_nationkey AS nk FROM customer
+UNION
+SELECT s_nationkey AS nk FROM supplier
+""")
+def union_distinct_keys_q(spark, sf_dir):
+    """UNION DISTINCT — claimed by the reference's dialect but
+    unimplemented there (logical/union_distinct.go:17-20)."""
+    from pyspark.sql import functions as F
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    from octosql_spark.operators import union_distinct
+    return union_distinct(c, s)
+
+
+@workload("cte_top_customers", """
+WITH totals AS (
+  SELECT o_custkey, SUM(o_totalprice) AS t, COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, ROUND(t, 2) AS total, n
+FROM customer JOIN totals ON c_custkey = o_custkey
+ORDER BY t DESC, c_custkey LIMIT 10
+""")
+def cte_top_customers_q(spark, sf_dir):
+    """WITH/CTE through the SQL front-end (the reference's With node)."""
+    return _sql(spark, sf_dir, """
+      WITH totals AS (
+        SELECT o_custkey, SUM(o_totalprice) AS t, COUNT(*) AS n
+        FROM orders GROUP BY o_custkey
+      )
+      SELECT c_custkey, c_name, ROUND(t, 2) AS total, n
+      FROM customer JOIN totals ON c_custkey = o_custkey
+      ORDER BY t DESC, c_custkey LIMIT 10
+    """)
+
+
+@workload("having_filter", """
+SELECT o_orderstatus, COUNT(*) AS n FROM orders
+GROUP BY o_orderstatus HAVING COUNT(*) > 100
+""")
+def having_filter_q(spark, sf_dir):
+    """HAVING — absent in the reference's parser (SURVEY §2.4), free
+    on Spark."""
+    return _sql(spark, sf_dir,
+                "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+                "GROUP BY o_orderstatus HAVING COUNT(*) > 100")
+
+
+@workload("rollup_counts", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""")
+def rollup_counts_q(spark, sf_dir):
+    """ROLLUP (exceeds parity — GROUPING SETS are 'not implemented'
+    in the reference, §2.4)."""
+    from pyspark.sql import functions as F
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(True)).alias("n")))
+
+
+@workload("exists_correlated", """
+SELECT n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+""")
+def exists_correlated_q(spark, sf_dir):
+    """Correlated EXISTS through Spark SQL's native subquery support
+    (the reference evaluates subqueries per-record — expressions.go:
+    202-255; Spark decorrelates to a join)."""
+    return _sql(spark, sf_dir, """
+      SELECT n_name FROM nation n
+      WHERE EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_nationkey = n.n_nationkey)
+    """)
+
+
+@workload("scalar_subquery_sql", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
+""")
+def scalar_subquery_sql_q(spark, sf_dir):
+    return _sql(spark, sf_dir, """
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
+    """)
+
+
+@workload("dialect_mix", """
+SELECT n_name,
+       regexp_matches(n_name, '^A') AS starts_a,
+       NOT regexp_matches(n_name, 'A$') AS not_ends_a,
+       CAST(n_regionkey AS DOUBLE) AS rk_float,
+       CAST(LENGTH(n_name) AS BIGINT) AS name_len,
+       TRY_CAST(n_name AS BIGINT) AS as_int
+FROM nation
+""")
+def dialect_mix_q(spark, sf_dir):
+    """OctoSQL dialect operators (~, !~, ::, len, int) through the
+    transpiler, oracled against their ANSI equivalents."""
+    return _sql(spark, sf_dir, """
+      SELECT n_name,
+             n_name ~ '^A' AS starts_a,
+             n_name !~ 'A$' AS not_ends_a,
+             n_regionkey::float AS rk_float,
+             len(n_name)::int AS name_len,
+             int(n_name) AS as_int
+      FROM nation
+    """)
+
+
+@workload("sql_tvf_tumble", """
+SELECT time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+""")
+def sql_tvf_tumble_q(spark, sf_dir):
+    """tumble() TVF with TABLE() arg through the SQL front-end
+    (table_valued_functions/tumble.go surface)."""
+    return _sql(spark, sf_dir, """
+      SELECT window_end, COUNT(*) AS n
+      FROM tumble(source => TABLE(events),
+                  window_length => INTERVAL 10 MINUTE,
+                  time_field => DESCRIPTOR(ts))
+      GROUP BY window_end
+    """)
+
+
+@workload("sliding_window", """
+SELECT ws + INTERVAL '10 minutes' AS window_end, COUNT(*) AS n
+FROM (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS ws
+  FROM events CROSS JOIN (VALUES (0), (1)) s(k)
+)
+GROUP BY ws
+""")
+def sliding_window_q(spark, sf_dir):
+    """Sliding windows (exceeds parity: the reference only has tumble,
+    §2.8). Each event lands in window_length/slide = 2 windows."""
+    from pyspark.sql import functions as F
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "10 minutes", "5 minutes")
+                      .getField("end").alias("window_end"))
+            .agg(F.count(F.lit(True)).alias("n")))
+
+
+@workload("session_window", """
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
+FROM (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     >= INTERVAL '30 minutes'
+                OR LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+           THEN 1 ELSE 0 END AS new_s
+    FROM events
+  )
+)
+GROUP BY user_id, sid
+""")
+def session_window_q(spark, sf_dir):
+    """Session windows (exceeds parity). Spark's session_window vs a
+    gaps-and-islands oracle; 30-minute gap."""
+    from pyspark.sql import functions as F
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(True)).alias("n"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"), "n"))
+
+
+@workload("max_diff_watermark_batch", None)
+def max_diff_watermark_batch_q(spark, sf_dir):
+    """max_diff_watermark batch emulation (running max over file order
+    — table_valued_functions/max_diff_watermark.go:134-153). File
+    order has no SQL-oracle equivalent → rows-only."""
+    from octosql_spark.tvf import max_diff_watermark
+    e = _t(spark, sf_dir, "events")
+    kept = max_diff_watermark(e, "5 seconds", "ts")
+    from pyspark.sql import functions as F
+    return kept.agg(F.count(F.lit(True)).alias("kept_rows"))
