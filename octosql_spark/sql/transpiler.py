@@ -60,13 +60,15 @@ def _sig(toks: list[Tok]) -> list[int]:
 
 
 def _match_paren(toks: list[Tok], open_i: int, direction: int = 1) -> int:
-    """Index of the paren matching toks[open_i] ('(' fwd, ')' back)."""
+    """Index of the paren/bracket matching toks[open_i]
+    ('('/'[' forward, ')'/']' backward)."""
+    opens, closes = ("(", "["), (")", "]")
     depth = 0
     i = open_i
     while 0 <= i < len(toks):
-        if toks[i].text == "(":
+        if toks[i].text in opens:
             depth += 1
-        elif toks[i].text == ")":
+        elif toks[i].text in closes:
             depth -= 1
         if depth == 0:
             return i
@@ -285,6 +287,81 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 changed = True
                 break
     return toks
+
+
+def _rewrite_subscript(toks: list[Tok]) -> list[Tok]:
+    """``list[i]`` → ``get(list, i)`` — the reference's 0-based,
+    NULL-on-out-of-range indexing (functions.go:1014-1042). Spark's
+    native ``[]`` is also 0-based but *errors* out-of-range under
+    ANSI mode; ``get()`` matches the reference exactly."""
+    while True:
+        sig = _sig(toks)
+        hit = None
+        for si in range(1, len(sig)):
+            i = sig[si]
+            if toks[i].text != "[" or toks[i].kind != "PUNCT":
+                continue
+            prev = toks[sig[si - 1]]
+            if prev.kind in ("IDENT", "QIDENT") or prev.text in (")", "]"):
+                hit = (si, i)
+                break
+        if hit is None:
+            return toks
+        si, i = hit
+        close = _match_paren(toks, i, 1)
+        start = _primary_start(toks, sig[si - 1])
+        toks = (toks[:start]
+                + [Tok("IDENT", "get"), Tok("PUNCT", "(")]
+                + toks[start:i]
+                + [Tok("PUNCT", ","), Tok("WS", " ")]
+                + toks[i + 1:close]
+                + [Tok("PUNCT", ")")]
+                + toks[close + 1:])
+
+
+def _rewrite_arith_overloads(toks: list[Tok]) -> list[Tok]:
+    """The reference's arithmetic overload set (functions.go:156-355):
+    String+String → concat, String*Int / Int*String → repeat,
+    Int/Int → integer division. Resolvable at token level only when a
+    literal pins the overload — string/int COLUMN operands keep the
+    numeric operator (use concat()/||; documented deviation)."""
+    while True:
+        sig = _sig(toks)
+        hit = None
+        for si in range(1, len(sig) - 1):
+            i = sig[si]
+            if toks[i].kind != "OP" or toks[i].text not in ("+", "*", "/"):
+                continue
+            lt, rt = toks[sig[si - 1]], toks[sig[si + 1]]
+            op = toks[i].text
+            if op == "+" and (lt.kind == "STRING" or rt.kind == "STRING"):
+                hit = (si, "concat")
+            elif op == "*" and ((lt.kind == "STRING" and rt.kind == "NUMBER")
+                                or (lt.kind == "NUMBER" and rt.kind == "STRING")):
+                hit = (si, "repeat")
+            elif op == "/" and lt.kind == rt.kind == "NUMBER" \
+                    and "." not in lt.text and "." not in rt.text \
+                    and "e" not in lt.text.lower() and "e" not in rt.text.lower():
+                hit = (si, "div")
+            if hit:
+                break
+        if hit is None:
+            return toks
+        si, kind = hit
+        lstart = _primary_start(toks, sig[si - 1])
+        rend = _primary_end(toks, sig[si + 1])
+        left = toks[lstart:sig[si - 1] + 1]
+        right = toks[sig[si + 1]:rend + 1]
+        if kind == "div":
+            repl = left + [Tok("WS", " "), Tok("IDENT", "DIV"), Tok("WS", " ")] + right
+        else:
+            fn = "concat" if kind == "concat" else "repeat"
+            if kind == "repeat" and left and left[0].kind == "NUMBER":
+                left, right = right, left  # repeat(str, n)
+            repl = ([Tok("IDENT", fn), Tok("PUNCT", "(")] + left
+                    + [Tok("PUNCT", ","), Tok("WS", " ")] + right
+                    + [Tok("PUNCT", ")")])
+        toks = toks[:lstart] + repl + toks[rend + 1:]
 
 
 def _strip_trigger(toks: list[Tok]) -> tuple[list[Tok], list[str]]:
@@ -550,6 +627,8 @@ def transpile(spark: SparkSession, sql: str) -> Transpiled:
     toks = _rewrite_file_tables(spark, toks, out)
     toks = _rewrite_type_assert(toks)
     toks = _rewrite_regex_ops(toks)
+    toks = _rewrite_subscript(toks)
+    toks = _rewrite_arith_overloads(toks)
     toks = _rewrite_functions(toks)
     out.sql = "".join(t.text for t in toks).strip()
     return out

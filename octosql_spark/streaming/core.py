@@ -102,8 +102,10 @@ def map_trigger(spec: str | None):
     if s == "ON WATERMARK":
         return "append", {}
     if s.startswith("COUNTING"):
-        # per-key counting trigger has no Spark equivalent; update mode
-        # re-emits refined values per micro-batch (SURVEY.md §7 hard-part 2)
+        # exact per-key counting semantics are implemented in
+        # streaming/counting_trigger.py (applyInPandasWithState); this
+        # mapping is the cheap approximation for generic aggregates:
+        # update mode re-emits refined values per micro-batch.
         return "update", {}
     raise ValueError(f"unsupported trigger: {spec!r}")
 

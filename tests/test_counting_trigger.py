@@ -1,0 +1,68 @@
+"""TRIGGER COUNTING n via applyInPandasWithState
+(execution/triggers.go:17-87 semantics)."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from octosql_spark import streaming as st
+from octosql_spark.streaming.counting_trigger import counting_trigger_aggregate
+
+
+def test_counting_trigger_emits_every_n(spark, tmp_path):
+    # user 1: 5 records, user 2: 3 records → with n=2: user1 emits at
+    # 2 and 4; user2 emits at 2.
+    rows = ([{"user": 1, "v": float(i)} for i in range(1, 6)]
+            + [{"user": 2, "v": float(i)} for i in range(10, 13)])
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    src = st.read_stream_file(spark, str(p), "json")
+    agg = counting_trigger_aggregate(src, ["user"],
+                                     [("count", "*", "cnt"),
+                                      ("sum", "v", "sv"),
+                                      ("avg", "v", "av")], n=2)
+    out = st.run_to_memory(agg, f"ct_{uuid.uuid4().hex[:8]}")
+    got = {(r.user, r.emitted_at_count): (r.cnt, r.sv, r.av)
+           for r in out.collect()}
+    # user 1 at 2 records: v=1,2
+    assert got[(1, 2)] == (2, 3.0, 1.5)
+    # user 1 at 4 records: v=1..4
+    assert got[(1, 4)] == (4, 10.0, 2.5)
+    # user 2 at 2 records: v=10,11
+    assert got[(2, 2)] == (2, 21.0, 10.5)
+    # no emission for partial windows (user1@5, user2@3)
+    assert (1, 5) not in got and (2, 3) not in got
+
+
+def test_counting_trigger_state_across_batches(spark, tmp_path):
+    # state persists across micro-batches: 1 record in batch 1, the
+    # 2nd in batch 2 → emission happens in batch 2.
+    p = tmp_path / "in2"
+    p.mkdir()
+    (p / "a.json").write_text(json.dumps({"user": 7, "v": 1.0}))
+    chk = str(tmp_path / "chk")
+    name = f"ct_{uuid.uuid4().hex[:8]}"
+
+    outdir = str(tmp_path / "out")
+    src = st.read_stream_file(spark, str(p), "json",
+                              maxFilesPerTrigger="1")
+    agg = counting_trigger_aggregate(src, ["user"],
+                                     [("count", "*", "cnt")], n=2)
+
+    def run_round():
+        q = (agg.writeStream.format("json").option("path", outdir)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_round()
+    first = spark.read.json(outdir)
+    assert first.rdd.isEmpty()  # only 1 record seen, no emission yet
+
+    (p / "b.json").write_text(json.dumps({"user": 7, "v": 2.0}))
+    run_round()  # state recovered from checkpoint; 2nd record arrives
+    rows = spark.read.json(outdir).collect()
+    assert [(r.user, r.emitted_at_count, r.cnt) for r in rows] == [(7, 2, 2)]

@@ -1,0 +1,43 @@
+"""JDBC config parsing / URL construction (the read path itself needs
+driver jars absent from this container — SURVEY.md §2.1 plugin
+replacement)."""
+
+from __future__ import annotations
+
+from octosql_spark.sources.jdbc import (
+    _parse_mini_yaml, database_by_name, jdbc_url, load_config,
+)
+
+YML = """
+databases:
+  - name: mydb
+    type: postgres
+    config:
+      host: localhost
+      port: 5433
+      database: main
+      user: u
+      password: p
+  - name: lite
+    type: sqlite
+    config:
+      database: /tmp/x.db
+"""
+
+
+def test_mini_yaml_and_urls(tmp_path):
+    cfg = _parse_mini_yaml(YML)
+    assert len(cfg["databases"]) == 2
+    db = database_by_name(cfg, "mydb")
+    assert db["type"] == "postgres"
+    assert jdbc_url(db) == "jdbc:postgresql://localhost:5433/main"
+    assert jdbc_url(database_by_name(cfg, "lite")) == "jdbc:sqlite:/tmp/x.db"
+
+
+def test_load_config_missing_file(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    assert load_config() == {"databases": []}
+    p = tmp_path / "octosql.yml"
+    p.write_text(YML)
+    cfg = load_config(str(p))
+    assert database_by_name(cfg, "mydb")["config"]["port"] == 5433
