@@ -67,6 +67,43 @@ def main() -> None:
             runs.append(time.perf_counter() - t1)
         timings[name] = round(sorted(runs)[1], 4)
 
+    # BASELINE.md workload shape: CSV scan → hash aggregate, few
+    # groups ("SELECT passenger_count, COUNT(*), AVG(total_amount)
+    # FROM taxi.csv GROUP BY passenger_count" — 1.98s for 2M rows).
+    # Same shape over a CSV export of lineitem, timed INCLUDING the
+    # CSV parse.
+    csv_path = f"/tmp/octosql_bench_lineitem_sf{sf}.csv"
+    if not os.path.exists(csv_path):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        li.toPandas().to_csv(csv_path, index=False)
+    n_rows = None
+    csv_query = None
+
+    def csv_groupby():
+        nonlocal n_rows
+        df = (spark.read.option("header", "true").option("inferSchema", "false")
+              .schema("l_orderkey long, l_partkey long, l_suppkey long, "
+                      "l_linenumber int, l_quantity double, "
+                      "l_extendedprice double, l_discount double, "
+                      "l_tax double, l_returnflag string, "
+                      "l_linestatus string, l_shipdate timestamp")
+              .csv(csv_path))
+        rows = (df.groupBy("l_returnflag")
+                .agg({"*": "count", "l_extendedprice": "avg"}).collect())
+        n_rows = sum(r[1] for r in rows)
+
+    for _ in range(2):
+        csv_groupby()
+    runs = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        csv_groupby()
+        runs.append(time.perf_counter() - t1)
+    csv_sec = sorted(runs)[1]
+    timings["csv_groupby_baseline_shape"] = round(csv_sec, 4)
+    csv_query = {"sec": round(csv_sec, 4), "rows": n_rows,
+                 "rows_per_sec": round(n_rows / csv_sec) if n_rows else None}
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total_warm",
@@ -75,6 +112,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "startup_sec": round(startup, 2),
+        "csv_groupby": csv_query,
     }))
     spark.stop()
 

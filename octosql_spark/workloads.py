@@ -1087,3 +1087,40 @@ def max_diff_watermark_batch_q(spark, sf_dir):
     kept = max_diff_watermark(e, "5 seconds", "ts")
     from pyspark.sql import functions as F
     return kept.agg(F.count(F.lit(True)).alias("kept_rows"))
+
+
+@workload("cube_counts", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""")
+def cube_counts_q(spark, sf_dir):
+    """CUBE (exceeds parity, §2.4 'not implemented' in reference)."""
+    from pyspark.sql import functions as F
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(True)).alias("n")))
+
+
+@workload("tuple_in_subquery", """
+SELECT COUNT(*) AS n FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND l.l_linenumber = 1
+                AND o.o_totalprice > 400000)
+""")
+def tuple_in_subquery_q(spark, sf_dir):
+    """Tuple-valued IN subquery (the reference's Tuple expressions +
+    QueryExpression, §2.6) through Spark SQL's native support."""
+    return _sql(spark, sf_dir, """
+      SELECT COUNT(*) AS n FROM lineitem
+      WHERE (l_orderkey, l_linenumber) IN
+            (SELECT o_orderkey, 1 FROM orders WHERE o_totalprice > 400000)
+    """)
+
+
+@workload("docs_functions", None)
+def docs_functions_q(spark, sf_dir):
+    """docs.* introspection tables (datasources/docs/) — rows-only
+    (the oracle's DuckDB session has no registry views)."""
+    from octosql_spark.sources.docs import docs_table
+    return docs_table(spark, "function_signatures")
