@@ -35,8 +35,15 @@ def main(argv: list[str] | None = None) -> int:
         from octosql_spark.catalog import register_views
         register_views(spark, args.sf_dir)
 
-    res = run_query(spark, args.query)
-    df = res.df
+    try:
+        res = run_query(spark, args.query)
+        df = res.df
+    except Exception as ex:
+        # concise one-line errors like the reference's CLI (golden
+        # .err files), not a Py4J traceback
+        msg = str(ex).strip().split("\n")[0]
+        print(f"error: {msg}", file=sys.stderr)
+        return 1
 
     if args.explain:
         print("-- transpiled Spark SQL --")
