@@ -42,6 +42,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     raw int64 via ``legacy.parquet.nanosAsLong`` and rebuilt as
     TIMESTAMP_NTZ at microsecond precision — a documented deviation
     (sub-µs is dropped; the reference's Time is Go time.Time, ns)."""
+    # timestamp-bearing outputs must hash identically regardless of
+    # the (driver-owned) session's local timezone
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_ts_columns(path)
     if not ns_cols:

@@ -32,9 +32,20 @@ def embedding_norms(df: DataFrame, vec_col: str = "embedding") -> Column:
 def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
                            k: int = 10, id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           normalized: bool = True) -> DataFrame:
+                           normalized: bool = True,
+                           impl: str = "expr") -> DataFrame:
     """Exact top-k neighbors for each query vector.
-    Returns (query_id, neighbor_id, rank, cosine)."""
+    Returns (query_id, neighbor_id, rank, cosine).
+
+    ``impl="expr"`` — pure Catalyst (zip_with+aggregate dot product):
+    zero Python, best for few queries / narrow vectors.
+    ``impl="pandas"`` — Arrow-batched numpy GEMM over mapInPandas:
+    one matrix multiply per corpus batch against the (broadcast)
+    query block — the scale path for wide embeddings or many queries
+    (BLAS beats per-element codegen well before 1000-dim)."""
+    if impl == "pandas":
+        return _cosine_topk_pandas(queries, corpus, k, id_col, vec_col,
+                                   normalized)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -46,6 +57,43 @@ def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine", sim))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def _cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int,
+                        id_col: str, vec_col: str,
+                        normalized: bool) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()  # query block: small
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.array([r[1] for r in qrows], dtype="float64")
+    if not normalized:
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            C = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if not normalized:
+                C = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = C @ Q.T  # (batch, n_queries) — one GEMM per batch
+            n_ids = pdf[id_col].to_numpy()
+            out = {
+                "query_id": np.repeat(q_ids, len(n_ids)),
+                "neighbor_id": np.tile(n_ids, len(q_ids)),
+                "cosine": sims.T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    scored = (corpus.select(id_col, vec_col)
+              .mapInPandas(score,
+                           "query_id long, neighbor_id long, cosine double")
+              .filter(F.col("query_id") != F.col("neighbor_id")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

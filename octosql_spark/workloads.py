@@ -1124,3 +1124,27 @@ def docs_functions_q(spark, sf_dir):
     (the oracle's DuckDB session has no registry views)."""
     from octosql_spark.sources.docs import docs_table
     return docs_table(spark, "function_signatures")
+
+
+@workload("ann_cosine_topk_gemm", """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
+) WHERE rank <= 5
+""")
+def ann_cosine_topk_gemm_q(spark, sf_dir):
+    """Vectorized (Arrow + numpy GEMM) brute-force ANN — the
+    wide-embedding scale path; same oracle as the expression version."""
+    from octosql_spark.datapipe import cosine_topk_bruteforce
+    from pyspark.sql import functions as F
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(q, e, k=5, impl="pandas").select(
+        "query_id", "neighbor_id", "rank")

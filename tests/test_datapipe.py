@@ -141,3 +141,16 @@ def test_multimodal_plumbing(spark):
     assert frames.count() == (rows[2].n_frames - 1) // 10 + 1
     with pytest.raises(NotImplementedError):
         dp.decode_media(meta, "media", backend="real")
+
+
+def test_cosine_topk_pandas_matches_expr(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = dp.cosine_topk_bruteforce(queries, emb, k=3, impl="expr")
+    b = dp.cosine_topk_bruteforce(queries, emb, k=3, impl="pandas")
+    ra = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+          for r in a.collect()}
+    rb = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+          for r in b.collect()}
+    assert ra == rb
