@@ -456,6 +456,15 @@ def _read_table_ref(spark: SparkSession, desc: str) -> DataFrame | None:
     if desc.startswith("docs."):
         from octosql_spark.sources.docs import docs_table
         return docs_table(spark, desc.split(".", 1)[1])
+    if "." in desc and not desc.startswith("stdin."):
+        # configured database? `mydb.tablename` resolves through the
+        # octosql.yml-style config (the reference's plugin databases,
+        # cmd/root.go:132-217 → spark JDBC here)
+        from octosql_spark.sources.jdbc import (
+            database_by_name, jdbc_table, load_config)
+        db = database_by_name(load_config(), desc.split(".", 1)[0])
+        if db is not None:
+            return jdbc_table(spark, db, desc.split(".", 1)[1])
     from octosql_spark.sources import read_file
     path_opts = desc.split("?", 1)
     path = path_opts[0]
@@ -469,7 +478,10 @@ def _read_table_ref(spark: SparkSession, desc: str) -> DataFrame | None:
 
 def _rewrite_file_tables(spark: SparkSession, toks: list[Tok],
                          out: Transpiled) -> list[Tok]:
-    """``FROM people.csv`` / ``FROM 'dir/x.json?opt=v'`` → temp view."""
+    """``FROM people.csv`` / ``FROM 'dir/x.json?opt=v'`` /
+    ``FROM mydb.tbl`` (configured database) → temp view."""
+    from octosql_spark.sources.jdbc import load_config
+    db_names = {d.get("name") for d in load_config().get("databases", [])}
     while True:
         sig = _sig(toks)
         positions = _table_positions(toks)
@@ -495,6 +507,9 @@ def _rewrite_file_tables(spark: SparkSession, toks: list[Tok],
                     target = (si, sj, ".".join(chain))
                     break
                 if chain[0] in ("stdin", "docs") and len(chain) >= 2:
+                    target = (si, sj, ".".join(chain))
+                    break
+                if chain[0] in db_names and len(chain) >= 2:
                     target = (si, sj, ".".join(chain))
                     break
         if target is None:

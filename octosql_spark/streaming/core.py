@@ -76,6 +76,37 @@ def windowed_aggregate(df: DataFrame, window_length: str,
               .drop("window"))
 
 
+def sliding_aggregate(df: DataFrame, window_length: str, slide: str,
+                      keys: Sequence[str],
+                      aggs: Sequence[tuple[str, str, str]],
+                      time_field: str = "ts") -> DataFrame:
+    """Sliding windows (exceeds parity: the reference has only tumble,
+    §2.8). Each event contributes to window_length/slide windows."""
+    agg_cols = [AGGREGATES[n](F.lit(True) if c == "*" else F.col(c)).alias(a)
+                for n, c, a in aggs]
+    return (df.groupBy(F.window(F.col(time_field), window_length, slide),
+                       *keys)
+              .agg(*agg_cols)
+              .withColumn("window_start", F.col("window.start"))
+              .withColumn("window_end", F.col("window.end"))
+              .drop("window"))
+
+
+def session_aggregate(df: DataFrame, gap: str, keys: Sequence[str],
+                      aggs: Sequence[tuple[str, str, str]],
+                      time_field: str = "ts") -> DataFrame:
+    """Session windows (exceeds parity): window closes after ``gap``
+    of inactivity per key; state bounded by the watermark in
+    streaming mode."""
+    agg_cols = [AGGREGATES[n](F.lit(True) if c == "*" else F.col(c)).alias(a)
+                for n, c, a in aggs]
+    return (df.groupBy(F.session_window(F.col(time_field), gap), *keys)
+              .agg(*agg_cols)
+              .withColumn("session_start", F.col("session_window.start"))
+              .withColumn("session_end", F.col("session_window.end"))
+              .drop("session_window"))
+
+
 def stream_stream_join(left: DataFrame, right: DataFrame, on, how: str = "inner",
                        left_watermark: tuple[str, str] | None = None,
                        right_watermark: tuple[str, str] | None = None) -> DataFrame:

@@ -41,3 +41,26 @@ def test_load_config_missing_file(tmp_path, monkeypatch):
     p.write_text(YML)
     cfg = load_config(str(p))
     assert database_by_name(cfg, "mydb")["config"]["port"] == 5433
+
+
+def test_db_table_resolution_through_transpiler(spark, tmp_path, monkeypatch):
+    """`FROM mydb.people` resolves through the configured database
+    (jdbc_table monkeypatched: no driver jars in this container)."""
+    (tmp_path / "octosql.yml").write_text(
+        "databases:\n  - name: mydb\n    type: sqlite\n"
+        "    config:\n      database: /tmp/x.db\n")
+    monkeypatch.chdir(tmp_path)
+
+    import octosql_spark.sources.jdbc as jdbc_mod
+    calls = {}
+
+    def fake_jdbc_table(spark_, db, table, **kw):
+        calls["db"] = db["name"]
+        calls["table"] = table
+        return spark_.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+
+    monkeypatch.setattr(jdbc_mod, "jdbc_table", fake_jdbc_table)
+    from octosql_spark.sql import run_query
+    df = run_query(spark, "SELECT name FROM mydb.people WHERE id = 2").df
+    assert [r.name for r in df.collect()] == ["b"]
+    assert calls == {"db": "mydb", "table": "people"}

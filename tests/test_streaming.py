@@ -99,3 +99,25 @@ def test_update_mode_counting_equivalent(spark, events_dir):
     out = _mem(agg, mode=mode)
     rows = {(r.user, r.n) for r in out.collect()}
     assert rows == {(1, 3), (2, 2)}
+
+
+def test_sliding_and_session_aggregates(spark, events_dir):
+    from pyspark.sql import functions as F
+    src = st.read_stream_file(spark, events_dir, "json")
+    typed = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    slide = st.sliding_aggregate(typed, "2 minutes", "1 minute", ["user"],
+                                 [("count", "*", "n")], "ts")
+    out = _mem(slide, mode="update")
+    rows = {(r.user, str(r.window_start)[11:16]): r.n for r in out.collect()}
+    # user 1 events at 00:00:05, 00:01:10 (+late 00:00:01) fall in the
+    # 23:59-00:01 and 00:00-00:02 and 00:01-00:03 sliding windows
+    assert rows[(1, "00:00")] == 3  # all three user-1 events
+    # session-window streaming aggs support append (with watermark) or
+    # complete — not update (Spark constraint); finite input → complete
+    sess = st.session_aggregate(typed, "1 minute", ["user"],
+                                [("count", "*", "n")], "ts")
+    out2 = _mem(sess, mode="complete")
+    got = {(r.user, r.n) for r in out2.collect()}
+    # user 1: 00:00:01+00:00:05 chain (gap 4s); 00:01:10 is 65s later
+    # → a separate session. user 2: two singleton sessions.
+    assert got == {(1, 2), (1, 1), (2, 1)}
