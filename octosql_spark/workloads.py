@@ -168,16 +168,19 @@ def agg_distinct_variants(spark, sf_dir):
 
 
 @workload("array_agg_sorted", """
-SELECT n_regionkey, list_sort(list(n_name)) AS names
+SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names
 FROM nation GROUP BY n_regionkey
 """)
 def array_agg_sorted(spark, sf_dir):
     """array_agg (aggregates/array.go:14-89). Collection order is
     nondeterministic distributed — sort the array for a stable value
-    (the reference's btree multiset iterates sorted, same result)."""
+    (the reference's btree multiset iterates sorted, same result).
+    Emitted as a joined string so the result is scalar-comparable
+    across engines (list columns aren't hashable in the gate)."""
     n = _t(spark, sf_dir, "nation")
     return (group_by(n, ["n_regionkey"], [("array_agg", "n_name", "names_raw")])
-            .select("n_regionkey", F.array_sort("names_raw").alias("names")))
+            .select("n_regionkey",
+                    F.array_join(F.array_sort("names_raw"), ",").alias("names")))
 
 
 # ---------------------------------------------------------------- joins
