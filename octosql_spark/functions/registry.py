@@ -121,18 +121,25 @@ _fn("upper", ["(String) -> String"])(F.upper)
 _fn("lower", ["(String) -> String"])(F.lower)
 _fn("reverse", ["(String) -> String"])(F.reverse)
 def _substr(s: Column, pos, ln=None) -> Column:
+    # The reference is 0-based (functions.go:720-739; golden
+    # strings.out: substr('test',1)='est') — Spark substring is
+    # 1-based, so shift by +1.
+    pos1 = (pos + 1) if isinstance(pos, int) else (pos + F.lit(1))
     if ln is not None:
-        return F.substring(s, pos, ln)
-    pos = F.lit(pos) if isinstance(pos, int) else pos
-    return s.substr(pos, F.lit(2147483647))
+        return F.substring(s, pos1, ln)
+    pos1 = F.lit(pos1) if isinstance(pos1, int) else pos1
+    return s.substr(pos1, F.lit(2147483647))
 
 
 _fn("substr", ["(String, Int) -> String", "(String, Int, Int) -> String"],
-    "1-based like the reference's SQL surface")(_substr)
+    "0-based like the reference (functions.go:720-739)")(_substr)
 _fn("replace", ["(String, String, String) -> String"])(
     lambda s, old, new: F.replace(s, old, new))
-_fn("position", ["(String, String) -> Int"], "1-based; 0 when absent")(
-    lambda sub, s: F.instr(s, sub))
+_fn("position", ["(String, String) -> Int | NULL"],
+    "position(haystack, needle): 0-based index of needle, NULL when "
+    "absent (functions.go:757-772)")(
+    lambda s, sub: F.when(F.instr(s, sub) > 0,
+                          (F.instr(s, sub) - 1).cast("long")))
 
 
 @_fn("len", ["(String) -> Int", "(List) -> Int", "(Struct) -> Int"],

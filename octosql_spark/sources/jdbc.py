@@ -88,22 +88,41 @@ def jdbc_url(db: dict) -> str:
 
 def jdbc_table(spark: SparkSession, db: dict, table: str,
                partition_column: str | None = None,
-               num_partitions: int = 8) -> DataFrame:
+               num_partitions: int = 8,
+               lower_bound=None, upper_bound=None) -> DataFrame:
     """Read one table. Predicate pushdown and column pruning are
     handled by the JDBC source (the reference pushes ``col op const``
     conjuncts over its plugin protocol — physical/physical.go:88-91;
     Spark does the same through the JDBC dialect).
 
     ``partition_column`` enables parallel reads (the scale path: N
-    concurrent range queries instead of one cursor)."""
+    concurrent range queries instead of one cursor). Spark requires
+    partitionColumn/lowerBound/upperBound/numPartitions as a foursome;
+    when bounds aren't supplied they are probed with a one-row
+    MIN/MAX query before the parallel read."""
     cfg = db.get("config", {})
-    reader = (spark.read.format("jdbc")
-              .option("url", jdbc_url(db))
-              .option("dbtable", table)
-              .option("user", str(cfg.get("user", "")))
-              .option("password", str(cfg.get("password", ""))))
+
+    def _base():
+        return (spark.read.format("jdbc")
+                .option("url", jdbc_url(db))
+                .option("user", str(cfg.get("user", "")))
+                .option("password", str(cfg.get("password", ""))))
+
+    reader = _base().option("dbtable", table)
     if partition_column:
+        if lower_bound is None or upper_bound is None:
+            probe = (_base()
+                     .option("query",
+                             f"SELECT MIN({partition_column}) AS lo, "
+                             f"MAX({partition_column}) AS hi FROM {table}")
+                     .load().collect()[0])
+            lower_bound = probe["lo"] if lower_bound is None else lower_bound
+            upper_bound = probe["hi"] if upper_bound is None else upper_bound
+        if lower_bound is None or upper_bound is None:
+            return reader.load()  # empty table — single-cursor read
         reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
                   .option("numPartitions", str(num_partitions)))
     return reader.load()
 

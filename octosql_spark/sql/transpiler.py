@@ -8,7 +8,7 @@ Catalyst (SURVEY.md §3 "Spark mapping of the lifecycle"):
 | OctoSQL                      | rewritten to                           |
 |------------------------------|----------------------------------------|
 | ``obj->field``, ``obj->*``   | ``obj.field`` / ``obj.*`` (parser/parser.go:745-751) |
-| ``x::Int``                   | ``CAST(x AS BIGINT)`` (TypeAssertion — README.md:271) |
+| ``x::Int``                   | ``TRY_CAST(x AS BIGINT)`` (TypeAssertion — README.md:271) |
 | ``a ~ 'p'`` / ``~*`` / ``!~``| ``regexp_like`` forms (functions.go:591-668) |
 | ``int(x)/float(x)/string(x)``| ``TRY_CAST``/``CAST`` (functions.go:900-1013) |
 | ``len(x)``                   | ``length(x)`` (strings; `size` for arrays) |
@@ -152,9 +152,15 @@ def _rewrite_arrow(toks: list[Tok]) -> list[Tok]:
 
 
 def _rewrite_type_assert(toks: list[Tok]) -> list[Tok]:
-    """``expr::Type`` → ``CAST(expr AS T)`` — the reference's runtime
-    TypeAssertion becomes an ANSI CAST (errors on mismatch, same
-    observable contract for scalar types)."""
+    """``expr::Type`` → ``TRY_CAST(expr AS T)``. The reference's
+    ``::`` is a runtime TypeAssertion (execution/expressions.go:91-102):
+    keep the value if it already has the type, else NULL — never error.
+    TRY_CAST gives NULL-never-error under Spark 4 ANSI mode, matching
+    the README idiom ``COALESCE(age::int, int(age::string), 0)``.
+    Residual deviation (documented): for a string carrier, TRY_CAST
+    *converts* parsable values ('42'::Int → 42) where the reference's
+    assertion yields NULL; union carriers read from JSON rely on the
+    convert behavior (types.py try_cast accessor policy)."""
     while True:
         sig = _sig(toks)
         hit = None
@@ -170,7 +176,7 @@ def _rewrite_type_assert(toks: list[Tok]) -> list[Tok]:
         sqlt = _TYPE_MAP.get(tname, toks[type_i].text.upper())
         start = _primary_start(toks, sig[si - 1])
         toks = (toks[:start]
-                + [Tok("IDENT", "CAST"), Tok("PUNCT", "(")]
+                + [Tok("IDENT", "TRY_CAST"), Tok("PUNCT", "(")]
                 + toks[start:i]
                 + [Tok("WS", " "), Tok("IDENT", "AS"), Tok("WS", " "),
                    Tok("IDENT", sqlt), Tok("PUNCT", ")")]
@@ -227,6 +233,34 @@ _SIMPLE_RENAMES = {"now": "current_timestamp", "time_from_unix": "timestamp_seco
                    "len": "length"}
 
 
+def _split_call_args(toks: list[Tok], open_i: int, close_i: int) -> list[tuple[int, int]]:
+    """Token spans (start, end inclusive) of a call's top-level args,
+    whitespace-trimmed."""
+    spans: list[tuple[int, int]] = []
+    depth = 0
+    start = open_i + 1
+    for j in range(open_i + 1, close_i):
+        t = toks[j]
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.text == ",":
+            spans.append((start, j - 1))
+            start = j + 1
+    if start <= close_i - 1:
+        spans.append((start, close_i - 1))
+    trimmed = []
+    for s, e in spans:
+        while s <= e and toks[s].kind in ("WS", "COMMENT"):
+            s += 1
+        while e >= s and toks[e].kind in ("WS", "COMMENT"):
+            e -= 1
+        if s <= e:
+            trimmed.append((s, e))
+    return trimmed
+
+
 def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
     changed = True
     while changed:
@@ -250,6 +284,43 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                         + toks[open_i + 1:close_i]
                         + [Tok("WS", " "), Tok("IDENT", "AS"), Tok("WS", " "),
                            Tok("IDENT", sqlt), Tok("PUNCT", ")")]
+                        + toks[close_i + 1:])
+                changed = True
+                break
+            if name == "substr":
+                # 0-based in the dialect (functions.go:720-739) →
+                # Spark's 1-based substring: bump arg 2 by one.
+                open_i = sig[si + 1]
+                close_i = _match_paren(toks, open_i, 1)
+                args = _split_call_args(toks, open_i, close_i)
+                if len(args) >= 2:
+                    s, e = args[1]
+                    toks = (toks[:i] + [Tok("IDENT", "substring")]
+                            + toks[i + 1:s]
+                            + [Tok("PUNCT", "(")] + toks[s:e + 1]
+                            + [Tok("PUNCT", ")"), Tok("OP", "+"),
+                               Tok("NUMBER", "1")]
+                            + toks[e + 1:])
+                else:
+                    toks[i] = Tok("IDENT", "substring")
+                changed = True
+                break
+            if name == "position":
+                # position(haystack, needle) → 0-based, NULL-on-absent
+                # (functions.go:757-772). Spark's builtin position is
+                # (needle, haystack) 1-based / 0-on-absent.
+                open_i = sig[si + 1]
+                close_i = _match_paren(toks, open_i, 1)
+                toks = (toks[:i]
+                        + [Tok("PUNCT", "("), Tok("IDENT", "nullif"),
+                           Tok("PUNCT", "("), Tok("IDENT", "instr"),
+                           Tok("PUNCT", "(")]
+                        + toks[open_i + 1:close_i]
+                        + [Tok("PUNCT", ")"), Tok("PUNCT", ","),
+                           Tok("WS", " "), Tok("NUMBER", "0"),
+                           Tok("PUNCT", ")"), Tok("WS", " "),
+                           Tok("OP", "-"), Tok("WS", " "),
+                           Tok("NUMBER", "1"), Tok("PUNCT", ")")]
                         + toks[close_i + 1:])
                 changed = True
                 break
@@ -617,8 +688,10 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
             tf = _str_arg("time_field")
             if tf and tf.upper().startswith("DESCRIPTOR"):
                 tf = tf[tf.index("(") + 1:tf.rindex(")")].strip()
+            resolution = _str_arg("resolution")
             res = tvfmod.max_diff_watermark(
-                df, _interval_to_spark(_str_arg("max_diff")), tf)
+                df, _interval_to_spark(_str_arg("max_diff")), tf,
+                resolution=_interval_to_spark(resolution) if resolution else None)
         elif name == "poll":
             df = _df_arg("source")
             res = next(tvfmod.poll(spark, lambda s: df, rounds=1, sleep=False))

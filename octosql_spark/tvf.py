@@ -44,6 +44,24 @@ def tumble(df: DataFrame, window_length: str,
               .withColumn("window_end", w.getField("end")))
 
 
+_INTERVAL_UNITS_US = {
+    "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+    "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+}
+
+
+def interval_micros(interval: str) -> int:
+    """'5 seconds' / '100 milliseconds' → microseconds."""
+    parts = interval.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"bad interval: {interval!r}")
+    qty, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _INTERVAL_UNITS_US:
+        raise ValueError(f"bad interval unit: {interval!r}")
+    return int(float(qty) * _INTERVAL_UNITS_US[unit])
+
+
 def max_diff_watermark(df: DataFrame, max_diff: str, time_field: str,
                        resolution: str | None = None,
                        order_col: str | None = None) -> DataFrame:
@@ -61,7 +79,16 @@ def max_diff_watermark(df: DataFrame, max_diff: str, time_field: str,
     monotonically increasing id, which follows file order for
     file-based sources)."""
     ts = F.col(time_field)
-    rounded = F.date_trunc("second", ts) if resolution is None else ts
+    # The reference rounds event time *down* to `resolution` (default
+    # 1s) before updating the watermark (max_diff_watermark.go:108-160).
+    # unix_micros needs TIMESTAMP (not NTZ) — round in TIMESTAMP space
+    # and cast back to the column's own dtype (session tz is UTC, so
+    # the round-trip is lossless).
+    ts_dtype = dict(df.dtypes)[time_field]
+    res_us = interval_micros(resolution or "1 second")
+    rounded = F.timestamp_micros(
+        (F.floor(F.unix_micros(ts.cast("timestamp")) / F.lit(res_us))
+         * F.lit(res_us)).cast("long")).cast(ts_dtype)
     if order_col is None:
         df = df.withColumn("_row_order", F.monotonically_increasing_id())
         order_col = "_row_order"

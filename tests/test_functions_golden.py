@@ -122,13 +122,18 @@ def test_strings_regex_ops(spark):
 
 
 def test_strings_functions(spark):
+    # substr is 0-based (golden strings.out: substr('test',1)='est');
+    # position(haystack, needle) is 0-based, NULL when absent
+    # (golden strings.out: position('test','es')=1, absent→<null>).
     r = row(spark, "SELECT upper('tESt') AS up, lower('tESt') AS lo, "
                    "reverse('abc') AS rev, substr('hello', 2, 3) AS sub, "
+                   "substr('test', 1) AS sub2, "
                    "replace('aXbXc', 'X', '-') AS rep, "
-                   "position('ll', 'hello') AS pos, len('hello') AS ln")
-    assert (r.up, r.lo, r.rev, r.sub, r.rep, r.ln) == \
-        ("TEST", "test", "cba", "ell", "a-b-c", 5)
-    assert r.pos == 3
+                   "position('test', 'es') AS pos, "
+                   "position('test', 'zz') AS pos_absent, len('hello') AS ln")
+    assert (r.up, r.lo, r.rev, r.sub, r.sub2, r.rep, r.ln) == \
+        ("TEST", "test", "cba", "llo", "est", "a-b-c", 5)
+    assert r.pos == 1 and r.pos_absent is None
 
 
 def test_list_indexing_zero_based(spark):
