@@ -229,8 +229,7 @@ def _is_call(toks: list[Tok], sig: list[int], si: int) -> bool:
 
 _CAST_FNS = {"int": ("TRY_CAST", "BIGINT"), "float": ("TRY_CAST", "DOUBLE"),
              "string": ("CAST", "STRING")}
-_SIMPLE_RENAMES = {"now": "current_timestamp", "time_from_unix": "timestamp_seconds",
-                   "len": "length"}
+_SIMPLE_RENAMES = {"now": "current_timestamp", "time_from_unix": "timestamp_seconds"}
 
 
 def _split_call_args(toks: list[Tok], open_i: int, close_i: int) -> list[tuple[int, int]]:
@@ -261,7 +260,9 @@ def _split_call_args(toks: list[Tok], open_i: int, close_i: int) -> list[tuple[i
     return trimmed
 
 
-def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
+def _rewrite_functions(toks: list[Tok],
+                       types: dict[str, str] | None = None) -> list[Tok]:
+    types = types or {}
     changed = True
     while changed:
         changed = False
@@ -273,6 +274,22 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             name = toks[i].text.lower()
             if name in _SIMPLE_RENAMES:
                 toks[i] = Tok("IDENT", _SIMPLE_RENAMES[name])
+                changed = True
+                break
+            if name == "len":
+                # len dispatches on the runtime type in the reference
+                # (functions.go:774-831): String → length, List → size.
+                open_i = sig[si + 1]
+                close_i = _match_paren(toks, open_i, 1)
+                args = _split_call_args(toks, open_i, close_i)
+                cat = None
+                if len(args) == 1:
+                    asig = [sj for sj in range(len(sig))
+                            if args[0][0] <= sig[sj] <= args[0][1]]
+                    if asig:
+                        cat = _operand_cat(toks, sig, asig[0], "right", types)
+                toks[i] = Tok("IDENT",
+                              "size" if cat in ("array", "map") else "length")
                 changed = True
                 break
             if name in _CAST_FNS:
@@ -390,12 +407,88 @@ def _rewrite_subscript(toks: list[Tok]) -> list[Tok]:
                 + toks[close + 1:])
 
 
-def _rewrite_arith_overloads(toks: list[Tok]) -> list[Tok]:
+def _type_cat(dtype: str) -> str:
+    """Spark dtype string → overload category."""
+    d = dtype.lower()
+    if d == "string":
+        return "string"
+    if d.startswith(("tinyint", "smallint", "int", "bigint", "long",
+                     "short", "byte")):
+        return "int"
+    if d.startswith(("float", "double", "decimal")):
+        return "float"
+    if d.startswith("array"):
+        return "array"
+    if d.startswith("map"):
+        return "map"
+    if d.startswith("struct"):
+        return "struct"
+    return d
+
+
+def _collect_column_types(spark: SparkSession, toks: list[Tok]) -> dict[str, str]:
+    """Unqualified column name → type category, from every table/view
+    referenced in the (already view-rewritten) query. Names that
+    resolve to conflicting categories across tables are dropped
+    (ambiguous — leave the operator untouched). This is the runtime
+    half of the reference's typecheck-time overload resolution
+    (logical/function.go:24-132)."""
+    sig = _sig(toks)
+    types: dict[str, str] = {}
+    for si in _table_positions(toks):
+        t = toks[sig[si]]
+        if t.kind not in ("IDENT", "QIDENT"):
+            continue
+        name = t.text.strip('"`')
+        try:
+            dtypes = spark.table(name).dtypes
+        except Exception:
+            continue
+        for col, dtype in dtypes:
+            cat = _type_cat(dtype)
+            key = col.lower()
+            if key in types and types[key] != cat:
+                types[key] = "__ambiguous__"
+            else:
+                types.setdefault(key, cat)
+    return {k: v for k, v in types.items() if v != "__ambiguous__"}
+
+
+def _operand_cat(toks: list[Tok], sig: list[int], si: int, side: str,
+                 types: dict[str, str]) -> str | None:
+    """Type category of the operand ending (side='left') or starting
+    (side='right') at significant index ``si``; None when unknown."""
+    t = toks[sig[si]]
+    if t.kind == "STRING":
+        return "string"
+    if t.kind == "NUMBER":
+        txt = t.text.lower()
+        return "float" if ("." in txt or "e" in txt) else "int"
+    if t.kind not in ("IDENT", "QIDENT"):
+        return None
+    if side == "left":
+        # the END of the left operand: a bare column or the tail of a
+        # dotted chain. A call would end in ')', not an IDENT.
+        return types.get(t.text.strip('"`').lower())
+    # right side: walk the dotted chain forward; bail on a call
+    j = si
+    while j + 2 < len(sig) and toks[sig[j + 1]].text == "." \
+            and toks[sig[j + 2]].kind in ("IDENT", "QIDENT"):
+        j += 2
+    if j + 1 < len(sig) and toks[sig[j + 1]].text == "(":
+        return None  # function call
+    return types.get(toks[sig[j]].text.strip('"`').lower())
+
+
+def _rewrite_arith_overloads(toks: list[Tok],
+                             types: dict[str, str] | None = None) -> list[Tok]:
     """The reference's arithmetic overload set (functions.go:156-355):
     String+String → concat, String*Int / Int*String → repeat,
-    Int/Int → integer division. Resolvable at token level only when a
-    literal pins the overload — string/int COLUMN operands keep the
-    numeric operator (use concat()/||; documented deviation)."""
+    Int/Int → integer division. Literals pin the overload directly;
+    column operands resolve through ``types`` (view schemas collected
+    post-``_rewrite_file_tables`` — the Spark-side equivalent of the
+    reference's typecheck, logical/function.go:24-132)."""
+    types = types or {}
     while True:
         sig = _sig(toks)
         hit = None
@@ -403,16 +496,15 @@ def _rewrite_arith_overloads(toks: list[Tok]) -> list[Tok]:
             i = sig[si]
             if toks[i].kind != "OP" or toks[i].text not in ("+", "*", "/"):
                 continue
-            lt, rt = toks[sig[si - 1]], toks[sig[si + 1]]
             op = toks[i].text
-            if op == "+" and (lt.kind == "STRING" or rt.kind == "STRING"):
+            lcat = _operand_cat(toks, sig, si - 1, "left", types)
+            rcat = _operand_cat(toks, sig, si + 1, "right", types)
+            if op == "+" and "string" in (lcat, rcat):
                 hit = (si, "concat")
-            elif op == "*" and ((lt.kind == "STRING" and rt.kind == "NUMBER")
-                                or (lt.kind == "NUMBER" and rt.kind == "STRING")):
-                hit = (si, "repeat")
-            elif op == "/" and lt.kind == rt.kind == "NUMBER" \
-                    and "." not in lt.text and "." not in rt.text \
-                    and "e" not in lt.text.lower() and "e" not in rt.text.lower():
+            elif op == "*" and ((lcat == "string" and rcat == "int")
+                                or (lcat == "int" and rcat == "string")):
+                hit = (si, "repeat" if lcat == "string" else "repeat_swap")
+            elif op == "/" and lcat == rcat == "int":
                 hit = (si, "div")
             if hit:
                 break
@@ -427,7 +519,7 @@ def _rewrite_arith_overloads(toks: list[Tok]) -> list[Tok]:
             repl = left + [Tok("WS", " "), Tok("IDENT", "DIV"), Tok("WS", " ")] + right
         else:
             fn = "concat" if kind == "concat" else "repeat"
-            if kind == "repeat" and left and left[0].kind == "NUMBER":
+            if kind == "repeat_swap":
                 left, right = right, left  # repeat(str, n)
             repl = ([Tok("IDENT", fn), Tok("PUNCT", "(")] + left
                     + [Tok("PUNCT", ","), Tok("WS", " ")] + right
@@ -713,11 +805,12 @@ def transpile(spark: SparkSession, sql: str) -> Transpiled:
     toks = _rewrite_arrow(toks)
     toks = _rewrite_tvfs(spark, toks, out)
     toks = _rewrite_file_tables(spark, toks, out)
+    types = _collect_column_types(spark, toks)
     toks = _rewrite_type_assert(toks)
     toks = _rewrite_regex_ops(toks)
     toks = _rewrite_subscript(toks)
-    toks = _rewrite_arith_overloads(toks)
-    toks = _rewrite_functions(toks)
+    toks = _rewrite_arith_overloads(toks, types)
+    toks = _rewrite_functions(toks, types)
     out.sql = "".join(t.text for t in toks).strip()
     return out
 

@@ -1015,6 +1015,44 @@ def dialect_mix_q(spark, sf_dir):
     """)
 
 
+@workload("dialect_overloads_typed", """
+SELECT n_nationkey,
+       n_name || n_name AS cat,
+       n_name || '_x' AS cat_lit,
+       repeat(n_name, 2) AS rep,
+       repeat(n_name, 2) AS rep2,
+       CAST(n_nationkey // 2 AS BIGINT) AS half,
+       CAST(length(n_name) AS INT) AS name_len
+FROM nation
+""")
+def dialect_overloads_typed_q(spark, sf_dir):
+    """Column-operand overload resolution through the SQL surface:
+    String+String → concat, String*Int → repeat, Int/Int → integer
+    division, len(String) → length — resolved from the view schemas
+    like the reference's typecheck (functions.go:156-355,774-831;
+    logical/function.go:24-132)."""
+    return _sql(spark, sf_dir, """
+      SELECT n_nationkey,
+             n_name + n_name AS cat,
+             n_name + '_x' AS cat_lit,
+             n_name * 2 AS rep,
+             2 * n_name AS rep2,
+             n_nationkey / 2 AS half,
+             len(n_name) AS name_len
+      FROM nation
+    """)
+
+
+@workload("dialect_len_array", """
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim FROM embeddings
+""")
+def dialect_len_array_q(spark, sf_dir):
+    """len() on a List column dispatches to size
+    (functions.go:774-831 List overload)."""
+    return _sql(spark, sf_dir,
+                "SELECT vec_id, len(embedding) AS dim FROM embeddings")
+
+
 @workload("sql_tvf_tumble", """
 SELECT time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
        COUNT(*) AS n
