@@ -24,6 +24,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--explain", type=int, default=0)
     ap.add_argument("--sf-dir", default=None,
                     help="register the testdata tables from this dir")
+    ap.add_argument("--duration", type=float, default=None,
+                    help="streaming only: keep following the source for "
+                         "N seconds, then stop (default: process current "
+                         "contents and exit, like TRIGGER ON END OF STREAM)")
     args = ap.parse_args(argv)
 
     from octosql_spark.session import get_spark
@@ -57,7 +61,64 @@ def main(argv: list[str] | None = None) -> int:
         sinks.write_table(sinks.describe(df))
         return 0
 
+    if df.isStreaming:
+        return _run_streaming(args, res, df)
+
     sinks.WRITERS[args.output](df)
+    return 0
+
+
+def _run_streaming(args, res, df) -> int:
+    """A ``?tail=true`` source (or TVF stream) reached the sink: map
+    the TRIGGER spec to an output mode (streaming/core.map_trigger)
+    and drive a foreachBatch printer. The reference runs streaming
+    queries until killed (cmd/root.go); ``--duration`` bounds that,
+    and with no duration the current contents are processed and the
+    query exits (END OF STREAM semantics)."""
+    import time
+
+    from octosql_spark import sinks
+    from octosql_spark.streaming.core import map_trigger
+
+    spec = res.triggers[0] if res.triggers else None
+    if spec is None:
+        mode, trig = "update", {}
+    else:
+        mode, trig = map_trigger(spec)
+    if args.duration is None and not trig:
+        trig = {"availableNow": True}  # finite run: drain and exit
+    writer = sinks.stream_batch_writer(args.output)
+
+    def _start(output_mode):
+        w = df.writeStream.outputMode(output_mode).foreachBatch(writer)
+        if trig:
+            w = w.trigger(**trig)
+        return w.start()
+
+    try:
+        if args.output == "live_table" and spec is None:
+            # the live table repaints the FULL current result per
+            # frame (live_output.go:165-204) — complete mode where the
+            # query allows it (aggregations), else per-batch updates
+            try:
+                q = _start("complete")
+            except Exception:
+                q = _start(mode)
+        else:
+            q = _start(mode)
+    except Exception as ex:
+        msg = str(ex).strip().split("\n")[0]
+        print(f"error: {msg}", file=sys.stderr)
+        return 1
+
+    if trig.get("availableNow"):
+        q.awaitTermination()
+    else:
+        deadline = time.time() + args.duration
+        while time.time() < deadline and q.isActive:
+            time.sleep(0.1)
+        q.stop()
+        q.awaitTermination(30)
     return 0
 
 

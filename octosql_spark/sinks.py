@@ -17,43 +17,78 @@ from typing import IO
 from pyspark.sql import DataFrame
 
 
-def write_table(df: DataFrame, out: IO[str] = sys.stdout,
+def write_table(df: DataFrame, out: IO[str] | None = None,
                 limit: int | None = None) -> None:
     """batch_table output — pretty table like the reference's final
     live-table repaint (live_output.go:165-204)."""
+    out = out or sys.stdout
     n = limit if limit is not None else 20_000
     out.write(df._show_string(n, 0, False))
     out.write("\n")
 
 
-def write_csv(df: DataFrame, out: IO[str] = sys.stdout) -> None:
+def write_csv(df: DataFrame, out: IO[str] | None = None) -> None:
     """csv output (outputs/formats/csv_format.go:1-72): header row with
     the ORIGINAL field names, then records. Collects through
     toLocalIterator — constant driver memory."""
     import csv as _csv
+    out = out or sys.stdout
     w = _csv.writer(out)
     w.writerow(df.columns)
     for row in df.toLocalIterator():
         w.writerow(["" if v is None else v for v in row])
 
 
-def write_json(df: DataFrame, out: IO[str] = sys.stdout) -> None:
+def write_json(df: DataFrame, out: IO[str] | None = None) -> None:
     """json output (outputs/formats/json_format.go:1-103): one object
     per line, original field names."""
+    out = out or sys.stdout
     for row in df.toLocalIterator():
         out.write(json.dumps(row.asDict(recursive=True), default=str))
         out.write("\n")
 
 
-def write_stream_native(df: DataFrame, out: IO[str] = sys.stdout) -> None:
-    """stream_native (outputs/stream/printer.go:1-73): records rendered
-    with a retraction marker and event time. A finished batch query is
-    a stream of additions — every record prints as ``+``; true
-    retraction streams only arise in streaming mode (update-mode
-    console sink is the equivalent there)."""
+_ZERO_TIME = "0001-01-01T00:00:00Z"
+
+
+def _native_value(v) -> str:
+    """Render one value the way the reference's native format does
+    (octosql/values.go:357-424): <null>, bare ints/bools, 'strings',
+    RFC3339 times, [lists], { structs }."""
+    import datetime
+
+    from pyspark.sql import Row
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return f"'{v}'"
+    if isinstance(v, float):
+        return str(int(v)) if v.is_integer() else repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+    if isinstance(v, Row):
+        return "{ " + ", ".join(_native_value(x) for x in v) + " }"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_native_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{ " + ", ".join(_native_value(x) for x in v.values()) + " }"
+    return str(v)
+
+
+def write_stream_native(df: DataFrame, out: IO[str] | None = None,
+                        retraction: bool = False) -> None:
+    """stream_native (outputs/stream/printer.go:56-60 →
+    execution/execution.go:73-91): ``{+<event-time>| v1, v2 |}`` per
+    record, ``-`` for retractions. Batch results are a stream of
+    additions; the zero time renders when no event time is tracked
+    (same as the reference for non-temporal queries)."""
+    out = out or sys.stdout
+    marker = "-" if retraction else "+"
     for row in df.toLocalIterator():
-        vals = ", ".join(str(v) for v in row)
-        out.write(f"{{+ | {vals} |}}\n")
+        vals = ", ".join(_native_value(v) for v in row)
+        out.write(f"{{{marker}{_ZERO_TIME}| {vals} |}}\n")
 
 
 def describe(df: DataFrame) -> DataFrame:
@@ -73,3 +108,43 @@ WRITERS = {
     "json": write_json,
     "stream_native": write_stream_native,
 }
+
+
+# ------------------------------------------------- streaming (foreachBatch)
+
+def stream_batch_writer(output: str, out: IO[str] | None = None):
+    """foreachBatch printer for streaming queries through the CLI.
+
+    - ``stream_native``: every batch's rows print as additions
+      (``{+ | ... |}``, outputs/stream/printer.go:34-55). Spark's
+      update mode re-emits refined rows instead of sending explicit
+      retractions — the refined row replaces the prior one for its
+      key; documented deviation from the reference's ``-`` markers.
+    - ``live_table``/``table``: repaint the current result per batch
+      (live_output.go:165-204's ≤4 Hz repaint, one frame per
+      micro-batch), rows sorted for a stable frame.
+    - ``csv``/``json``: eager append per batch (outputs/eager).
+    """
+    header_written = {"done": False}
+
+    def _write(batch_df: DataFrame, batch_id: int, out=out) -> None:
+        if out is None:
+            out = sys.stdout  # resolve per-batch: test harnesses swap it
+        if output == "stream_native":
+            write_stream_native(batch_df, out)
+        elif output in ("table", "batch_table", "live_table"):
+            out.write(f"-- batch {batch_id} --\n")
+            write_table(batch_df.sort(batch_df.columns), out)
+        elif output == "csv":
+            import csv as _csv
+            w = _csv.writer(out)
+            if not header_written["done"]:
+                w.writerow(batch_df.columns)
+                header_written["done"] = True
+            for row in batch_df.toLocalIterator():
+                w.writerow(["" if v is None else v for v in row])
+        elif output == "json":
+            write_json(batch_df, out)
+        out.flush()
+
+    return _write

@@ -23,9 +23,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _stream_reader(spark: SparkSession, path: str, fmt: str, schema,
+                   **options) -> DataFrame:
+    """``?tail=true`` → Structured Streaming file source
+    (execution/files/files.go:26-68 follows a growing file; the Spark
+    idiom is new-file discovery over a path/glob — appends land as new
+    files in the watched directory). Schema comes from a static read
+    of the current contents (streams need one up front)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load(path)
+
+
 def read_csv(spark: SparkSession, path: str, header: bool = True,
              sep: str = ",", octosql_infer: bool = True,
-             **_: object) -> DataFrame:
+             tail: bool = False, **_: object) -> DataFrame:
     """CSV/TSV scan with the reference's 100-row sampled inference
     (datasources/csv/impl.go:17-147: Int→Float→Bool→RFC3339 Time→
     String ladder, empty cell ⇒ nullable, mixed column ⇒ union →
@@ -36,18 +49,21 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
         from octosql_spark.schema_infer import infer_csv, to_spark_schema
         cols = infer_csv(path, header=header, sep=sep)
         schema = to_spark_schema(cols)
-        return (spark.read
-                .option("header", str(header).lower())
-                .option("sep", sep)
-                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
-                .schema(schema)
-                .csv(path))
-    return (spark.read
-            .option("header", str(header).lower())
-            .option("sep", sep)
-            .option("inferSchema", "true")
-            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
-            .csv(path))
+    else:
+        schema = (spark.read
+                  .option("header", str(header).lower())
+                  .option("sep", sep)
+                  .option("inferSchema", "true")
+                  .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+                  .csv(path).schema)
+    opts = {"header": str(header).lower(), "sep": sep,
+            "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"}
+    if tail:
+        return _stream_reader(spark, path, "csv", schema, **opts)
+    reader = spark.read
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.schema(schema).csv(path)
 
 
 def read_tsv(spark: SparkSession, path: str, **opts: object) -> DataFrame:
@@ -56,24 +72,28 @@ def read_tsv(spark: SparkSession, path: str, **opts: object) -> DataFrame:
 
 
 def read_json(spark: SparkSession, path: str, octosql_infer: bool = True,
-              **_: object) -> DataFrame:
+              tail: bool = False, **_: object) -> DataFrame:
     """JSON-lines scan (datasources/json/impl.go:18-99): object per
     line, nested structs/lists, 100-line sampled inference with the
     reference's rules (numbers→Float, RFC3339 strings→Time, per-key
     TypeSum merge). Union-typed columns are read as raw JSON text and
     accessed via ``::T`` try_cast accessors (SURVEY.md §7 policy)."""
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"
     if octosql_infer and "://" not in path and os.path.isfile(path):
         from octosql_spark.schema_infer import infer_json, to_spark_schema
         cols = infer_json(path)
         schema = to_spark_schema(cols)
-        return (spark.read
-                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
-                .schema(schema).json(path))
-    return spark.read.json(path)
+    else:
+        schema = spark.read.json(path).schema
+    if tail:
+        return _stream_reader(spark, path, "json", schema,
+                              timestampFormat=ts_fmt)
+    return (spark.read.option("timestampFormat", ts_fmt)
+            .schema(schema).json(path))
 
 
 def read_lines(spark: SparkSession, path: str, sep: str | None = None,
-               **_: object) -> DataFrame:
+               tail: bool = False, **_: object) -> DataFrame:
     """lines source → {number: Int (0-based), text: String}
     (datasources/lines/impl.go:13-63).
 
@@ -81,6 +101,14 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
     partition-then-offset order, which is file order for a single
     file. (At 100 TB you would not want a global line number at all —
     it is inherently sequential; the reference is single-machine.)"""
+    if tail:
+        # a global line number is inherently sequential and cannot be
+        # assigned over an unbounded stream — tail'ed lines carry NULL
+        # numbers (documented deviation; the reference is single-file,
+        # single-machine and can count).
+        return (spark.readStream.text(path)
+                .select(F.lit(None).cast("long").alias("number"),
+                        F.col("value").alias("text")))
     if sep is not None and sep != "\n":
         text = spark.read.text(path, wholetext=True)
         df = text.select(F.explode(F.split("value", sep)).alias("text"))
@@ -91,7 +119,11 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
     return spark.createDataFrame(rdd, "number long, text string")
 
 
-def read_parquet(spark: SparkSession, path: str, **_: object) -> DataFrame:
+def read_parquet(spark: SparkSession, path: str, tail: bool = False,
+                 **_: object) -> DataFrame:
+    if tail:
+        return _stream_reader(spark, path, "parquet",
+                              spark.read.parquet(path).schema)
     return spark.read.parquet(path)
 
 

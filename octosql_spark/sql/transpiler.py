@@ -40,7 +40,7 @@ _TYPE_MAP = {
 }
 
 _FILE_EXTS = {"csv", "tsv", "json", "parquet", "lines"}
-_TVF_NAMES = {"tumble", "max_diff_watermark", "poll"}
+_TVF_NAMES = {"tumble", "max_diff_watermark", "poll", "range"}
 _CLAUSE_KW = {"WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "ON", "USING",
               "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
               "UNION", "INTERSECT", "EXCEPT", "TRIGGER", "STREAM", "LOOKUP"}
@@ -747,7 +747,7 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
         open_i = sig[si + 1]
         close_i = _match_paren(toks, open_i, 1)
         name = toks[i].text.lower()
-        _, kwargs = _parse_tvf_args(toks[open_i + 1:close_i])
+        args, kwargs = _parse_tvf_args(toks[open_i + 1:close_i])
 
         def _df_arg(key: str) -> DataFrame:
             val = kwargs[key]
@@ -766,7 +766,16 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
                 return default
             return "".join(t.text for t in kwargs[key]).strip()
 
-        if name == "tumble":
+        if name == "range":
+            # range(start => 1, end => 10) / range(1, 10) → column `i`
+            # (table_valued_functions/range.go:14-109)
+            def _int_arg(key: str, idx: int) -> int:
+                if key in kwargs:
+                    return int("".join(t.text for t in kwargs[key]).strip())
+                return int(args[idx])
+            res = tvfmod.range_tvf(spark, _int_arg("start", 0),
+                                   _int_arg("end", 1))
+        elif name == "tumble":
             df = _df_arg("source")
             length = _interval_to_spark(_str_arg("window_length"))
             tf = _str_arg("time_field")

@@ -23,7 +23,11 @@ def test_write_csv_json_stream(spark):
     assert lines[1] == {"x": 2, "s": None}
     buf = io.StringIO()
     sinks.write_stream_native(df, buf)
-    assert buf.getvalue().startswith("{+ | ")
+    # reference native format (execution/execution.go:73-91)
+    assert buf.getvalue().splitlines() == [
+        "{+0001-01-01T00:00:00Z| 1, 'a' |}",
+        "{+0001-01-01T00:00:00Z| 2, <null> |}",
+    ]
 
 
 def test_describe(spark):

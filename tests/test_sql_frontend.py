@@ -132,10 +132,16 @@ def test_relative_file_table(spark, tmp_path, monkeypatch):
 
 # ------------------------------------------------------------------ TVFs
 
-def test_tvf_range_passthrough(spark, views):
-    df = q(spark, "SELECT COUNT(*) AS n, SUM(id) AS s FROM range(1, 11)")
+def test_tvf_range(spark, views):
+    # column is `i` like the reference (range.go:14-109)
+    df = q(spark, "SELECT COUNT(*) AS n, SUM(i) AS s FROM range(1, 11)")
     r = df.collect()[0]
     assert (r.n, r.s) == (10, 55)
+
+
+def test_tvf_range_named_args(spark, views):
+    df = q(spark, "SELECT * FROM range(start => 1, end => 10) r")
+    assert [x.i for x in df.collect()] == list(range(1, 10))
 
 
 def test_tvf_tumble(spark, views):
