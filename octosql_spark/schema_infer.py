@@ -119,10 +119,11 @@ def infer_json(path: str, sample_rows: int = SAMPLE_ROWS) -> dict[str, ot.OctoTy
     return out
 
 
-def to_spark_schema(cols: dict[str, ot.OctoType]) -> T.StructType:
+def to_spark_schema(cols: dict[str, ot.OctoType],
+                    union_carrier: str = "string") -> T.StructType:
     fields = []
     for name, t in cols.items():
-        dt, nullable = ot.to_spark(t)
+        dt, nullable = ot.to_spark(t, union_carrier)
         if isinstance(dt, T.NullType):
             dt = T.StringType()  # all-NULL column: carrier type
         fields.append(T.StructField(name, dt, nullable))

@@ -39,12 +39,26 @@ def write_csv(df: DataFrame, out: IO[str] | None = None) -> None:
         w.writerow(["" if v is None else v for v in row])
 
 
+def _jsonable(v):
+    """Recursive JSON-encodable form; VariantVal (union-typed columns)
+    re-emits its exact runtime value (42 vs "42" vs [42,"42"] — the
+    union scenario, tests/scenarios/outputs/json/union.out)."""
+    if hasattr(v, "toJson") and type(v).__name__ == "VariantVal":
+        return json.loads(v.toJson())
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v
+
+
 def write_json(df: DataFrame, out: IO[str] | None = None) -> None:
     """json output (outputs/formats/json_format.go:1-103): one object
     per line, original field names."""
     out = out or sys.stdout
     for row in df.toLocalIterator():
-        out.write(json.dumps(row.asDict(recursive=True), default=str))
+        out.write(json.dumps(_jsonable(row.asDict(recursive=True)),
+                             default=str))
         out.write("\n")
 
 
@@ -60,6 +74,8 @@ def _native_value(v) -> str:
     from pyspark.sql import Row
     if v is None:
         return "<null>"
+    if hasattr(v, "toJson") and type(v).__name__ == "VariantVal":
+        return _native_value(json.loads(v.toJson()))
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, str):

@@ -82,7 +82,9 @@ def read_json(spark: SparkSession, path: str, octosql_infer: bool = True,
     if octosql_infer and "://" not in path and os.path.isfile(path):
         from octosql_spark.schema_infer import infer_json, to_spark_schema
         cols = infer_json(path)
-        schema = to_spark_schema(cols)
+        # union-typed columns → VariantType (exact per-value runtime
+        # types, like the reference's union values)
+        schema = to_spark_schema(cols, union_carrier="variant")
     else:
         schema = spark.read.json(path).schema
     if tail:

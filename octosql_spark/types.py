@@ -170,18 +170,28 @@ def non_nullable(t: OctoType) -> OctoType:
 _NUMERIC = {TypeID.INT, TypeID.FLOAT}
 
 
-def to_spark(t: OctoType) -> tuple[T.DataType, bool]:
+def to_spark(t: OctoType,
+             union_carrier: str = "string") -> tuple[T.DataType, bool]:
     """(spark_type, nullable) under the union policy. Union columns
-    that don't widen cleanly come back as StringType — the raw-text
-    carrier the accessors ``try_cast`` out of."""
+    that don't widen cleanly come back as a *carrier*:
+
+    - ``"variant"`` (JSON sources): Spark 4 VariantType — preserves
+      the exact runtime type per value (42 vs "42" vs [42,"42"]),
+      the faithful mapping of the reference's union values
+      (octosql/types.go union; tests/scenarios/outputs/json/union).
+      ``::T`` compiles to TRY_CAST which extracts-or-NULLs.
+    - ``"string"`` (CSV, whose cells are text anyway): the raw-text
+      carrier the accessors ``try_cast`` out of."""
     if t.id == TypeID.UNION:
         nullable = any(a.id == TypeID.NULL for a in t.alts)
         core = non_nullable(t)
         if core.id != TypeID.UNION:
-            dt, n2 = to_spark(core)
+            dt, n2 = to_spark(core, union_carrier)
             return dt, nullable or n2
         if {a.id for a in core.alts} <= _NUMERIC:
             return T.DoubleType(), nullable
+        if union_carrier == "variant":
+            return T.VariantType(), True
         return T.StringType(), True  # raw-text carrier
     if t.id == TypeID.NULL:
         return T.NullType(), True
@@ -198,15 +208,16 @@ def to_spark(t: OctoType) -> tuple[T.DataType, bool]:
     if t.id == TypeID.DURATION:
         return T.DayTimeIntervalType(), False
     if t.id == TypeID.LIST:
-        dt, n = to_spark(t.elem)
+        dt, n = to_spark(t.elem, union_carrier)
         return T.ArrayType(dt, containsNull=n), False
     if t.id == TypeID.STRUCT:
         return T.StructType([
-            T.StructField(name, *_f(to_spark(ft))) for name, ft in t.fields
+            T.StructField(name, *_f(to_spark(ft, union_carrier)))
+            for name, ft in t.fields
         ]), False
     if t.id == TypeID.TUPLE:
         return T.StructType([
-            T.StructField(f"_{i+1}", *_f(to_spark(e)))
+            T.StructField(f"_{i+1}", *_f(to_spark(e, union_carrier)))
             for i, e in enumerate(t.elems)
         ]), False
     return T.StringType(), True  # ANY

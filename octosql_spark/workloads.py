@@ -1053,6 +1053,63 @@ def dialect_len_array_q(spark, sf_dir):
                 "SELECT vec_id, len(embedding) AS dim FROM embeddings")
 
 
+_FIXTURE_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "..", "tests", "fixtures")
+
+
+@workload("union_json_column", f"""
+SELECT CAST(id AS DOUBLE) AS id, value::VARCHAR AS value_json,
+       try_cast(value AS BIGINT) AS as_int
+FROM read_json('{__import__("os").path.normpath(__import__("os").path.join(__import__("os").path.dirname(__import__("os").path.abspath(__file__)), "..", "tests", "fixtures", "union.json"))}',
+               columns={{'id': 'BIGINT', 'value': 'JSON'}})
+""")
+def union_json_column_q(spark, sf_dir):
+    """The reference's signature union scenario
+    (tests/scenarios/outputs/json/union: column typed
+    Int | String | List<Int | String>): union columns read as Spark 4
+    VariantType, preserving each value's exact runtime type;
+    ``::T`` → TRY_CAST extracts-or-NULLs (octosql/types.go unions;
+    datasources/json/impl.go:27-99 inference)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from octosql_spark.sources import read_file
+    path = os.path.normpath(os.path.join(_FIXTURE_DIR, "union.json"))
+    df = read_file(spark, path)
+    return df.select(
+        F.col("id"),
+        F.to_json("value").alias("value_json"),
+        F.expr("TRY_CAST(value AS BIGINT)").alias("as_int"))
+
+
+@workload("varying_fields_json", f"""
+SELECT field1, field2, field3.field4 AS f4,
+       field3.field5::VARCHAR AS f5_json, field3.field6 AS f6
+FROM read_json('{__import__("os").path.normpath(__import__("os").path.join(__import__("os").path.dirname(__import__("os").path.abspath(__file__)), "..", "tests", "fixtures", "varying.json"))}',
+               columns={{'field1': 'VARCHAR', 'field2': 'DOUBLE',
+                        'field3': 'STRUCT(field4 VARCHAR, field5 JSON, field6 VARCHAR)'}})
+""")
+def varying_fields_json_q(spark, sf_dir):
+    """Varying object fields (tests/scenarios/objects/
+    varying_object_fields): absent fields become nullable, fields with
+    conflicting types become unions → variant accessors
+    (octosql/types.go:239-288 TypeSum on structs)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from octosql_spark.sources import read_file
+    path = os.path.normpath(os.path.join(_FIXTURE_DIR, "varying.json"))
+    df = read_file(spark, path)
+    return df.select(
+        F.col("field1"), F.col("field2"),
+        F.col("field3.field4").alias("f4"),
+        F.to_json("field3.field5").alias("f5_json"),
+        F.col("field3.field6").alias("f6"))
+
+
 @workload("sql_tvf_tumble", """
 SELECT time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
        COUNT(*) AS n

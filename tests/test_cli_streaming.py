@@ -73,3 +73,35 @@ def test_cli_tail_follows_new_files(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "{+0001-01-01T00:00:00Z| 1 |}" in out
     assert "{+0001-01-01T00:00:00Z| 2 |}" in out
+
+
+# ------------------------------------------- union scenario goldens
+
+import os
+
+_FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_union_json_golden(spark, capsys):
+    # tests/scenarios/outputs/json/union.out
+    rc = main([f"SELECT * FROM '{_FIXTURES}/union.json'", "--output", "json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # reference golden (union.out), modulo id rendering: JSON numbers
+    # infer as Float (impl.go:89-90) so id prints 0.0 where Go's
+    # encoder prints 0 — the VALUE payloads match exactly
+    assert out.splitlines() == ['{"id": 0.0, "value": 42}',
+                                '{"id": 0.0, "value": "42"}',
+                                '{"id": 0.0, "value": [42, "42"]}']
+
+
+def test_varying_fields_stream_native_golden(spark, capsys):
+    # tests/scenarios/objects/varying_object_fields.out
+    rc = main([f"SELECT * FROM '{_FIXTURES}/varying.json'",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.splitlines() == [
+        "{+0001-01-01T00:00:00Z| 'value', 42, { 'eulav', 24, <null> } |}",
+        "{+0001-01-01T00:00:00Z| 'value', 42, { <null>, 'eulav', 'value' } |}",
+    ]

@@ -121,10 +121,10 @@ def test_read_json_with_union_carrier(spark, tmp_path):
                  '{"id": 3, "value": [1, 2]}\n')
     df = read_json(spark, str(p))
     assert dict(df.dtypes)["id"] == "double"
-    assert dict(df.dtypes)["value"] == "string"  # raw carrier
+    assert dict(df.dtypes)["value"] == "variant"  # exact runtime types
     from octosql_spark.sql import run_query
     df.createOrReplaceTempView("u")
-    # ::T accessors try_cast out of the carrier (soft, NULL on mismatch)
-    out = run_query(spark, "SELECT id, int(value) AS as_int FROM u").df
+    # ::T accessors extract-or-NULL out of the variant carrier
+    out = run_query(spark, "SELECT id, value::int AS as_int FROM u").df
     vals = {int(r.id): r.as_int for r in out.collect()}
     assert vals == {1: 42, 2: None, 3: None}
