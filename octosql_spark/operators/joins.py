@@ -88,6 +88,19 @@ def outer_join(left: DataFrame, right: DataFrame,
     return stream_join(left, right, on, how)
 
 
+_BROADCAST_HINT_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the plan (file sizes for scans,
+    LongMax when unknown)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def lookup_join(left: DataFrame, right: DataFrame,
                 on: Sequence[str] | Sequence[tuple[str, str]] | Column,
                 how: str = "inner") -> DataFrame:
@@ -95,8 +108,17 @@ def lookup_join(left: DataFrame, right: DataFrame,
     reference re-runs the right plan per left record so predicates push
     into the right datasource. Spark equivalent: broadcast the right
     side — one shipment instead of N re-queries, same results; JDBC/
-    DSv2 pushdown replaces the per-key re-query trick."""
-    right = F.broadcast(right)
+    DSv2 pushdown replaces the per-key re-query trick.
+
+    The hint is SIZE-GATED: ``F.broadcast`` overrides Spark's 64 MB
+    threshold, so an unconditional hint on a grown dimension table
+    would OOM every executor. Past the gate (or when the size is
+    unknown) the hint is dropped and Catalyst/AQE picks the strategy —
+    the same graceful degradation as the reference's slow re-queries,
+    minus the OOM."""
+    size = _plan_size_bytes(right)
+    if size is not None and size <= _BROADCAST_HINT_MAX_BYTES:
+        right = F.broadcast(right)
     if isinstance(on, Column):
         return left.join(right, on, how)
     return stream_join(left, right, on, how)

@@ -111,13 +111,17 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
         return (spark.readStream.text(path)
                 .select(F.lit(None).cast("long").alias("number"),
                         F.col("value").alias("text")))
+    reader = spark.read
     if sep is not None and sep != "\n":
-        text = spark.read.text(path, wholetext=True)
-        df = text.select(F.explode(F.split("value", sep)).alias("text"))
-        rdd = df.rdd.zipWithIndex().map(lambda p: (p[1], p[0]["text"]))
-        return spark.createDataFrame(rdd, "number long, text string")
-    rdd = (spark.sparkContext.textFile(path)
-           .zipWithIndex().map(lambda p: (p[1], p[0])))
+        # custom separator → the text source's lineSep option: still a
+        # SPLITTABLE scan (vs. wholetext, which materializes the whole
+        # file as one row and breaks on multi-GB inputs)
+        reader = reader.option("lineSep", sep)
+    df = reader.text(path)
+    # zipWithIndex = per-partition count + offset merge: two narrow
+    # jobs, no single-task stage — the distributed form of a global
+    # sequential number
+    rdd = df.rdd.zipWithIndex().map(lambda p: (p[1], p[0]["value"]))
     return spark.createDataFrame(rdd, "number long, text string")
 
 

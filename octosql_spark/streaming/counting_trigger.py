@@ -16,23 +16,128 @@ consumers treat a newer emission for the same key as replacing the
 older one (same contract as update-mode sinks).
 
 Scale: state is per-key O(#aggregates); rows stream through in Arrow
-batches grouped by key. This is the documented pattern for custom
-stateful operators the engine lacks natively.
+batches grouped by key. The per-batch work is VECTORIZED — numpy
+cumulative reductions locate the n-record boundaries and the
+accumulator values at each, no per-row Python loop.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    LongType, StructField, StructType, DoubleType, StringType,
+    LongType, StructField, StructType, DoubleType,
 )
 
 _SUPPORTED = ("count", "sum", "min", "max", "avg")
+
+
+def _emission_value(fn: str, a0, c0, cacc_b: float, cnt_b: int):
+    """Aggregate value at a boundary: state carried in (a0, c0)
+    combined with this batch's cumulative (cacc_b, cnt_b)."""
+    if fn == "count":
+        return int(a0 or 0) + cnt_b
+    if fn in ("sum", "avg"):
+        c_tot = (c0 or 0) + cnt_b
+        if fn == "sum":
+            if a0 is None and cnt_b == 0:
+                return None
+            return (a0 if a0 is not None else 0.0) + float(cacc_b)
+        return (((a0 or 0.0) + float(cacc_b)) / c_tot) if c_tot else None
+    # min / max
+    cur = None if np.isnan(cacc_b) else float(cacc_b)
+    vals = [x for x in (a0, cur) if x is not None]
+    if not vals:
+        return None
+    return min(vals) if fn == "min" else max(vals)
+
+
+def make_counting_fn(agg_specs: Sequence[tuple[str, str, str]], n: int,
+                     out_cols: Sequence[str]):
+    """Build the applyInPandasWithState function. Exposed for direct
+    (harness-free) unit/perf testing."""
+    agg_specs = list(agg_specs)
+
+    def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = list(state.get)
+        else:
+            vals = [0, 0] + [None, 0] * len(agg_specs)
+        total, since = vals[0], vals[1]
+        accs = vals[2:]
+
+        out_rows = []
+        for pdf in pdf_iter:
+            m = len(pdf)
+            if m == 0:
+                continue
+            # cumulative accumulator + valid-count arrays per aggregate
+            cums = []
+            for f, col, _alias in agg_specs:
+                if col == "*":
+                    v = np.ones(m, dtype=float)
+                else:
+                    v = pd.to_numeric(pdf[col], errors="coerce") \
+                          .to_numpy(dtype=float)
+                valid = ~np.isnan(v)
+                ccnt = np.cumsum(valid)
+                if f == "min":
+                    cacc = np.fmin.accumulate(np.where(valid, v, np.nan))
+                elif f == "max":
+                    cacc = np.fmax.accumulate(np.where(valid, v, np.nan))
+                else:  # count / sum / avg share a running sum
+                    cacc = np.cumsum(np.where(valid, v, 0.0))
+                cums.append((cacc, ccnt))
+
+            # boundary rows: positions where the per-key record counter
+            # crosses a multiple of n (cumsum replaces the row loop)
+            p = np.arange(1, m + 1)
+            bounds = np.nonzero((since + p) % n == 0)[0]
+            for b in bounds:
+                out = list(key) + [total + int(b) + 1]
+                for i, (f, _col, _alias) in enumerate(agg_specs):
+                    cacc, ccnt = cums[i]
+                    out.append(_emission_value(
+                        f, accs[2 * i], accs[2 * i + 1],
+                        cacc[b], int(ccnt[b])))
+                out_rows.append(out)
+
+            # fold the whole batch into the carried state
+            last = m - 1
+            for i, (f, _col, _alias) in enumerate(agg_specs):
+                cacc, ccnt = cums[i]
+                a0, c0 = accs[2 * i], accs[2 * i + 1]
+                cnt_m = int(ccnt[last])
+                if f == "count":
+                    if a0 is not None or cnt_m:
+                        # DoubleType state field: store floats only
+                        accs[2 * i] = float((a0 or 0) + cnt_m)
+                elif f in ("sum", "avg"):
+                    if a0 is not None or cnt_m:
+                        accs[2 * i] = float((a0 or 0.0) + cacc[last])
+                    accs[2 * i + 1] = (c0 or 0) + cnt_m
+                else:
+                    cur = cacc[last]
+                    if not np.isnan(cur):
+                        if a0 is None:
+                            accs[2 * i] = float(cur)
+                        else:
+                            accs[2 * i] = (min(a0, float(cur)) if f == "min"
+                                           else max(a0, float(cur)))
+            total += m
+            since = (since + m) % n
+
+        state.update(tuple([total, since] + accs))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=list(out_cols))
+
+    return fn
 
 
 def counting_trigger_aggregate(df: DataFrame, keys: Sequence[str],
@@ -58,57 +163,7 @@ def counting_trigger_aggregate(df: DataFrame, keys: Sequence[str],
            (StructField(f"acc{i}", DoubleType()),
             StructField(f"cnt{i}", LongType()))])
 
-    agg_specs = list(aggs)
-    n_keys = len(keys)
-
-    def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame],
-           state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            vals = list(state.get)
-        else:
-            vals = [0, 0] + [None, 0] * len(agg_specs)
-        total, since = vals[0], vals[1]
-        accs = vals[2:]
-
-        out_rows = []
-        for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                total += 1
-                since += 1
-                for i, (f, col, _alias) in enumerate(agg_specs):
-                    v = row[col] if col != "*" else 1
-                    if v is None or (isinstance(v, float) and pd.isna(v)):
-                        continue
-                    a = accs[2 * i]
-                    # accumulators live in DoubleType state fields — a
-                    # Python int there is silently dropped on restore
-                    if f == "count":
-                        accs[2 * i] = float(a or 0) + 1.0
-                    elif f in ("sum", "avg"):
-                        accs[2 * i] = (a or 0.0) + float(v)
-                        accs[2 * i + 1] += 1
-                    elif f == "min":
-                        accs[2 * i] = float(v) if a is None else min(a, float(v))
-                    elif f == "max":
-                        accs[2 * i] = float(v) if a is None else max(a, float(v))
-                if since >= n:
-                    since = 0
-                    out = list(key) + [total]
-                    for i, (f, _col, _alias) in enumerate(agg_specs):
-                        a, c = accs[2 * i], accs[2 * i + 1]
-                        if f == "count":
-                            out.append(int(a or 0))
-                        elif f == "avg":
-                            out.append((a / c) if c else None)
-                        else:
-                            out.append(a)
-                    out_rows.append(out)
-
-        state.update(tuple([total, since] + accs))
-        cols = [f.name for f in out_schema.fields]
-        if out_rows:
-            yield pd.DataFrame(out_rows, columns=cols)
-
+    fn = make_counting_fn(aggs, n, [f.name for f in out_schema.fields])
     return (df.groupBy(*keys)
             .applyInPandasWithState(fn, outputStructType=out_schema,
                                     stateStructType=state_schema,

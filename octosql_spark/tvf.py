@@ -89,17 +89,36 @@ def max_diff_watermark(df: DataFrame, max_diff: str, time_field: str,
     rounded = F.timestamp_micros(
         (F.floor(F.unix_micros(ts.cast("timestamp")) / F.lit(res_us))
          * F.lit(res_us)).cast("long")).cast(ts_dtype)
-    if order_col is None:
-        df = df.withColumn("_row_order", F.monotonically_increasing_id())
-        order_col = "_row_order"
-    w = (Window.orderBy(F.col(order_col))
-         .rowsBetween(Window.unboundedPreceding, -1))
-    wm = F.max(rounded).over(w) - F.expr(f"INTERVAL {max_diff}")
-    out = (df.withColumn("_wm", wm)
+    diff = F.expr(f"INTERVAL {max_diff}")
+    if order_col is not None:
+        # caller-supplied ordering: the running max needs a GLOBAL sort
+        # — test/emulation only, not a scale path (real streams use
+        # streaming.with_watermark)
+        w = (Window.orderBy(F.col(order_col))
+             .rowsBetween(Window.unboundedPreceding, -1))
+        wm = F.max(rounded).over(w) - diff
+        return (df.withColumn("_wm", wm)
+                  .filter(F.col("_wm").isNull() | (ts > F.col("_wm")))
+                  .drop("_wm"))
+    # Default file order, computed WITHOUT a single-task global sort:
+    # split index is the order prefix, so
+    #   running max before row i = max(max of all earlier splits,
+    #                                  prefix max within this split)
+    # — a parallel per-split window + a #splits-row boundary merge.
+    df = (df.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_mono", F.monotonically_increasing_id())
+            .withColumn("_rounded", rounded))
+    w_in = (Window.partitionBy("_pid").orderBy("_mono")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.max("_rounded").over(w_in)
+    pid_max = df.groupBy("_pid").agg(F.max("_rounded").alias("_pmax"))
+    w_pid = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prior = pid_max.select("_pid", F.max("_pmax").over(w_pid).alias("_prior"))
+    out = (df.join(F.broadcast(prior), "_pid", "left")
+             .withColumn("_wm", F.greatest(prefix, F.col("_prior")) - diff)
              .filter(F.col("_wm").isNull() | (ts > F.col("_wm")))
-             .drop("_wm"))
-    if order_col == "_row_order":
-        out = out.drop("_row_order")
+             .drop("_pid", "_mono", "_rounded", "_prior", "_wm"))
     return out
 
 

@@ -1,0 +1,150 @@
+"""Scale-hazard regression tests: plans that must NOT degrade to
+single-task stages, forced broadcasts, or per-row Python at size."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_lookup_join_broadcasts_small_right(spark):
+    from octosql_spark.operators.joins import lookup_join
+    left = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    right = spark.range(0, 100).select(F.col("id").alias("k"),
+                                       (F.col("id") * 2).alias("v"))
+    j = lookup_join(left, right, ["k"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert j.count() == 100
+
+
+def test_lookup_join_size_gates_big_right(spark):
+    """A grown right side must NOT be force-broadcast (executor OOM at
+    scale) — the hint drops and Catalyst picks a shuffle join."""
+    from octosql_spark.operators.joins import lookup_join
+    # both sides over the broadcast thresholds (range stats: 8 B/row →
+    # left ~160 MB, right ~800 MB over the 256 MB hint gate)
+    left = spark.range(0, 20_000_000).select(F.col("id").alias("k"))
+    right = spark.range(0, 100_000_000).select(F.col("id").alias("k"))
+    j = lookup_join(left, right, ["k"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # pre-fix: forced broadcast
+
+
+def test_read_lines_custom_sep_splittable(spark, tmp_path):
+    from octosql_spark.sources.files import read_lines
+    p = tmp_path / "x.lines"
+    p.write_text("alpha;beta;gamma")
+    df = read_lines(spark, str(p), sep=";")
+    rows = [(r.number, r.text) for r in df.orderBy("number").collect()]
+    assert rows == [(0, "alpha"), (1, "beta"), (2, "gamma")]
+
+
+def test_max_diff_watermark_no_global_sort(spark):
+    """Default path must not funnel everything through one task: the
+    plan has a partition-local window, not a global Window.orderBy."""
+    from octosql_spark.tvf import max_diff_watermark
+    rows = [(i, f"2024-01-01T00:00:{i % 60:02d}") for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, s string") \
+        .select("i", F.col("s").cast("timestamp").alias("ts"))
+    out = max_diff_watermark(df, "5 seconds", "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partitionBy(_pid) window: the sort specifies _pid as a partition
+    # expression; a global sort would show an empty partition spec over
+    # the full input
+    assert "_pid" in plan
+    out.count()  # executes
+
+
+def test_max_diff_watermark_drops_late_rows(spark):
+    from octosql_spark.tvf import max_diff_watermark
+    # in-order rows, then one very late row
+    ts = ["2024-01-01T00:00:00", "2024-01-01T00:00:10",
+          "2024-01-01T00:00:30", "2024-01-01T00:00:02"]
+    df = (spark.createDataFrame([(i, t) for i, t in enumerate(ts)],
+                                "i long, s string")
+          .coalesce(1)
+          .select("i", F.col("s").cast("timestamp").alias("ts")))
+    out = max_diff_watermark(df, "5 seconds", "ts")
+    kept = sorted(r.i for r in out.collect())
+    # row 3 (00:00:02) is behind watermark 00:00:30 - 5s → dropped
+    assert kept == [0, 1, 2]
+
+
+def test_max_diff_watermark_resolution_rounding(spark):
+    from octosql_spark.tvf import max_diff_watermark
+    # watermark = round_down(max prior ts, 1 minute) - 10s
+    ts = ["2024-01-01T00:00:00", "2024-01-01T00:05:59", "2024-01-01T00:04:56"]
+    df = (spark.createDataFrame([(i, t) for i, t in enumerate(ts)],
+                                "i long, s string")
+          .coalesce(1)
+          .select("i", F.col("s").cast("timestamp").alias("ts")))
+    # with 1-minute resolution the 00:05:59 max rounds DOWN to 00:05:00
+    # → watermark 00:04:50 → 00:04:56 survives
+    out = max_diff_watermark(df, "10 seconds", "ts", resolution="1 minute")
+    assert sorted(r.i for r in out.collect()) == [0, 1, 2]
+    # without rounding (1s resolution) the watermark is 00:05:49 → drop
+    out2 = max_diff_watermark(df, "10 seconds", "ts", resolution="1 second")
+    assert sorted(r.i for r in out2.collect()) == [0, 1]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for direct fn testing."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_counting_fn_vectorized_matches_and_is_fast():
+    from octosql_spark.streaming.counting_trigger import make_counting_fn
+    n_rows = 100_000
+    pdf = pd.DataFrame({"v": [float(i % 97) for i in range(n_rows)]})
+    fn = make_counting_fn([("sum", "v", "s"), ("avg", "v", "a"),
+                           ("min", "v", "lo"), ("max", "v", "hi"),
+                           ("count", "v", "c")],
+                          n=1000,
+                          out_cols=["k", "emitted_at_count", "s", "a",
+                                    "lo", "hi", "c"])
+    st = _FakeState()
+    t0 = time.time()
+    out = list(fn(("k1",), iter([pdf]), st))
+    elapsed = time.time() - t0
+    assert elapsed < 2.0  # iterrows took tens of seconds at this size
+    res = pd.concat(out)
+    assert len(res) == n_rows // 1000
+    # spot-check the first and last emissions against exact values
+    first = res.iloc[0]
+    assert first.emitted_at_count == 1000
+    assert first.c == 1000
+    assert abs(first.s - sum(i % 97 for i in range(1000))) < 1e-6
+    last = res.iloc[-1]
+    assert last.emitted_at_count == n_rows
+    assert last.c == n_rows
+    assert last.lo == 0.0 and last.hi == 96.0
+    assert abs(last.s - sum(i % 97 for i in range(n_rows))) < 1e-6
+
+
+def test_counting_fn_state_carries_across_batches():
+    from octosql_spark.streaming.counting_trigger import make_counting_fn
+    fn = make_counting_fn([("sum", "v", "s")], n=4,
+                          out_cols=["k", "emitted_at_count", "s"])
+    st = _FakeState()
+    # 3 rows then 3 rows: boundary falls inside the second batch
+    out1 = list(fn(("k",), iter([pd.DataFrame({"v": [1.0, 2.0, 3.0]})]), st))
+    assert out1 == []
+    out2 = list(fn(("k",), iter([pd.DataFrame({"v": [4.0, 5.0, 6.0]})]), st))
+    res = pd.concat(out2)
+    assert len(res) == 1
+    assert res.iloc[0].emitted_at_count == 4
+    assert res.iloc[0].s == 10.0  # 1+2+3+4
