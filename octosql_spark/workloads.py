@@ -824,6 +824,56 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     return ngram_jaccard_pairs(d, n=3, threshold=0.8)
 
 
+_PLANTED_NEAR = [(i, 100 + i) for i in range(1, 9)]
+_PLANTED_EXACT = [(i, 100 + i) for i in range(51, 55)]
+# simhash finds the exact pairs plus the near pairs within Hamming 3
+# (deterministic — xxhash64 is a fixed function; recomputed by
+# tools/make_planted_fixture.py)
+_PLANTED_SIMHASH = [(1, 101), (3, 103), (7, 107), (8, 108)] + _PLANTED_EXACT
+
+
+def _planted_docs(spark):
+    import os
+    path = os.path.normpath(os.path.join(_FIXTURE_DIR, "planted_docs.json"))
+    return spark.read.schema("doc_id long, text string").json(path)
+
+
+def _pairs_values_sql(pairs) -> str:
+    rows = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
+    return (f"SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b "
+            f"FROM (VALUES {rows}) AS t(id_a, id_b)")
+
+
+@workload("dedup_minhash_planted", _pairs_values_sql(_PLANTED_NEAR + _PLANTED_EXACT))
+def dedup_minhash_planted_q(spark, sf_dir):
+    """MinHash+LSH on the planted fixture
+    (tools/make_planted_fixture.py): 8 one-word-changed near-dup pairs
+    + 4 exact-dup pairs must ALL be found, unique-vocabulary docs must
+    pair with nothing — a real recall/precision oracle, not rows-only."""
+    from octosql_spark.datapipe import minhash_lsh_pairs
+    return (minhash_lsh_pairs(_planted_docs(spark))
+            .select("id_a", "id_b"))
+
+
+@workload("dedup_simhash_planted", _pairs_values_sql(_PLANTED_SIMHASH))
+def dedup_simhash_planted_q(spark, sf_dir):
+    """SimHash (Hamming ≤ 3) on the planted fixture: all exact pairs
+    (Hamming 0) + the near pairs whose single-word edit flips ≤ 3
+    signature bits; zero false positives across unique-vocab docs."""
+    from octosql_spark.datapipe import simhash_near_dup_pairs
+    return (simhash_near_dup_pairs(_planted_docs(spark))
+            .select("id_a", "id_b"))
+
+
+@workload("dedup_ngram_planted", _pairs_values_sql(_PLANTED_NEAR + _PLANTED_EXACT))
+def dedup_ngram_planted_q(spark, sf_dir):
+    """Exact n-gram Jaccard (prefix-filtered) on the planted fixture:
+    all 12 planted pairs, no false positives."""
+    from octosql_spark.datapipe import ngram_jaccard_pairs
+    return (ngram_jaccard_pairs(_planted_docs(spark))
+            .select("id_a", "id_b"))
+
+
 @workload("embedding_norms", """
 SELECT vec_id,
        ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

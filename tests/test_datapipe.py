@@ -154,3 +154,34 @@ def test_cosine_topk_pandas_matches_expr(spark, sf_dir):
     rb = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
           for r in b.collect()}
     assert ra == rb
+
+
+# ----------------------------------------- planted-fixture oracles
+
+def test_planted_fixture_recall_and_precision(spark):
+    """The committed planted fixture (tools/make_planted_fixture.py):
+    every dedup operator must find all exact-dup pairs, jaccard-based
+    ones must also find all one-word-edit near pairs, and no operator
+    may pair the unique-vocabulary docs."""
+    import os
+    from octosql_spark.datapipe import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_dup_pairs)
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "planted_docs.json")
+    df = spark.read.schema("doc_id long, text string").json(path)
+    near = {(i, 100 + i) for i in range(1, 9)}
+    exact = {(i, 100 + i) for i in range(51, 55)}
+
+    mh = {(r.id_a, r.id_b) for r in
+          minhash_lsh_pairs(df).select("id_a", "id_b").collect()}
+    ng = {(r.id_a, r.id_b) for r in
+          ngram_jaccard_pairs(df).select("id_a", "id_b").collect()}
+    sh = {(r.id_a, r.id_b) for r in
+          simhash_near_dup_pairs(df).select("id_a", "id_b").collect()}
+
+    assert (near | exact) <= mh
+    assert (near | exact) <= ng
+    assert exact <= sh
+    for found in (mh, ng, sh):
+        assert not {p for p in found if p[0] >= 201 or p[1] >= 201}
+        assert found <= (near | exact)
