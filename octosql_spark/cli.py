@@ -87,25 +87,32 @@ def _run_streaming(args, res, df) -> int:
         mode, trig = map_trigger(spec)
     if args.duration is None and not trig:
         trig = {"availableNow": True}  # finite run: drain and exit
-    writer = sinks.stream_batch_writer(args.output)
 
-    def _start(output_mode):
+    def _start(output_mode, writer):
         w = df.writeStream.outputMode(output_mode).foreachBatch(writer)
         if trig:
             w = w.trigger(**trig)
         return w.start()
 
     try:
-        if args.output == "live_table" and spec is None:
-            # the live table repaints the FULL current result per
-            # frame (live_output.go:165-204) — complete mode where the
-            # query allows it (aggregations), else per-batch updates
+        q = None
+        if args.output in ("live_table", "stream_native") \
+                and (spec is None or spec.upper().startswith("COUNTING")):
+            # aggregating queries: complete mode gives the full result
+            # per frame — the live table repaints it
+            # (live_output.go:165-204) and stream_native diffs frames
+            # into the reference's retract/emit pairs
+            # (outputs/stream/printer.go). Non-agg queries reject
+            # complete mode → fall through to additions-only.
+            writer = (sinks.stream_native_diff_writer()
+                      if args.output == "stream_native"
+                      else sinks.stream_batch_writer(args.output))
             try:
-                q = _start("complete")
+                q = _start("complete", writer)
             except Exception:
-                q = _start(mode)
-        else:
-            q = _start(mode)
+                q = None
+        if q is None:
+            q = _start(mode, sinks.stream_batch_writer(args.output))
     except Exception as ex:
         msg = str(ex).strip().split("\n")[0]
         print(f"error: {msg}", file=sys.stderr)

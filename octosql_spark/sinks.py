@@ -128,6 +128,37 @@ WRITERS = {
 
 # ------------------------------------------------- streaming (foreachBatch)
 
+def stream_native_diff_writer(out: IO[str] | None = None):
+    """TRUE retraction stream for aggregating streaming queries: runs
+    under complete output mode and diffs consecutive result frames —
+    rows that disappeared print as ``{-...|}`` retractions, new rows as
+    ``{+...|}`` additions. This reproduces the reference's
+    retract-then-emit contract (custom_trigger_group_by.go:62-233 →
+    outputs/stream/printer.go) exactly at the sink.
+
+    The frame materializes per batch — the same cost profile as the
+    reference's in-memory live buffer; bounded-state queries only (an
+    aggregate's result set, not the raw stream)."""
+    from collections import Counter
+    prev: dict = {"rows": None}
+
+    def _write(batch_df: DataFrame, batch_id: int, out=out) -> None:
+        if out is None:
+            out = sys.stdout
+        cur_rows = [tuple(r) for r in batch_df.collect()]
+        c_prev = Counter(prev["rows"]) if prev["rows"] else Counter()
+        c_cur = Counter(cur_rows)
+        for row in sorted((c_prev - c_cur).elements(), key=str):
+            vals = ", ".join(_native_value(v) for v in row)
+            out.write(f"{{-{_ZERO_TIME}| {vals} |}}\n")
+        for row in sorted((c_cur - c_prev).elements(), key=str):
+            vals = ", ".join(_native_value(v) for v in row)
+            out.write(f"{{+{_ZERO_TIME}| {vals} |}}\n")
+        prev["rows"] = cur_rows
+        out.flush()
+
+    return _write
+
 def stream_batch_writer(output: str, out: IO[str] | None = None):
     """foreachBatch printer for streaming queries through the CLI.
 

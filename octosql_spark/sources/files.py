@@ -59,7 +59,7 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
     opts = {"header": str(header).lower(), "sep": sep,
             "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"}
     if tail:
-        return _stream_reader(spark, path, "csv", schema, **opts)
+        return _stream_reader(spark, path, "csv", schema, **opts, **_)
     reader = spark.read
     for k, v in opts.items():
         reader = reader.option(k, v)
@@ -72,7 +72,7 @@ def read_tsv(spark: SparkSession, path: str, **opts: object) -> DataFrame:
 
 
 def read_json(spark: SparkSession, path: str, octosql_infer: bool = True,
-              tail: bool = False, **_: object) -> DataFrame:
+              tail: bool = False, **extra: object) -> DataFrame:
     """JSON-lines scan (datasources/json/impl.go:18-99): object per
     line, nested structs/lists, 100-line sampled inference with the
     reference's rules (numbers→Float, RFC3339 strings→Time, per-key
@@ -89,7 +89,7 @@ def read_json(spark: SparkSession, path: str, octosql_infer: bool = True,
         schema = spark.read.json(path).schema
     if tail:
         return _stream_reader(spark, path, "json", schema,
-                              timestampFormat=ts_fmt)
+                              timestampFormat=ts_fmt, **extra)
     return (spark.read.option("timestampFormat", ts_fmt)
             .schema(schema).json(path))
 
@@ -126,10 +126,10 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
 
 
 def read_parquet(spark: SparkSession, path: str, tail: bool = False,
-                 **_: object) -> DataFrame:
+                 **extra: object) -> DataFrame:
     if tail:
         return _stream_reader(spark, path, "parquet",
-                              spark.read.parquet(path).schema)
+                              spark.read.parquet(path).schema, **extra)
     return spark.read.parquet(path)
 
 

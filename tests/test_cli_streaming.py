@@ -105,3 +105,49 @@ def test_varying_fields_stream_native_golden(spark, capsys):
         "{+0001-01-01T00:00:00Z| 'value', 42, { 'eulav', 24, <null> } |}",
         "{+0001-01-01T00:00:00Z| 'value', 42, { <null>, 'eulav', 'value' } |}",
     ]
+
+
+def test_stream_native_retraction_log(spark, tmp_path, capsys):
+    """Complete-mode frame diffing reproduces the reference's
+    retract/emit stream: a refined aggregate retracts its prior value
+    (custom_trigger_group_by.go previouslySentValues)."""
+    d = tmp_path / "inc"
+    d.mkdir()
+    f1, f2 = d / "a.json", d / "b.json"
+    f1.write_text('{"k": "x"}\n{"k": "x"}\n{"k": "y"}\n')
+    f2.write_text('{"k": "x"}\n')
+    os.utime(f1, (1000000, 1000000))
+    os.utime(f2, (2000000, 2000000))
+    rc = main([f"SELECT k, COUNT(*) AS n FROM "
+               f"'{d}/*.json?tail=true&maxFilesPerTrigger=1' GROUP BY k",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.startswith("{")]
+    # frame 0: +x2 +y1 ; frame 1: -x2 +x3
+    assert lines == [
+        "{+0001-01-01T00:00:00Z| 'x', 2 |}",
+        "{+0001-01-01T00:00:00Z| 'y', 1 |}",
+        "{-0001-01-01T00:00:00Z| 'x', 2 |}",
+        "{+0001-01-01T00:00:00Z| 'x', 3 |}",
+    ]
+
+
+def test_live_table_repaint(spark, tmp_path, capsys):
+    d = tmp_path / "lt"
+    d.mkdir()
+    f1, f2 = d / "a.json", d / "b.json"
+    f1.write_text('{"k": "x"}\n')
+    f2.write_text('{"k": "y"}\n')
+    os.utime(f1, (1000000, 1000000))
+    os.utime(f2, (2000000, 2000000))
+    rc = main([f"SELECT k, COUNT(*) AS n FROM "
+               f"'{d}/*.json?tail=true&maxFilesPerTrigger=1' GROUP BY k",
+               "--output", "live_table"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # two repaints, the second one showing the full refreshed table
+    assert out.count("-- batch") == 2
+    assert out.index("-- batch 0 --") < out.index("-- batch 1 --")
+    last_frame = out[out.index("-- batch 1 --"):]
+    assert "x" in last_frame and "y" in last_frame
