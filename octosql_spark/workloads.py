@@ -585,7 +585,7 @@ SELECT c_custkey, o_orderkey, o_totalprice AS total FROM (
                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM customer JOIN orders ON c_custkey = o_custkey
 ) WHERE rn = 1
-""")
+""", headline=True)
 def window_topn_per_group(spark, sf_dir):
     """Analytic window functions (exceed parity: §2.6 'not implemented'
     in the reference). Partition-local sort only, no global shuffle
@@ -709,7 +709,7 @@ def headline_queries():
 @workload("dedup_exact", """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count, text
 FROM documents GROUP BY text
-""")
+""", headline=True)
 def dedup_exact_q(spark, sf_dir):
     """Exact dedup: hash-groupBy, min-id representative (datapipe.dedup)."""
     from octosql_spark.datapipe import exact_dedup
@@ -798,7 +798,7 @@ def langid_heuristic_q(spark, sf_dir):
                     language_id(F.col("text")).alias("lang_pred"))
 
 
-@workload("dedup_minhash_lsh", None)
+@workload("dedup_minhash_lsh", None, headline=True)
 def dedup_minhash_lsh_q(spark, sf_dir):
     """MinHash+LSH near-dup pairs — banded signatures + bucket join
     (datapipe.dedup.minhash_lsh_pairs). Hash-seeded, so rows-only."""
