@@ -64,8 +64,54 @@ def main(argv: list[str] | None = None) -> int:
     if df.isStreaming:
         return _run_streaming(args, res, df)
 
+    if res.polls and args.duration:
+        return _run_poll(args, spark, res)
+
     sinks.WRITERS[args.output](df)
     return 0
+
+
+def _run_poll(args, spark, first) -> int:
+    """poll() continuous semantics (table_valued_functions/
+    poll.go:104-149): re-run the finite subquery every poll interval;
+    each round retracts the previous rows and emits fresh ones. The
+    whole query re-transpiles per round so file sources re-read."""
+    import time
+
+    from octosql_spark import sinks
+    from octosql_spark.sql import run_query
+    from octosql_spark.tvf import interval_micros
+
+    spec = first.polls[0]
+    try:
+        interval = interval_micros(spec) / 1e6
+    except ValueError:
+        interval = float(spec)
+
+    out = sys.stdout
+
+    def emit(rows, marker):
+        for row in rows:
+            vals = ", ".join(sinks._native_value(v) for v in row)
+            out.write(f"{{{marker}{sinks._ZERO_TIME}| {vals} |}}\n")
+        out.flush()
+
+    deadline = time.time() + args.duration
+    prev_rows = None
+    res = first
+    while True:
+        rows = res.df.collect()
+        if args.output == "stream_native":
+            if prev_rows:
+                emit(prev_rows, "-")
+            emit(rows, "+")
+        else:
+            sinks.WRITERS[args.output](res.df)
+        prev_rows = rows
+        if time.time() + interval > deadline:
+            return 0
+        time.sleep(interval)
+        res = run_query(spark, args.query)
 
 
 def _run_streaming(args, res, df) -> int:

@@ -70,7 +70,16 @@ def _cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int,
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, vec_col).collect()  # query block: small
+    # The query block materializes on the driver and broadcasts into
+    # every task — enforce the "small" contract instead of OOMing.
+    max_queries = 100_000
+    qrows = (queries.select(id_col, vec_col)
+             .limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk(impl='pandas'): query block exceeds "
+            f"{max_queries} rows; batch the queries or use "
+            f"lsh_bucketed_topk for query sets this large")
     q_ids = np.array([r[0] for r in qrows], dtype="int64")
     Q = np.array([r[1] for r in qrows], dtype="float64")
     if not normalized:

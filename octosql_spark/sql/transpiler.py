@@ -53,6 +53,7 @@ class Transpiled:
     sql: str
     triggers: list[str] = field(default_factory=list)
     views: dict[str, str] = field(default_factory=dict)  # view -> source desc
+    polls: list[str] = field(default_factory=list)  # poll() intervals
 
 
 def _sig(toks: list[Tok]) -> list[int]:
@@ -795,6 +796,10 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
                 resolution=_interval_to_spark(resolution) if resolution else None)
         elif name == "poll":
             df = _df_arg("source")
+            # one round materializes here; the CLI re-runs the whole
+            # query per round for the reference's continuous
+            # retract-then-emit loop (poll.go:104-149)
+            out.polls.append(_str_arg("poll_interval") or "1 second")
             res = next(tvfmod.poll(spark, lambda s: df, rounds=1, sleep=False))
         else:  # pragma: no cover
             raise ValueError(name)
@@ -829,9 +834,10 @@ class QueryResult:
     df: DataFrame
     triggers: list[str]
     spark_sql: str
+    polls: list[str] = field(default_factory=list)
 
 
 def run_query(spark: SparkSession, sql: str) -> QueryResult:
     """Full front-end: OctoSQL dialect in, DataFrame out."""
     t = transpile(spark, sql)
-    return QueryResult(spark.sql(t.sql), t.triggers, t.sql)
+    return QueryResult(spark.sql(t.sql), t.triggers, t.sql, t.polls)

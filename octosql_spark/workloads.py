@@ -99,17 +99,17 @@ FROM lineitem
 def agg_global(spark, sf_dir):
     """Global aggregation — the reference's end-of-stream trigger emit
     (execution/nodes/simple_group_by.go:45-147) with count/sum/avg/
-    min/max/count_distinct (aggregates/*.go)."""
+    min/max/count_distinct (aggregates/*.go). ONE aggregation pass —
+    a single scan with partial (map-side) aggregation."""
     li = _t(spark, sf_dir, "lineitem")
-    return group_by(li, [], [
-        ("count", "*", "cnt"),
-    ]).crossJoin(li.agg(
+    return li.agg(
+        F.count(F.lit(True)).alias("cnt"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
         F.count_distinct("l_orderkey").alias("n_orders"),
-    ))
+    )
 
 
 @workload("pricing_summary", """

@@ -151,3 +151,25 @@ def test_live_table_repaint(spark, tmp_path, capsys):
     assert out.index("-- batch 0 --") < out.index("-- batch 1 --")
     last_frame = out[out.index("-- batch 1 --"):]
     assert "x" in last_frame and "y" in last_frame
+
+
+def test_cli_poll_continuous_retract_emit(spark, tmp_path, capsys):
+    """poll() re-runs the subquery per round, retracting the previous
+    emission (poll.go:104-149 retract-then-emit loop)."""
+    p = tmp_path / "v.csv"
+    p.write_text("a\n1\n")
+    t = threading.Thread(target=main, args=(
+        [f"SELECT * FROM poll(source => TABLE(SELECT a FROM '{p}'))",
+         "--output", "stream_native", "--duration", "12"],))
+    t.start()
+    time.sleep(6)  # let at least one round with a=1 complete
+    p.write_text("a\n2\n")
+    t.join(timeout=90)
+    assert not t.is_alive()
+    out = capsys.readouterr().out
+    adds_1 = [l for l in out.splitlines() if l.startswith("{+") and "| 1, " in l]
+    retracts = [l for l in out.splitlines() if l.startswith("{-")]
+    adds_2 = [l for l in out.splitlines() if l.startswith("{+") and "| 2, " in l]
+    # rounds with the old value, retractions between rounds, and the
+    # refreshed value after the source changed
+    assert adds_1 and retracts and adds_2
