@@ -67,7 +67,15 @@ def main(argv: list[str] | None = None) -> int:
     if res.polls and args.duration:
         return _run_poll(args, spark, res)
 
-    sinks.WRITERS[args.output](df)
+    try:
+        sinks.WRITERS[args.output](df)
+    except Exception as ex:
+        # runtime errors (malformed input under FAILFAST, panics, …)
+        # print as one line + nonzero exit, like the reference's
+        # "Error: couldn't run query: ..." (.err goldens)
+        msg = str(ex).strip().split("\n")[0]
+        print(f"error: {msg}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -89,8 +89,13 @@ def read_json(spark: SparkSession, path: str, octosql_infer: bool = True,
         schema = spark.read.json(path).schema
     if tail:
         return _stream_reader(spark, path, "json", schema,
-                              timestampFormat=ts_fmt, **extra)
+                              timestampFormat=ts_fmt, mode="FAILFAST",
+                              **extra)
+    # FAILFAST: a malformed line is a query error, like the reference
+    # ("couldn't parse line N", tests/scenarios/datasources/json/
+    # error1/2) — not a silent NULL row (Spark's PERMISSIVE default)
     return (spark.read.option("timestampFormat", ts_fmt)
+            .option("mode", "FAILFAST")
             .schema(schema).json(path))
 
 

@@ -60,3 +60,32 @@ def test_cli_end_to_end(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.splitlines()[0] == "name,age"
     assert out.stdout.splitlines()[1] == "alice,30"
+
+
+def test_malformed_json_errors(spark, tmp_path, capsys):
+    """Golden error parity (tests/scenarios/datasources/json/error1:
+    'couldn't parse line 1123'): a malformed JSON line is a query
+    error + nonzero exit, not a silent NULL row."""
+    from octosql_spark.cli import main
+    p = tmp_path / "bad.json"
+    lines = ['{"field1": "abc", "field2": 42}'] * 150
+    lines.insert(120, "abcd")  # past the 100-line inference sample
+    p.write_text("\n".join(lines) + "\n")
+    rc = main([f"SELECT COUNT(*) AS n, SUM(field2) AS s FROM '{p}'",
+               "--output", "json"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert err.startswith("error:")
+
+
+def test_non_object_json_line_errors(spark, tmp_path, capsys):
+    """error2 golden: a valid-JSON line that isn't an object errors."""
+    from octosql_spark.cli import main
+    p = tmp_path / "bad2.json"
+    lines = ['{"field1": "abc", "field2": 42}'] * 150
+    lines.insert(120, '"abcd"')
+    p.write_text("\n".join(lines) + "\n")
+    rc = main([f"SELECT COUNT(*) AS n FROM '{p}'", "--output", "json"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert err.startswith("error:")
