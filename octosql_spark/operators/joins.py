@@ -112,12 +112,15 @@ def lookup_join(left: DataFrame, right: DataFrame,
 
     The hint is SIZE-GATED: ``F.broadcast`` overrides Spark's 64 MB
     threshold, so an unconditional hint on a grown dimension table
-    would OOM every executor. Past the gate (or when the size is
-    unknown) the hint is dropped and Catalyst/AQE picks the strategy —
-    the same graceful degradation as the reference's slow re-queries,
-    minus the OOM."""
+    would OOM every executor. When Catalyst KNOWS the right side is
+    big (file-backed scans report real sizes) the hint drops and
+    AQE picks the strategy — the same graceful degradation as the
+    reference's slow re-queries, minus the OOM. Unknown sizes
+    (in-memory frames, JDBC) keep the hint: LOOKUP JOIN is the user's
+    assertion that the right side is the small, indexed one."""
     size = _plan_size_bytes(right)
-    if size is not None and size <= _BROADCAST_HINT_MAX_BYTES:
+    if size is None or size <= _BROADCAST_HINT_MAX_BYTES \
+            or size >= (1 << 60):  # defaultSizeInBytes sentinel: unknown
         right = F.broadcast(right)
     if isinstance(on, Column):
         return left.join(right, on, how)
