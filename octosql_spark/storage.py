@@ -1,0 +1,74 @@
+"""Storage-layout operations for shuffle avoidance at scale.
+
+The reference is single-machine and has no layout story; on a cluster
+the dominant cost of repeated joins/aggregations over the same keys is
+the shuffle. Two standard tools, exposed as first-class operations:
+
+- **Bucketing** (``write_bucketed`` / ``read_bucketed``): persist a
+  table hash-partitioned AND optionally sorted by the join key. Two
+  tables bucketed on the same key with the same bucket count join
+  with ZERO Exchange on either side (sort-merge join reads co-located
+  buckets). At 100 TB this turns every recurring join/groupBy on the
+  bucket key into a narrow, shuffle-free stage.
+- **Salting** (``salted_join``): for skewed keys (one key = 30% of
+  rows), split each hot left-side key across ``salt`` sub-keys and
+  replicate the right side per sub-key — the hot partition becomes
+  ``salt`` parallel partitions. AQE's skew-join handles moderate skew
+  automatically (session.py enables it); salting is the explicit tool
+  for extreme generator-style skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
+                   n_buckets: int = 64,
+                   sort_cols: Sequence[str] | None = None,
+                   path: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) parquet table.
+
+    ``n_buckets`` sizing at scale: total_bytes / n_buckets should land
+    in the 100-500 MB range per bucket file per task."""
+    w = df.write.format("parquet").mode(mode) \
+        .bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table; Catalyst consumes the bucket spec and
+    drops the Exchange for joins/aggregations on the bucket key."""
+    return spark.table(table)
+
+
+def salted_join(left: DataFrame, right: DataFrame,
+                on: Sequence[str], how: str = "inner",
+                salt: int = 16) -> DataFrame:
+    """Equi-join with key salting for extreme skew.
+
+    The left (big, skewed) side gets a deterministic pseudo-random
+    salt per row; the right side replicates ``salt`` times. The join
+    key becomes (key, salt) so one hot key spreads over ``salt``
+    shuffle partitions. Row-identical to ``left.join(right, on, how)``
+    for inner/left joins; right side grows ``salt``× (keep it the
+    small side)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    on = list(on)
+    salted_l = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+        .cast("int"))
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = salted_l.join(salted_r, on + ["_salt"], how)
+    return out.drop("_salt")

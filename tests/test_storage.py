@@ -1,0 +1,83 @@
+"""Bucketed co-located joins (zero-Exchange plans) and salted skew
+joins — the storage-layout scale tools."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from octosql_spark.storage import read_bucketed, salted_join, write_bucketed
+
+
+@pytest.fixture
+def bucketed_pair(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS _bt_orders")
+    spark.sql("DROP TABLE IF EXISTS _bt_custs")
+    orders = spark.range(0, 10_000).select(
+        (F.col("id") % 500).alias("custkey"),
+        (F.col("id") * 3).alias("amount"))
+    custs = spark.range(0, 500).select(
+        F.col("id").alias("custkey"),
+        F.concat(F.lit("c"), F.col("id")).alias("name"))
+    write_bucketed(orders, "_bt_orders", ["custkey"], 8,
+                   sort_cols=["custkey"],
+                   path=str(tmp_path / "bt_orders"))
+    write_bucketed(custs, "_bt_custs", ["custkey"], 8,
+                   sort_cols=["custkey"],
+                   path=str(tmp_path / "bt_custs"))
+    yield "_bt_orders", "_bt_custs"
+    spark.sql("DROP TABLE IF EXISTS _bt_orders")
+    spark.sql("DROP TABLE IF EXISTS _bt_custs")
+
+
+def test_bucketed_join_no_shuffle(spark, bucketed_pair):
+    t1, t2 = bucketed_pair
+    # disable auto-broadcast so the join exercises the bucket layout
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, t1).join(read_bucketed(spark, t2),
+                                          "custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: sort-merge join with NO Exchange
+        assert "Exchange" not in plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_groupby_no_shuffle(spark, bucketed_pair):
+    t1, _ = bucketed_pair
+    agg = (read_bucketed(spark, t1).groupBy("custkey")
+           .agg(F.sum("amount").alias("s")))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert agg.count() == 500
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one pathologically hot key (90% of rows)
+    left = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"))
+    right = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    plain = left.join(right, ["k"])
+    salted = salted_join(left, right, ["k"], salt=8)
+    assert salted.count() == plain.count()
+    a = {(r.k, r.v, r.w) for r in plain.collect()}
+    b = {(r.k, r.v, r.w) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_left_join(spark):
+    left = spark.range(0, 100).select((F.col("id") % 7).alias("k"),
+                                      F.col("id").alias("v"))
+    right = spark.range(0, 3).select(F.col("id").alias("k"),
+                                     F.lit("x").alias("w"))
+    plain = left.join(right, ["k"], "left")
+    salted = salted_join(left, right, ["k"], how="left", salt=4)
+    assert salted.count() == plain.count() == 100
+    assert salted.filter(F.col("w").isNull()).count() == \
+        plain.filter(F.col("w").isNull()).count()
