@@ -824,6 +824,30 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     return ngram_jaccard_pairs(d, n=3, threshold=0.8)
 
 
+_LANG_SAMPLES = [
+    (1, "the cat sat and it was good for the dog in the house", "en"),
+    (2, "le chat est dans la maison et il est pour les enfants", "fr"),
+    (3, "el gato es una mascota y los perros para la casa", "es"),
+    (4, "der hund ist ein tier und die katze ist nicht gross", "de"),
+    (5, "你好世界", "zh"),
+    (6, "xyzzy plugh qwerty asdf", "und"),
+]
+
+
+@workload("text_language_planted",
+          "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM (VALUES "
+          + ", ".join(f"({i}, '{lang}')" for i, _, lang in _LANG_SAMPLES)
+          + ") AS t(doc_id, lang)")
+def text_language_planted_q(spark, sf_dir):
+    """Language ID on planted samples with unambiguous stopword
+    votes — a real oracle for the heuristic (expected labels are the
+    construction, not the implementation's output)."""
+    from octosql_spark.datapipe.text import language_id
+    df = spark.createDataFrame([(i, t) for i, t, _ in _LANG_SAMPLES],
+                               "doc_id long, text string")
+    return df.select("doc_id", language_id(F.col("text")).alias("lang"))
+
+
 _PLANTED_NEAR = [(i, 100 + i) for i in range(1, 9)]
 _PLANTED_EXACT = [(i, 100 + i) for i in range(51, 55)]
 # simhash finds the exact pairs plus the near pairs within Hamming 3
@@ -912,6 +936,32 @@ def ann_cosine_topk_q(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 20)
     return cosine_topk_bruteforce(q, e, k=5).select(
         "query_id", "neighbor_id", "rank")
+
+
+@workload("ann_lsh_consistency", """
+SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor_id
+WHERE FALSE
+""")
+def ann_lsh_consistency_q(spark, sf_dir):
+    """LSH invariant as a real oracle: every (query, neighbor) the LSH
+    path returns must carry the EXACT brute-force cosine (candidates
+    are scored exactly; only recall is approximate). Emits the
+    violations — the oracle is the empty set."""
+    from octosql_spark.datapipe import lsh_bucketed_topk
+    from pyspark.sql import functions as F
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 20)
+    lsh = lsh_bucketed_topk(q, e, k=5, dim=64)
+    qv = e.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("_qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("_cv"))
+    from octosql_spark.datapipe.similarity import _dot
+    exact = (lsh.join(qv, "query_id").join(cv, "neighbor_id")
+             .withColumn("_exact", _dot(F.col("_qv"), F.col("_cv"))))
+    return (exact.filter(F.abs(F.col("cosine") - F.col("_exact")) > 1e-9)
+            .select("query_id", "neighbor_id"))
 
 
 @workload("ann_lsh_topk", None)
