@@ -1324,6 +1324,21 @@ def docs_functions_q(spark, sf_dir):
     return docs_table(spark, "function_signatures")
 
 
+def _docs_aggregates_oracle() -> str:
+    from octosql_spark.operators.aggregate import AGGREGATES
+    vals = ", ".join(f"('{n}')" for n in sorted(AGGREGATES))
+    return f"SELECT name FROM (VALUES {vals}) AS t(name)"
+
+
+@workload("docs_aggregates", _docs_aggregates_oracle())
+def docs_aggregates_q(spark, sf_dir):
+    """docs.aggregates with a VALUES oracle — verifies the
+    introspection plumbing and pins the aggregate catalog
+    (datasources/docs/database.go:20-120)."""
+    from octosql_spark.sources.docs import docs_table
+    return docs_table(spark, "aggregates")
+
+
 @workload("ann_cosine_topk_gemm", """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
