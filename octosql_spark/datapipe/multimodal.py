@@ -82,6 +82,74 @@ def decode_media(df: DataFrame, binary_col: str = "media",
     return df.mapInPandas(run, out_schema)
 
 
+def resize_media(df: DataFrame, width: int, height: int,
+                 binary_col: str = "media",
+                 backend: str = "stub") -> DataFrame:
+    """Resize plumbing: mapInPandas binary→binary with target
+    dimensions attached. The stub backend emits a deterministic
+    transformation of the input bytes (length scales with the pixel
+    ratio) so batch shapes, memory profile and schema are exercised;
+    ``backend="real"`` is the PIL/ffmpeg extension point."""
+    if backend == "real":
+        raise NotImplementedError(
+            "real resize (PIL/ffmpeg) not available in this container")
+    passthrough = [c for c in df.columns if c != binary_col]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != binary_col)
+    out_schema += f", `{binary_col}` binary, out_width int, out_height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes((b or b"")[: max(1, (width * height) // 1024) or 1])
+                for b in pdf[binary_col]]
+            out = pdf[passthrough].reset_index(drop=True)
+            out[binary_col] = resized
+            out["out_width"] = width
+            out["out_height"] = height
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+EMBED_DIM = 64
+
+
+def extract_features(df: DataFrame, binary_col: str = "media",
+                     out_col: str = "embedding",
+                     backend: str = "stub") -> DataFrame:
+    """Feature extraction: binary → unit-norm float vector (the
+    embedding column the similarity ops consume — binary in, ANN-ready
+    out). Stub backend derives a deterministic vector from the bytes;
+    ``backend="real"`` is the model-inference extension point (batch
+    the bytes through an ONNX/torch session here)."""
+    if backend == "real":
+        raise NotImplementedError(
+            "real feature extraction (model inference) not available "
+            "in this container")
+    import numpy as np
+    passthrough = [c for c in df.columns if c != binary_col]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != binary_col)
+    out_schema += f", `{out_col}` array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for b in pdf[binary_col]:
+                seed = int.from_bytes((b or b"\0")[:8].ljust(8, b"\0"),
+                                      "little") % (2 ** 32)
+                v = np.random.RandomState(seed).standard_normal(EMBED_DIM)
+                vecs.append((v / np.linalg.norm(v)).astype("float32"))
+            out = pdf[passthrough].reset_index(drop=True)
+            out[out_col] = vecs
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 def sample_frames(df: DataFrame, every_n: int = 30,
                   frames_col: str = "n_frames") -> DataFrame:
     """Frame sampling plan for video rows: emits one row per sampled

@@ -185,3 +185,46 @@ def test_planted_fixture_recall_and_precision(spark):
     for found in (mh, ng, sh):
         assert not {p for p in found if p[0] >= 201 or p[1] >= 201}
         assert found <= (near | exact)
+
+
+def test_multimodal_pipeline_end_to_end(spark):
+    """binary → metadata → decode → resize → features → ANN top-k:
+    the full multimodal curation pipeline shape with the stub codecs
+    (real Spark plumbing: schemas, Arrow batches, partitioning)."""
+    from octosql_spark.datapipe.multimodal import (
+        attach_media_metadata, decode_media, extract_features,
+        resize_media, sample_frames)
+    from octosql_spark.datapipe import cosine_topk_bruteforce
+    from pyspark.sql import functions as F
+
+    rows = [(i, bytes([i % 256]) * (100 + i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, media binary")
+
+    meta = attach_media_metadata(df, "media")
+    m = meta.select("vec_id", "media_meta.byte_size").collect()
+    assert {r.byte_size for r in m} == {100 + i for i in range(50)}
+
+    dec = decode_media(meta, "media")
+    assert {"width", "height", "n_frames", "duration_s"} <= set(dec.columns)
+    assert dec.count() == 50
+
+    rez = resize_media(df, 64, 64, "media")
+    r0 = rez.filter(F.col("vec_id") == 0).collect()[0]
+    assert (r0.out_width, r0.out_height) == (64, 64)
+    assert len(r0.media) == 4  # 64*64//1024
+
+    feats = extract_features(df, "media")
+    assert dict(feats.dtypes)["embedding"] == "array<float>"
+    # deterministic: same bytes → same vector
+    f2 = extract_features(df, "media")
+    a = feats.filter(F.col("vec_id") == 1).collect()[0].embedding
+    b = f2.filter(F.col("vec_id") == 1).collect()[0].embedding
+    assert a == b
+
+    e = feats.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    topk = cosine_topk_bruteforce(e.filter(F.col("vec_id") < 3), e, k=2)
+    assert topk.count() == 6  # 3 queries x k=2
+
+    vid = decode_media(df, "media")
+    frames = sample_frames(vid, every_n=30)
+    assert frames.count() >= vid.count()
