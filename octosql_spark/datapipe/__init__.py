@@ -8,7 +8,7 @@ the genuinely imperative parts like multimodal decode).
 
 from octosql_spark.datapipe.dedup import (  # noqa: F401
     exact_dedup, minhash_signatures, minhash_lsh_pairs, simhash,
-    simhash_near_dup_pairs, ngram_jaccard_pairs,
+    simhash_near_dup_pairs, ngram_jaccard_pairs, embedding_near_dup_pairs,
 )
 from octosql_spark.datapipe.similarity import (  # noqa: F401
     cosine_topk_bruteforce, lsh_bucketed_topk, embedding_norms,
@@ -17,5 +17,6 @@ from octosql_spark.datapipe.text import (  # noqa: F401
     token_count, quality_metrics, language_id, fingerprint,
 )
 from octosql_spark.datapipe.multimodal import (  # noqa: F401
-    attach_media_metadata, decode_media, sample_frames,
+    attach_media_metadata, decode_media, sample_frames, resize_media,
+    extract_features,
 )

@@ -200,6 +200,56 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "hamming"))
 
 
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.9,
+                             method: str = "lsh",
+                             dim: int = 64, n_planes: int = 4,
+                             n_tables: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with
+    cosine(a, b) >= threshold, id_a < id_b.
+
+    ``method="exact"`` — brute-force all-pairs (O(n²) dot products,
+    only for small n / verification).
+    ``method="lsh"`` — hyperplane-LSH candidate buckets + exact cosine
+    verification: the only shuffle is the bucket equi-join; recall is
+    the standard multi-table LSH bound, precision is exact. The
+    100 TB shape (candidates ≪ all-pairs)."""
+    from octosql_spark.datapipe.similarity import (
+        _dot, _hyperplane_signature)
+    e = df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("_v"))
+    norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    e = e.withColumn("_nv", F.transform("_v", lambda x: x / norm)).drop("_v")
+    if method == "exact":
+        a = e.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"))
+        b = e.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"))
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        cos = _dot(F.col("_va"), F.col("_vb"))
+    elif method == "lsh":
+        def _buckets(vec):
+            return F.array(*[
+                F.struct(F.lit(t).alias("table"),
+                         _hyperplane_signature(vec, dim, n_planes,
+                                               42 + 1000 * t).alias("bucket"))
+                for t in range(n_tables)])
+        x = (e.withColumn("_b", F.explode(_buckets(F.col("_nv"))))
+             .select("_id", "_nv", "_b.table", "_b.bucket"))
+        a = x.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"),
+                     "table", "bucket")
+        b = x.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"),
+                     "table", "bucket")
+        cand = (a.join(b, ["table", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+        cos = _dot(F.col("_va"), F.col("_vb"))
+    else:
+        raise ValueError(method)
+    return (cand.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,

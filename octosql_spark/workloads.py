@@ -898,6 +898,35 @@ def dedup_ngram_planted_q(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+@workload("dedup_embedding_cosine", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+  ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.45
+""")
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact method, fully oracled
+    against DuckDB's all-pairs cosine (IDs only — dot products are
+    IEEE-identical but emitting floats invites ROUND drift)."""
+    from octosql_spark.datapipe import embedding_near_dup_pairs
+    e = _t(spark, sf_dir, "embeddings")
+    return (embedding_near_dup_pairs(e, threshold=0.45, method="exact")
+            .select("id_a", "id_b"))
+
+
+@workload("dedup_embedding_cosine_lsh", None)
+def dedup_embedding_cosine_lsh_q(spark, sf_dir):
+    """LSH-bucketed variant (the scale path) — approximate recall,
+    exact precision; rows-only."""
+    from octosql_spark.datapipe import embedding_near_dup_pairs
+    e = _t(spark, sf_dir, "embeddings")
+    return (embedding_near_dup_pairs(e, threshold=0.45, method="lsh")
+            .select("id_a", "id_b"))
+
+
 @workload("embedding_norms", """
 SELECT vec_id,
        ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

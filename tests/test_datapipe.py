@@ -228,3 +228,19 @@ def test_multimodal_pipeline_end_to_end(spark):
     vid = decode_media(df, "media")
     frames = sample_frames(vid, every_n=30)
     assert frames.count() >= vid.count()
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    from octosql_spark.datapipe import embedding_near_dup_pairs
+    from octosql_spark.catalog import load_table
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_near_dup_pairs(e, threshold=0.4, method="exact")
+             .collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           embedding_near_dup_pairs(e, threshold=0.4, method="lsh")
+           .collect()}
+    assert lsh <= exact
+    # multi-table LSH at theta<66deg: expect high recall on this size
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5
