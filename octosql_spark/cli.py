@@ -24,6 +24,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--explain", type=int, default=0)
     ap.add_argument("--sf-dir", default=None,
                     help="register the testdata tables from this dir")
+    ap.add_argument("--optimize", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="accepted for reference-CLI compatibility; "
+                         "Catalyst always optimizes")
     ap.add_argument("--duration", type=float, default=None,
                     help="streaming only: keep following the source for "
                          "N seconds, then stop (default: process current "

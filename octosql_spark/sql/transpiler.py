@@ -490,12 +490,22 @@ def _rewrite_arith_overloads(toks: list[Tok],
     post-``_rewrite_file_tables`` — the Spark-side equivalent of the
     reference's typecheck, logical/function.go:24-132)."""
     types = types or {}
+    # multiplicative ops rewrite BEFORE additive (SQL precedence:
+    # `'x' + s * 2` must become concat('x', repeat(s, 2)), not
+    # concat('x', s) * 2)
+    for ops in (("*", "/"), ("+",)):
+        toks = _rewrite_arith_pass(toks, types, ops)
+    return toks
+
+
+def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
+                        ops: tuple[str, ...]) -> list[Tok]:
     while True:
         sig = _sig(toks)
         hit = None
         for si in range(1, len(sig) - 1):
             i = sig[si]
-            if toks[i].kind != "OP" or toks[i].text not in ("+", "*", "/"):
+            if toks[i].kind != "OP" or toks[i].text not in ops:
                 continue
             op = toks[i].text
             lcat = _operand_cat(toks, sig, si - 1, "left", types)

@@ -186,3 +186,11 @@ def test_golden_style_aggregate_over_join(spark, views):
 def test_transpile_is_pure_rewrite(spark):
     t = transpile(spark, "SELECT a->b, c::int FROM tbl WHERE d ~ 'x'")
     assert "->" not in t.sql and "::" not in t.sql and "~" not in t.sql
+
+
+def test_overload_precedence_mul_before_add(spark, views):
+    # 'x' + s * 2 must be concat('x', repeat(s, 2)) — multiplicative
+    # overloads resolve before additive ones (functions.go:156-355)
+    df = q(spark, "SELECT 'x' + 'ab' * 2 AS v, 'ab' * 2 + 'x' AS w")
+    r = df.collect()[0]
+    assert r.v == "xabab" and r.w == "ababx"
