@@ -83,6 +83,50 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _try_exact_counting(args, res, spec):
+    """Route ``SELECT keys, aggs FROM src GROUP BY keys TRIGGER
+    COUNTING n`` to the EXACT per-key counting-trigger operator
+    (execution/triggers.go:17-87 semantics; streaming/
+    counting_trigger.py) instead of the per-micro-batch update-mode
+    approximation. Returns None when the query shape doesn't match —
+    the caller falls back to the generic mapping."""
+    import re
+
+    from octosql_spark.streaming.counting_trigger import (
+        counting_trigger_aggregate)
+
+    m = re.match(r"(?is)^\s*SELECT\s+(.*?)\s+FROM\s+\S+\s+"
+                 r"GROUP\s+BY\s+(.*?)\s+TRIGGER\b.*$", args.query)
+    if not m or len(res.views) != 1:
+        return None
+    n = int(re.search(r"(?i)COUNTING\s+(\d+)", spec).group(1))
+    keys = [k.strip().strip('`"') for k in m.group(2).split(",")]
+    aggs = []
+    for item in re.split(r",(?![^()]*\))", m.group(1)):
+        item = item.strip()
+        if item.strip('`"') in keys:
+            continue
+        am = re.match(r"(?i)^(count|sum|min|max|avg)\s*\(\s*(\*|[\w`\"]+)"
+                      r"\s*\)\s+AS\s+([\w`\"]+)$", item)
+        if not am:
+            return None
+        aggs.append((am.group(1).lower(), am.group(2).strip('`"'),
+                     am.group(3).strip('`"')))
+    if not aggs:
+        return None
+    spark = res.df.sparkSession
+    src = spark.table(next(iter(res.views)))
+    if not src.isStreaming or any(k not in src.columns for k in keys):
+        return None
+    try:
+        out = counting_trigger_aggregate(src, keys, aggs, n)
+    except Exception:
+        return None
+    # emitted_at_count stays in the output: it is the emission marker
+    # (the positive half of the reference's retract/emit pairs)
+    return out
+
+
 def _run_poll(args, spark, first) -> int:
     """poll() continuous semantics (table_valued_functions/
     poll.go:104-149): re-run the finite subquery every poll interval;
@@ -152,10 +196,16 @@ def _run_streaming(args, res, df) -> int:
             w = w.trigger(**trig)
         return w.start()
 
+    if spec and spec.upper().startswith("COUNTING"):
+        exact = _try_exact_counting(args, res, spec)
+        if exact is not None:
+            df, mode = exact, "append"
+
     try:
         q = None
         if args.output in ("live_table", "stream_native") \
-                and (spec is None or spec.upper().startswith("COUNTING")):
+                and (spec is None or spec.upper().startswith("COUNTING")) \
+                and "emitted_at_count" not in df.columns:
             # aggregating queries: complete mode gives the full result
             # per frame — the live table repaints it
             # (live_output.go:165-204) and stream_native diffs frames

@@ -845,9 +845,10 @@ class QueryResult:
     triggers: list[str]
     spark_sql: str
     polls: list[str] = field(default_factory=list)
+    views: dict[str, str] = field(default_factory=dict)
 
 
 def run_query(spark: SparkSession, sql: str) -> QueryResult:
     """Full front-end: OctoSQL dialect in, DataFrame out."""
     t = transpile(spark, sql)
-    return QueryResult(spark.sql(t.sql), t.triggers, t.sql, t.polls)
+    return QueryResult(spark.sql(t.sql), t.triggers, t.sql, t.polls, t.views)

@@ -173,3 +173,24 @@ def test_cli_poll_continuous_retract_emit(spark, tmp_path, capsys):
     # rounds with the old value, retractions between rounds, and the
     # refreshed value after the source changed
     assert adds_1 and retracts and adds_2
+
+
+def test_trigger_counting_exact_through_cli(spark, tmp_path, capsys):
+    """TRIGGER COUNTING n routes to the exact per-key counting
+    operator (execution/triggers.go:17-87): emissions at every n-th
+    record per key, not per micro-batch."""
+    d = tmp_path / "cnt"
+    d.mkdir()
+    (d / "a.json").write_text(
+        '\n'.join('{"k": "x", "v": %d}' % i for i in range(1, 6)) + '\n'
+        + '{"k": "y", "v": 10}\n')
+    rc = main([f"SELECT k, COUNT(v) AS n FROM '{d}/*.json?tail=true' "
+               "GROUP BY k TRIGGER COUNTING 2",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # key x has 5 records → emissions at counts 2 and 4 (n=2, n=4);
+    # key y has 1 record → no emission
+    assert "{+0001-01-01T00:00:00Z| 'x', 2, 2 |}" in out
+    assert "{+0001-01-01T00:00:00Z| 'x', 4, 4 |}" in out
+    assert "'y'" not in out
