@@ -627,6 +627,9 @@ def _table_positions(toks: list[Tok]) -> list[int]:
 
 
 def _read_table_ref(spark: SparkSession, desc: str) -> DataFrame | None:
+    if desc == "dual":
+        # one-row dummy table (logical/logical.go:101-122)
+        return spark.createDataFrame([("X",)], "dummy string")
     if desc.startswith("docs."):
         from octosql_spark.sources.docs import docs_table
         return docs_table(spark, desc.split(".", 1)[1])
@@ -682,6 +685,9 @@ def _rewrite_file_tables(spark: SparkSession, toks: list[Tok],
                     break
                 if chain[0] in ("stdin", "docs") and len(chain) >= 2:
                     target = (si, sj, ".".join(chain))
+                    break
+                if chain == ["dual"]:
+                    target = (si, si, "dual")
                     break
                 if chain[0] in db_names and len(chain) >= 2:
                     target = (si, sj, ".".join(chain))

@@ -194,3 +194,9 @@ def test_overload_precedence_mul_before_add(spark, views):
     df = q(spark, "SELECT 'x' + 'ab' * 2 AS v, 'ab' * 2 + 'x' AS w")
     r = df.collect()[0]
     assert r.v == "xabab" and r.w == "ababx"
+
+
+def test_dual_table(spark):
+    # `dual` one-row dummy table (logical/logical.go:101-122)
+    df = q(spark, "SELECT 41 + 1 AS x FROM dual")
+    assert [r.x for r in df.collect()] == [42]
