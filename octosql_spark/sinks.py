@@ -107,11 +107,43 @@ def write_stream_native(df: DataFrame, out: IO[str] | None = None,
         out.write(f"{{{marker}{_ZERO_TIME}| {vals} |}}\n")
 
 
+def _octo_type_name(dt) -> str:
+    """Spark dtype → the reference's type rendering
+    (octosql/types.go String()): Int/Float/String/Boolean/Time,
+    [elem] lists, {field: T; ...} structs, unions for variant."""
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "Int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "Float"
+    if isinstance(dt, T.StringType):
+        return "String"
+    if isinstance(dt, T.BooleanType):
+        return "Boolean"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "Time"
+    if isinstance(dt, T.DayTimeIntervalType):
+        return "Duration"
+    if isinstance(dt, T.ArrayType):
+        return f"[{_octo_type_name(dt.elementType)}]"
+    if isinstance(dt, T.StructType):
+        inner = "; ".join(f"{f.name}: {_octo_type_name(f.dataType)}"
+                          for f in dt.fields)
+        return "{" + inner + "}"
+    if isinstance(dt, T.BinaryType):
+        return "Binary"
+    if type(dt).__name__ == "VariantType":
+        return "Union"
+    return dt.simpleString()
+
+
 def describe(df: DataFrame) -> DataFrame:
-    """--describe: the query's output schema as rows
-    (cmd/root.go:300-313, cmd/describe.go)."""
+    """--describe: the query's output schema as rows with the
+    reference's type names (cmd/root.go:300-313, cmd/describe.go;
+    golden varying_object_fields_describe.out renders 'String',
+    'Float', '{field: T; ...}')."""
     spark = df.sparkSession
-    rows = [(f.name, f.dataType.simpleString(), f.nullable)
+    rows = [(f.name, _octo_type_name(f.dataType), f.nullable)
             for f in df.schema.fields]
     return spark.createDataFrame(rows, "name string, type string, nullable boolean")
 

@@ -31,10 +31,14 @@ def test_write_csv_json_stream(spark):
 
 
 def test_describe(spark):
-    df = spark.createDataFrame([(1, "a")], "x int, s string")
+    # reference type names (varying_object_fields_describe.out shape)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, [1], {"f": 2})],
+        "x int, s string, f double, l array<int>, o struct<f: int>")
     d = sinks.describe(df)
     rows = {(r.name, r.type) for r in d.collect()}
-    assert rows == {("x", "int"), ("s", "string")}
+    assert rows == {("x", "Int"), ("s", "String"), ("f", "Float"),
+                    ("l", "[Int]"), ("o", "{f: Int}")}
 
 
 def test_docs_tables(spark):

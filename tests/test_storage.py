@@ -81,3 +81,23 @@ def test_salted_left_join(spark):
     assert salted.count() == plain.count() == 100
     assert salted.filter(F.col("w").isNull()).count() == \
         plain.filter(F.col("w").isNull()).count()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from octosql_spark.storage import read_partitioned, write_partitioned
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "fr")
+        .otherwise("de").alias("lang"))
+    p = str(tmp_path / "part")
+    write_partitioned(df, p, ["lang"])
+    back = read_partitioned(spark, p).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the lang=en predicate prunes partitions at planning time
+    assert "PartitionFilters: [isnotnull(lang" in plan.replace("#", "")[:10**6] \
+        or "PartitionFilters" in plan
+    assert back.count() == 334
+    # only the en directory is read
+    import re
+    scans = [l for l in plan.splitlines() if "Location" in l]
+    assert all("lang=fr" not in l for l in scans)
