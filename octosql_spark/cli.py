@@ -62,7 +62,10 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
     if args.describe:
-        sinks.write_table(sinks.describe(df))
+        # describe renders through the chosen output format, like the
+        # reference (varying_object_fields_describe golden uses
+        # stream_native)
+        sinks.WRITERS[args.output](sinks.describe(df))
         return 0
 
     if df.isStreaming:

@@ -127,6 +127,58 @@ def _hyperplane_signature(vec: Column, dim: int, n_planes: int,
     return sig
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, n_probe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means centroids partition the
+    corpus; each query probes only its ``n_probe`` nearest centroid
+    cells and scores those candidates exactly.
+
+    The serving shape at 100 TB: train centroids ONCE on a sample
+    (MLlib k-means — the only iterative step, coarse-grained), persist
+    the corpus clustered/bucketed by centroid id, and every query
+    batch joins against n_probe/n_centroids of the data. Returns
+    (query_id, neighbor_id, rank, cosine) — cosines are exact, recall
+    depends on n_probe (n_probe = n_centroids → brute force)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("_cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_qv"))
+    train = c.select(array_to_vector("_cv").alias("features"))
+    model = (KMeans(k=n_centroids, seed=seed, featuresCol="features")
+             .fit(train))
+    centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def _nearest(vec: Column, top: int) -> Column:
+        """Array of the `top` nearest centroid ids (squared L2)."""
+        dists = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in ctr]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+                F.lit(i).alias("cid"))
+            for i, ctr in enumerate(centers)])
+        return F.transform(F.slice(F.array_sort(dists), 1, top),
+                           lambda s: s.getField("cid"))
+
+    c_assigned = c.withColumn("_cell", _nearest(F.col("_cv"), 1)[0])
+    q_probed = (q.withColumn("_cell",
+                             F.explode(_nearest(F.col("_qv"), n_probe))))
+    cand = (c_assigned.join(F.broadcast(q_probed), "_cell")
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    scored = cand.withColumn("cosine", _dot(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
 def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       dim: int = 64, n_planes: int = 4, n_tables: int = 8,

@@ -993,6 +993,43 @@ def ann_lsh_consistency_q(spark, sf_dir):
             .select("query_id", "neighbor_id"))
 
 
+@workload("ann_ivf_full_probe", """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
+) WHERE rank <= 5
+""")
+def ann_ivf_full_probe_q(spark, sf_dir):
+    """IVF ANN with n_probe = n_centroids: every cell probed → results
+    identical to brute force, so the full SQL oracle applies — the
+    IVF machinery (k-means train, cell assignment, probe join) is
+    verified end-to-end, not just rows-counted."""
+    from octosql_spark.datapipe import ivf_topk
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 20)
+    return ivf_topk(q, e, k=5, n_centroids=8, n_probe=8).select(
+        "query_id", "neighbor_id", "rank")
+
+
+@workload("ann_ivf_topk", None)
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF ANN, n_probe < n_centroids (the approximate serving path) —
+    rows-only."""
+    from octosql_spark.datapipe import ivf_topk
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 20)
+    return ivf_topk(q, e, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank")
+
+
 @workload("ann_lsh_topk", None)
 def ann_lsh_topk_q(spark, sf_dir):
     """Multi-table hyperplane-LSH ANN (the scale path) — approximate,

@@ -244,3 +244,27 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
     # multi-table LSH at theta<66deg: expect high recall on this size
     if exact:
         assert len(lsh) / len(exact) >= 0.5
+
+
+def test_ivf_topk_exact_cosines_and_recall(spark):
+    from octosql_spark.datapipe import cosine_topk_bruteforce, ivf_topk
+    from octosql_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(q, e, k=5)
+    ivf = ivf_topk(q, e, k=5, n_centroids=8, n_probe=3)
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    iv = {(r.query_id, r.neighbor_id): r.cosine for r in ivf.collect()}
+    # cosines on shared pairs are EXACT
+    for pair, cos in iv.items():
+        if pair in ex:
+            assert abs(cos - ex[pair]) < 1e-9
+    # probing 3/8 cells: decent recall on this size
+    recall = len(set(iv) & set(ex)) / len(ex)
+    assert recall >= 0.4
+    # full probe = brute force
+    full = ivf_topk(q, e, k=5, n_centroids=8, n_probe=8)
+    fl = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert fl == set(ex)
