@@ -927,6 +927,64 @@ def dedup_embedding_cosine_lsh_q(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+@workload("curation_pipeline", r"""
+WITH fp AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+  FROM documents
+), dedup AS (
+  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM fp GROUP BY f
+), q AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+              AS BIGINT) AS n_words,
+         CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+           AS n_punct,
+         CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+           AS n_digit
+  FROM dedup
+)
+SELECT doc_id, n_words,
+       (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN n_words > 0
+               AND (n_chars - n_words + 1.0) / n_words >= 3
+               AND (n_chars - n_words + 1.0) / n_words <= 12
+               THEN 0.2 ELSE 0.0 END
+        + CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2
+               THEN 0.2 ELSE 0.0 END
+        + CASE WHEN n_chars > 0 AND CAST(n_digit AS DOUBLE) / n_chars < 0.3
+               THEN 0.2 ELSE 0.0 END) AS q_score
+FROM q
+WHERE (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN n_words > 0
+              AND (n_chars - n_words + 1.0) / n_words >= 3
+              AND (n_chars - n_words + 1.0) / n_words <= 12
+              THEN 0.2 ELSE 0.0 END
+       + CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2
+              THEN 0.2 ELSE 0.0 END
+       + CASE WHEN n_chars > 0 AND CAST(n_digit AS DOUBLE) / n_chars < 0.3
+              THEN 0.2 ELSE 0.0 END) >= 0.6
+""")
+def curation_pipeline_q(spark, sf_dir):
+    """The composed corpus-curation pass a training pipeline runs:
+    fingerprint dedup (md5 over normalized text, min-id winner) →
+    quality scoring → threshold filter. Fully oracled end-to-end —
+    the composition, not just the pieces."""
+    from octosql_spark.datapipe.text import fingerprint, quality_metrics
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = d.withColumn("f", fingerprint(F.col("text")))
+    dedup = (fp.groupBy("f")
+             .agg(F.min("doc_id").alias("doc_id"),
+                  F.min_by("text", "doc_id").alias("text"))
+             .drop("f"))
+    q = quality_metrics(dedup)
+    return (q.filter(F.col("q_score") >= 0.6)
+            .select("doc_id", F.col("q_words").alias("n_words"), "q_score"))
+
+
 @workload("embedding_norms", """
 SELECT vec_id,
        ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
