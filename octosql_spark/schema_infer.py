@@ -92,8 +92,25 @@ def infer_csv(path: str, header: bool = True, sep: str = ",",
     for i, name in enumerate(names):
         cells = [r[i] if i < len(r) else "" for r in data]
         kinds = [_infer_csv_cell(c) for c in cells] or [ot.STRING]
-        out[name] = _sum_all(kinds)
+        out[name] = _csv_fold(kinds)
     return out
+
+
+def _csv_fold(kinds: list[ot.OctoType]) -> ot.OctoType:
+    """The reference's CSV column fold (csv/impl.go:47-129): plain
+    TypeSum per cell EXCEPT the Int/Float ladder — an Int cell is
+    absorbed by a Float column, a Float cell upgrades an Int column
+    (impl.go:82-99) — so int-mixed numeric columns widen to Float
+    instead of forming Int|Float unions."""
+    cur = kinds[0]
+    for t in kinds[1:]:
+        if t == ot.INT and cur == ot.FLOAT:
+            continue
+        if t == ot.FLOAT and cur == ot.INT:
+            cur = ot.FLOAT
+            continue
+        cur = ot.type_sum(cur, t)
+    return cur
 
 
 def infer_json(path: str, sample_rows: int = SAMPLE_ROWS) -> dict[str, ot.OctoType]:

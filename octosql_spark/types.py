@@ -79,28 +79,52 @@ def struct_of(fields: dict[str, OctoType]) -> OctoType:
 
 
 def union_of(*types: OctoType) -> OctoType:
-    flat: set[OctoType] = set()
+    """Normalized union: alternatives flatten, and same-TypeID
+    alternatives deep-merge (types.go:349-360 — "We only want each
+    TypeID once in the union"). Normalization is what makes the
+    TypeSum lattice commutative/associative (property-tested)."""
+    flat: list[OctoType] = []
     for t in types:
         if t.id == TypeID.UNION:
-            flat |= set(t.alts)
+            flat.extend(t.alts)
         else:
-            flat.add(t)
-    flat.discard(OctoType(TypeID.ANY))  # Any absorbs nothing here
-    if len(flat) == 1:
-        return next(iter(flat))
-    return OctoType(TypeID.UNION, alts=frozenset(flat))
+            flat.append(t)
+    by_id: dict[TypeID, OctoType] = {}
+    for t in flat:
+        if t.id == TypeID.ANY:
+            continue  # Any absorbs nothing here
+        if t.id in by_id:
+            by_id[t.id] = type_sum(by_id[t.id], t)
+        else:
+            by_id[t.id] = t
+    alts = frozenset(by_id.values())
+    if len(alts) == 1:
+        return next(iter(alts))
+    return OctoType(TypeID.UNION, alts=alts)
 
 
 def type_sum(a: OctoType, b: OctoType) -> OctoType:
     """Least upper bound — the reference's TypeSum
     (octosql/types.go:239-382): deep-merges structs/lists/tuples,
-    otherwise forms a union."""
+    merges non-union operands into a union's same-TypeID alternative
+    (:348-360), otherwise forms a union. Int ⊔ Float is a union like
+    the reference (the widening to Double happens at ``to_spark``).
+    Associative and commutative (property-tested)."""
     if a == b:
         return a
     if a.id == TypeID.ANY or b.id == TypeID.ANY:
         return ANY
-    if {a.id, b.id} == {TypeID.INT, TypeID.FLOAT}:
-        return FLOAT  # numeric widening (FIXTURES §5: Int-mixed → Float)
+    if a.id == TypeID.UNION and b.id == TypeID.UNION:
+        out = a
+        for alt in b.alts:
+            out = type_sum(out, alt)
+        return out
+    if b.id == TypeID.UNION:
+        return type_sum(b, a)
+    if a.id == TypeID.UNION:
+        # union_of normalizes: b deep-merges into the same-TypeID
+        # alternative if present, else appends
+        return union_of(a, b)
     if a.id == b.id == TypeID.LIST:
         return list_of(type_sum(a.elem, b.elem))
     if a.id == b.id == TypeID.STRUCT:
@@ -113,9 +137,14 @@ def type_sum(a: OctoType, b: OctoType) -> OctoType:
                 # a field absent on one side is nullable (types.go:247-288)
                 merged[name] = union_of(fa.get(name, fb.get(name)), NULL)
         return struct_of(merged)
-    if a.id == b.id == TypeID.TUPLE and len(a.elems) == len(b.elems):
-        return OctoType(TypeID.TUPLE, elems=tuple(
-            type_sum(x, y) for x, y in zip(a.elems, b.elems)))
+    if a.id == b.id == TypeID.TUPLE:
+        # different arities deep-merge: shorter pads with NULL
+        # (types.go:308-332)
+        longer, shorter = (a.elems, b.elems) if len(a.elems) >= len(b.elems) \
+            else (b.elems, a.elems)
+        elems = [type_sum(x, y) for x, y in zip(longer, shorter)]
+        elems += [type_sum(x, NULL) for x in longer[len(shorter):]]
+        return OctoType(TypeID.TUPLE, elems=tuple(elems))
     return union_of(a, b)
 
 
