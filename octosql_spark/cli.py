@@ -75,7 +75,10 @@ def main(argv: list[str] | None = None) -> int:
         return _run_poll(args, spark, res)
 
     try:
-        sinks.WRITERS[args.output](df)
+        if args.output == "stream_native" and res.event_time:
+            sinks.write_stream_native(df, event_time_col=res.event_time)
+        else:
+            sinks.WRITERS[args.output](df)
     except Exception as ex:
         # runtime errors (malformed input under FAILFAST, panics, …)
         # print as one line + nonzero exit, like the reference's

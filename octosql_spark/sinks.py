@@ -94,17 +94,25 @@ def _native_value(v) -> str:
 
 
 def write_stream_native(df: DataFrame, out: IO[str] | None = None,
-                        retraction: bool = False) -> None:
+                        retraction: bool = False,
+                        event_time_col: str | None = None) -> None:
     """stream_native (outputs/stream/printer.go:56-60 →
     execution/execution.go:73-91): ``{+<event-time>| v1, v2 |}`` per
-    record, ``-`` for retractions. Batch results are a stream of
-    additions; the zero time renders when no event time is tracked
-    (same as the reference for non-temporal queries)."""
+    record, ``-`` for retractions. ``event_time_col`` names the column
+    carrying each record's event time (set by tumble /
+    max_diff_watermark); without one the zero time renders (same as
+    the reference for non-temporal queries)."""
     out = out or sys.stdout
     marker = "-" if retraction else "+"
+    et_idx = (df.columns.index(event_time_col)
+              if event_time_col in (df.columns if event_time_col else [])
+              else None)
     for row in df.toLocalIterator():
+        ts = _ZERO_TIME
+        if et_idx is not None and row[et_idx] is not None:
+            ts = row[et_idx].strftime("%Y-%m-%dT%H:%M:%SZ")
         vals = ", ".join(_native_value(v) for v in row)
-        out.write(f"{{{marker}{_ZERO_TIME}| {vals} |}}\n")
+        out.write(f"{{{marker}{ts}| {vals} |}}\n")
 
 
 def _octo_type_name(dt) -> str:

@@ -54,6 +54,7 @@ class Transpiled:
     triggers: list[str] = field(default_factory=list)
     views: dict[str, str] = field(default_factory=dict)  # view -> source desc
     polls: list[str] = field(default_factory=list)  # poll() intervals
+    event_time: str | None = None  # column carrying record event time
 
 
 def _sig(toks: list[Tok]) -> list[int]:
@@ -801,6 +802,8 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
             offset = _str_arg("offset")
             res = tvfmod.tumble(df, length, tf,
                                 _interval_to_spark(offset) if offset else "0 seconds")
+            # window_end becomes the event-time column (tumble.go:70-122)
+            out.event_time = "window_end"
         elif name == "max_diff_watermark":
             df = _df_arg("source")
             tf = _str_arg("time_field")
@@ -810,6 +813,9 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
             res = tvfmod.max_diff_watermark(
                 df, _interval_to_spark(_str_arg("max_diff")), tf,
                 resolution=_interval_to_spark(resolution) if resolution else None)
+            # the time field becomes the record event time
+            # (max_diff_watermark.go:14-180)
+            out.event_time = tf
         elif name == "poll":
             df = _df_arg("source")
             # one round materializes here; the CLI re-runs the whole
@@ -852,9 +858,11 @@ class QueryResult:
     spark_sql: str
     polls: list[str] = field(default_factory=list)
     views: dict[str, str] = field(default_factory=dict)
+    event_time: str | None = None
 
 
 def run_query(spark: SparkSession, sql: str) -> QueryResult:
     """Full front-end: OctoSQL dialect in, DataFrame out."""
     t = transpile(spark, sql)
-    return QueryResult(spark.sql(t.sql), t.triggers, t.sql, t.polls, t.views)
+    return QueryResult(spark.sql(t.sql), t.triggers, t.sql, t.polls,
+                       t.views, t.event_time)

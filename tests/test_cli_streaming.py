@@ -194,3 +194,20 @@ def test_trigger_counting_exact_through_cli(spark, tmp_path, capsys):
     assert "{+0001-01-01T00:00:00Z| 'x', 2, 2 |}" in out
     assert "{+0001-01-01T00:00:00Z| 'x', 4, 4 |}" in out
     assert "'y'" not in out
+
+
+def test_stream_native_event_time_from_tumble(spark, tmp_path, capsys):
+    """tumble sets window_end as the record event time; stream_native
+    stamps each record with it (tumble.go:70-122 → execution.go:73-91)."""
+    p = tmp_path / "ev.json"
+    p.write_text('{"k": "a", "ts": "2024-01-01T00:00:30"}\n'
+                 '{"k": "b", "ts": "2024-01-01T00:03:10"}\n')
+    rc = main([f"SELECT k, window_end FROM "
+               f"tumble(source => TABLE(SELECT * FROM '{p}'), "
+               "window_length => INTERVAL 1 MINUTE, "
+               "time_field => DESCRIPTOR(ts))",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "{+2024-01-01T00:01:00Z| 'a', 2024-01-01T00:01:00Z |}" in out
+    assert "{+2024-01-01T00:04:00Z| 'b', 2024-01-01T00:04:00Z |}" in out
