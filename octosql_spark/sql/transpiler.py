@@ -456,30 +456,94 @@ def _collect_column_types(spark: SparkSession, toks: list[Tok]) -> dict[str, str
     return {k: v for k, v in types.items() if v != "__ambiguous__"}
 
 
+# Category of a function call's RESULT, by (dialect) name — used to
+# resolve overloads whose operand is itself a call. `len` is "int" in
+# the dialect regardless of its argument (functions.go:774-831).
+_FN_RESULT_CAT = {
+    "upper": "string", "lower": "string", "reverse": "string",
+    "concat": "string", "repeat": "string", "substr": "string",
+    "substring": "string", "replace": "string", "trim": "string",
+    "string": "string", "concat_ws": "string",
+    "len": "int", "length": "int", "size": "int", "instr": "int",
+    "int": "int", "abs": None, "float": "float", "sqrt": "float",
+    "pow": "float", "log": "float", "log2": "float", "log10": "float",
+}
+
+
+def _span_cat(toks: list[Tok], lo: int, hi: int,
+              types: dict[str, str]) -> str | None:
+    """Type category of the expression spanned by toks[lo..hi]
+    (significant-token bounds, inclusive): handles primaries, calls,
+    paren groups and flat binary arithmetic chains."""
+    sig = [i for i in range(lo, hi + 1)
+           if toks[i].kind not in ("WS", "COMMENT")]
+    if not sig:
+        return None
+    # top-level binary operators?
+    depth = 0
+    ops = []
+    for i in sig:
+        t = toks[i]
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and ((t.kind == "OP" and t.text in ("+", "-", "*", "/", "%"))
+                             or (t.kind == "IDENT" and t.text.upper() == "DIV")):
+            ops.append(i)
+    if ops:
+        cats = []
+        prev = lo
+        for op_i in ops + [hi + 1]:
+            cats.append(_span_cat(toks, prev, op_i - 1, types)
+                        if prev <= op_i - 1 else None)
+            prev = op_i + 1
+        if any(c is None for c in cats):
+            return None
+        if all(c == "int" for c in cats):
+            # dialect semantics: Int/Int is integer division
+            # (functions.go:320-355), so the whole chain stays Int
+            return "int"
+        if set(cats) <= {"int", "float"}:
+            return "float"
+        if all(c == "string" for c in cats):
+            return "string"  # will rewrite to concat/repeat
+        return None
+    t = toks[sig[0]]
+    if t.kind == "STRING":
+        return "string" if len(sig) == 1 else None
+    if t.kind == "NUMBER":
+        if len(sig) != 1:
+            return None
+        txt = t.text.lower()
+        return "float" if ("." in txt or "e" in txt) else "int"
+    if t.kind in ("IDENT", "QIDENT"):
+        if len(sig) == 1:
+            return types.get(t.text.strip('"`').lower())
+        if toks[sig[1]].text == "(" and sig[-1] == _match_paren(toks, sig[1], 1):
+            return _FN_RESULT_CAT.get(t.text.lower())
+        # dotted chain t.col → category of the final identifier
+        if all(toks[i].kind in ("IDENT", "QIDENT") or toks[i].text == "."
+               for i in sig):
+            return types.get(toks[sig[-1]].text.strip('"`').lower())
+        return None
+    if t.text == "(" and sig[-1] == _match_paren(toks, sig[0], 1):
+        return _span_cat(toks, sig[0] + 1, sig[-1] - 1, types)
+    return None
+
+
 def _operand_cat(toks: list[Tok], sig: list[int], si: int, side: str,
                  types: dict[str, str]) -> str | None:
     """Type category of the operand ending (side='left') or starting
     (side='right') at significant index ``si``; None when unknown."""
-    t = toks[sig[si]]
-    if t.kind == "STRING":
-        return "string"
-    if t.kind == "NUMBER":
-        txt = t.text.lower()
-        return "float" if ("." in txt or "e" in txt) else "int"
-    if t.kind not in ("IDENT", "QIDENT"):
+    try:
+        if side == "left":
+            start = _primary_start(toks, sig[si])
+            return _span_cat(toks, start, sig[si], types)
+        end = _primary_end(toks, sig[si])
+        return _span_cat(toks, sig[si], end, types)
+    except ValueError:
         return None
-    if side == "left":
-        # the END of the left operand: a bare column or the tail of a
-        # dotted chain. A call would end in ')', not an IDENT.
-        return types.get(t.text.strip('"`').lower())
-    # right side: walk the dotted chain forward; bail on a call
-    j = si
-    while j + 2 < len(sig) and toks[sig[j + 1]].text == "." \
-            and toks[sig[j + 2]].kind in ("IDENT", "QIDENT"):
-        j += 2
-    if j + 1 < len(sig) and toks[sig[j + 1]].text == "(":
-        return None  # function call
-    return types.get(toks[sig[j]].text.strip('"`').lower())
 
 
 def _rewrite_arith_overloads(toks: list[Tok],

@@ -1,0 +1,102 @@
+"""Differential fuzzing of the SQL front-end: hypothesis generates
+random expressions as (dialect, duckdb) renderings BY CONSTRUCTION,
+runs both engines over the same table, and compares values — the
+transpiler's overload rewrites (string +/*, int division, 0-based
+substr/len) are exactly what this exercises."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+NATION = "/root/testdata/sf0.001/nation.parquet"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM '{NATION}'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def nation_view(spark):
+    from octosql_spark.sources import read_file
+    read_file(spark, NATION).createOrReplaceTempView("nation")
+    return "nation"
+
+
+# Expression nodes: (dialect_sql, duckdb_sql). Ints stay non-negative
+# by construction so dialect DIV (truncating, like the reference's Go
+# division) and DuckDB // (flooring) agree.
+
+def _ints(depth: int) -> st.SearchStrategy:
+    atoms = st.one_of(
+        st.integers(0, 9).map(lambda n: (str(n), str(n))),
+        st.sampled_from([("n_nationkey", "CAST(n_nationkey AS BIGINT)"),
+                         ("n_regionkey", "CAST(n_regionkey AS BIGINT)")]),
+    )
+    if depth == 0:
+        return atoms
+    sub = _ints(depth - 1)
+    return st.one_of(
+        atoms,
+        st.tuples(sub, sub).map(
+            lambda p: (f"({p[0][0]} + {p[1][0]})", f"({p[0][1]} + {p[1][1]})")),
+        st.tuples(sub, st.integers(1, 9)).map(
+            lambda p: (f"({p[0][0]} / {p[1]})", f"({p[0][1]} // {p[1]})")),
+        _strs(depth - 1).map(
+            lambda s: (f"len({s[0]})", f"CAST(length({s[1]}) AS INT)")),
+    )
+
+
+def _strs(depth: int) -> st.SearchStrategy:
+    atoms = st.one_of(
+        st.sampled_from(["abc", "x", "Hello"]).map(
+            lambda s: (f"'{s}'", f"'{s}'")),
+        st.just(("n_name", "n_name")),
+    )
+    if depth == 0:
+        return atoms
+    sub = _strs(depth - 1)
+    return st.one_of(
+        atoms,
+        st.tuples(sub, sub).map(
+            lambda p: (f"({p[0][0]} + {p[1][0]})", f"({p[0][1]} || {p[1][1]})")),
+        st.tuples(sub, st.integers(0, 3)).map(
+            lambda p: (f"({p[0][0]} * {p[1]})", f"repeat({p[0][1]}, {p[1]})")),
+        sub.map(lambda s: (f"upper({s[0]})", f"upper({s[1]})")),
+        sub.map(lambda s: (f"reverse({s[0]})", f"reverse({s[1]})")),
+        st.tuples(sub, st.integers(0, 4)).map(
+            lambda p: (f"substr({p[0][0]}, {p[1]})",
+                       f"substr({p[0][1]}, {p[1]} + 1)")),
+    )
+
+
+def _exprs() -> st.SearchStrategy:
+    return st.one_of(
+        _ints(2),
+        _strs(2),
+        st.tuples(_ints(1), _ints(1)).map(
+            lambda p: (f"({p[0][0]} >= {p[1][0]})",
+                       f"({p[0][1]} >= {p[1][1]})")),
+        st.tuples(_strs(1), _strs(1)).map(
+            lambda p: (f"({p[0][0]} = {p[1][0]})", f"({p[0][1]} = {p[1][1]})")),
+    )
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(_exprs())
+def test_dialect_matches_duckdb(spark, duck, nation_view, expr):
+    dialect, ducksql = expr
+    from octosql_spark.sql import run_query
+    ours = run_query(
+        spark, f"SELECT {dialect} AS v FROM nation ORDER BY n_nationkey").df
+    got = [r.v for r in ours.collect()]
+    want = [r[0] for r in duck.execute(
+        f"SELECT {ducksql} AS v FROM nation ORDER BY n_nationkey").fetchall()]
+    assert got == want, f"dialect={dialect!r} duck={ducksql!r}"
