@@ -240,6 +240,16 @@ def _run_streaming(args, res, df) -> int:
             time.sleep(0.1)
         q.stop()
         q.awaitTermination(30)
+    if args.output == "stream_native":
+        # final watermark metadata line, like the reference's
+        # NativeFormat.WriteMeta ("{~<watermark>}",
+        # outputs/stream/printer.go:62-65)
+        try:
+            wm = (q.lastProgress or {}).get("eventTime", {}).get("watermark")
+            if wm and not wm.startswith("1970-01-01T00:00:00"):
+                print(f"{{~{wm}}}")
+        except Exception:
+            pass
     return 0
 
 

@@ -49,6 +49,8 @@ def _ints(depth: int) -> st.SearchStrategy:
             lambda p: (f"({p[0][0]} / {p[1]})", f"({p[0][1]} // {p[1]})")),
         _strs(depth - 1).map(
             lambda s: (f"len({s[0]})", f"CAST(length({s[1]}) AS INT)")),
+        st.sampled_from(["7", "42"]).map(
+            lambda s: (f"'{s}'::int", f"'{s}'::BIGINT")),
     )
 
 
@@ -72,6 +74,8 @@ def _strs(depth: int) -> st.SearchStrategy:
         st.tuples(sub, st.integers(0, 4)).map(
             lambda p: (f"substr({p[0][0]}, {p[1]})",
                        f"substr({p[0][1]}, {p[1]} + 1)")),
+        _ints(depth - 1).map(
+            lambda i: (f"string({i[0]})", f"CAST({i[1]} AS VARCHAR)")),
     )
 
 
