@@ -174,7 +174,11 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     chunk value, verify with bit_count(xor). (Requires
     max_hamming < chunks, the standard construction.)"""
     width = bits // chunks
-    sigs = simhash(df.select(id_col, text_col), text_col, bits)
+    # persisted: the a/b sides of the bucket self-join both consume the
+    # signatures — computing 64 bit-vote aggregates per doc twice is
+    # the dominant cost otherwise
+    sigs = simhash(df.select(id_col, text_col), text_col, bits) \
+        .select(id_col, "simhash").persist()
     chunk_arr = F.array(*[
         F.struct(F.lit(c).alias("chunk_id"),
                  F.shiftrightunsigned(F.col("simhash"), c * width)
@@ -265,7 +269,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     additionally caps any residual hot bucket before the self-join."""
     from pyspark.sql.window import Window
     sh = _word_shingles(F.col(text_col), n)
-    with_sh = df.select(id_col, sh.alias("_sh"))
+    # persisted: the inverted index and both verification sides reuse
+    # the shingle arrays (3 branches — without the persist each one
+    # recomputes every shingle from the raw text)
+    with_sh = df.select(id_col, sh.alias("_sh")).persist()
     inv = with_sh.select(id_col, F.explode("_sh").alias("gram"))
     counts = inv.groupBy("gram").agg(F.count(F.lit(True)).alias("_gc"))
     ranked = (inv.join(counts, "gram")
