@@ -4,6 +4,12 @@ Jaccard. All signature computation is pure Catalyst expressions
 the row path); candidate generation is a bucket equi-join, which is
 the only shuffle and scales as O(candidates), not O(n²).
 
+Signature/shingle tables are ``persist()``ed inside the pair
+operators — the bucket-join topology consumes them from 2-3 branches
+and would otherwise recompute every signature per branch. Blocks are
+LRU-evicted by Spark; a driver batch-processing many corpora can
+``spark.catalog.clearCache()`` between them.
+
 Scale design (the 100 TB story):
 - signatures: narrow map-side work, pipelined with the scan;
 - LSH banding: shuffle keyed on (band_id, band_hash) — uniform by
