@@ -17,7 +17,7 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="octosql-spark")
     ap.add_argument("query")
-    ap.add_argument("--output", default="table",
+    ap.add_argument("--output", "-o", default="table",
                     choices=["table", "batch_table", "live_table", "csv",
                              "json", "stream_native"])
     ap.add_argument("--describe", action="store_true")
@@ -65,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
         # describe renders through the chosen output format, like the
         # reference (varying_object_fields_describe golden uses
         # stream_native)
-        sinks.WRITERS[args.output](sinks.describe(df))
+        sinks.WRITERS[args.output](sinks.describe(df, res.event_time))
         return 0
 
     if df.isStreaming:
@@ -77,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.output == "stream_native" and res.event_time:
             sinks.write_stream_native(df, event_time_col=res.event_time)
+        elif args.output in ("table", "batch_table", "live_table"):
+            # the reference's table sink prints value-sorted (ordered
+            # btree buffer, live_output.go:48-53) unless the query's
+            # own ORDER BY dictates the order
+            sinks.write_table(df, sort=not res.ordered)
         else:
             sinks.WRITERS[args.output](df)
     except Exception as ex:

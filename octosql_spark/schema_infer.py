@@ -143,7 +143,10 @@ def to_spark_schema(cols: dict[str, ot.OctoType],
         dt, nullable = ot.to_spark(t, union_carrier)
         if isinstance(dt, T.NullType):
             dt = T.StringType()  # all-NULL column: carrier type
-        fields.append(T.StructField(name, dt, nullable))
+        # carry the exact inferred octo-type so --describe can render
+        # union alternatives the Spark type lost (types.go String())
+        fields.append(T.StructField(name, dt, nullable,
+                                    metadata={"octosql_type": repr(t)}))
     return T.StructType(fields)
 
 

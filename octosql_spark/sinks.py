@@ -17,14 +17,170 @@ from typing import IO
 from pyspark.sql import DataFrame
 
 
+def go_duration(td) -> str:
+    """Go ``time.Duration.String()`` rendering (``5h32m42s``, ``-3s``,
+    ``333.333ms``): the reference renders Duration values through it
+    (octosql/values.go:357-424 → Go fmt). Spark intervals carry
+    microsecond precision, so sub-microsecond digits never appear
+    (documented deviation: the reference prints nanoseconds)."""
+    import datetime
+    us = round(td / datetime.timedelta(microseconds=1))
+    sign = "-" if us < 0 else ""
+    us = abs(us)
+    if us == 0:
+        return "0s"
+    if us < 1_000:
+        return f"{sign}{us}µs"
+    if us < 1_000_000:
+        ms, rem = divmod(us, 1_000)
+        frac = (f".{rem:03d}".rstrip("0") if rem else "")
+        return f"{sign}{ms}{frac}ms"
+    h, rem = divmod(us, 3_600_000_000)
+    m, rem = divmod(rem, 60_000_000)
+    s, usec = divmod(rem, 1_000_000)
+    frac = (f".{usec:06d}".rstrip("0") if usec else "")
+    out_s = f"{s}{frac}s"
+    if m or h:
+        out_s = f"{m}m{out_s}"
+    if h:
+        out_s = f"{h}h{out_s}"
+    return sign + out_s
+
+
+def go_float(f: float) -> str:
+    """Go ``strconv.FormatFloat(f, 'g', -1, 64)`` (``%v``) rendering —
+    the reference renders Float values through Go fmt (golden
+    datasources/json/stream_join.out: ``1.8248328e+07``). Shortest
+    digits; scientific form when the decimal exponent is < -4 or ≥
+    max(6, sig-digit count when all digits are integral)."""
+    import math
+    from decimal import Decimal
+    if f != f:
+        return "NaN"
+    if f == math.inf:
+        return "+Inf"
+    if f == -math.inf:
+        return "-Inf"
+    if f == 0:
+        return "-0" if math.copysign(1, f) < 0 else "0"
+    sign = "-" if f < 0 else ""
+    _, digits, dexp = Decimal(repr(abs(f))).as_tuple()
+    dig = list(digits)
+    while len(dig) > 1 and dig[-1] == 0:
+        dig.pop()
+        dexp += 1
+    nd = len(dig)
+    exp = nd + dexp - 1   # decimal exponent, one digit before the point
+    dp = nd + dexp        # digits before the decimal point
+    eprec = 6
+    if eprec > nd and nd >= dp:
+        eprec = nd
+    if exp < -4 or exp >= eprec:
+        mant = str(dig[0])
+        if nd > 1:
+            mant += "." + "".join(map(str, dig[1:]))
+        esign = "+" if exp >= 0 else "-"
+        return f"{sign}{mant}e{esign}{abs(exp):02d}"
+    s = "".join(map(str, dig))
+    if dexp >= 0:
+        return sign + s + "0" * dexp
+    if -dexp < nd:
+        return sign + s[:dexp] + "." + s[dexp:]
+    return sign + "0." + "0" * (-dexp - nd) + s
+
+
+def _sort_key_value(v):
+    """Total-order sort key across all value types, mirroring the
+    reference's ordering (octosql/values.go:97-155): compare by type
+    ID first (Null < Int < Float < Boolean < String < Time < Duration
+    < List < Struct), NULL lowest, strings lowercase-first (swapcase
+    reproduces the reference's case flip)."""
+    import datetime
+    if v is None:
+        return (0,)
+    if isinstance(v, bool):
+        return (3, v)
+    if isinstance(v, int):
+        return (1, v)
+    if isinstance(v, float):
+        return (2, v)
+    if isinstance(v, str):
+        return (4, v.swapcase())
+    if isinstance(v, datetime.datetime):
+        return (5, v.isoformat())
+    if isinstance(v, datetime.timedelta):
+        return (6, v)
+    if isinstance(v, (list, tuple)):
+        return (7, tuple(_sort_key_value(x) for x in v))
+    return (8, str(v))
+
+
+def record_sort_key(row):
+    return tuple(_sort_key_value(v) for v in row)
+
+
+def _is_numeric(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
 def write_table(df: DataFrame, out: IO[str] | None = None,
-                limit: int | None = None) -> None:
-    """batch_table output — pretty table like the reference's final
-    live-table repaint (live_output.go:165-204)."""
+                limit: int | None = None, sort: bool = True) -> None:
+    """batch/live table output in the reference's exact rendering
+    (outputs/batch/live_output.go:165-204): ``+--+`` borders, headers
+    centered, numbers right-aligned, everything else left-aligned,
+    values in native form ('quoted' strings, ``<null>``, Go
+    durations). The reference's sink keeps records in an ordered
+    btree, so rows print value-sorted unless the query itself ordered
+    them (``sort=False`` for ORDER BY queries)."""
     out = out or sys.stdout
     n = limit if limit is not None else 20_000
-    out.write(df._show_string(n, 0, False))
-    out.write("\n")
+    rows = df.limit(n).collect()
+    if sort:
+        rows = sorted(rows, key=record_sort_key)
+    headers = list(df.columns)
+    cells = [[(_native_value(v), _is_numeric(v)) for v in row]
+             for row in rows]
+    widths = []
+    for i, h in enumerate(headers):
+        w = len(h)
+        for row in cells:
+            w = max(w, len(row[i][0]))
+        widths.append(w)
+    border = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out.write(border + "\n")
+    head_cells = []
+    for h, w in zip(headers, widths):
+        total = w + 2
+        left = (total - len(h)) // 2
+        head_cells.append(" " * left + h + " " * (total - len(h) - left))
+    out.write("|" + "|".join(head_cells) + "|\n")
+    out.write(border + "\n")
+    for row in cells:
+        rendered = []
+        for (text, numeric), w in zip(row, widths):
+            rendered.append(" " + (text.rjust(w) if numeric
+                                   else text.ljust(w)) + " ")
+        out.write("|" + "|".join(rendered) + "|\n")
+    out.write(border + "\n")
+
+
+def _csv_value(v):
+    """One CSV cell the way the reference's formatter writes it
+    (outputs/formats/csv_format.go:1-72, Go ``%v`` rendering — golden
+    outputs/csv/types.out): NULL → empty, bools lowercase, integral
+    floats without ``.0``, durations in Go form, times RFC3339."""
+    import datetime
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return go_float(v)
+    if isinstance(v, datetime.timedelta):
+        return go_duration(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+    return v
 
 
 def write_csv(df: DataFrame, out: IO[str] | None = None) -> None:
@@ -33,22 +189,29 @@ def write_csv(df: DataFrame, out: IO[str] | None = None) -> None:
     toLocalIterator — constant driver memory."""
     import csv as _csv
     out = out or sys.stdout
-    w = _csv.writer(out)
+    w = _csv.writer(out, lineterminator="\n")
     w.writerow(df.columns)
     for row in df.toLocalIterator():
-        w.writerow(["" if v is None else v for v in row])
+        w.writerow([_csv_value(v) for v in row])
 
 
 def _jsonable(v):
     """Recursive JSON-encodable form; VariantVal (union-typed columns)
     re-emits its exact runtime value (42 vs "42" vs [42,"42"] — the
     union scenario, tests/scenarios/outputs/json/union.out)."""
+    import datetime
     if hasattr(v, "toJson") and type(v).__name__ == "VariantVal":
-        return json.loads(v.toJson())
+        return _jsonable(json.loads(v.toJson()))
     if isinstance(v, dict):
         return {k: _jsonable(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_jsonable(x) for x in v]
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+        # Go's encoder writes whole float64s without the decimal
+        # point (union golden: 42, not 42.0)
+        return int(v)
+    if isinstance(v, datetime.timedelta):
+        return go_duration(v)
     return v
 
 
@@ -58,7 +221,7 @@ def write_json(df: DataFrame, out: IO[str] | None = None) -> None:
     out = out or sys.stdout
     for row in df.toLocalIterator():
         out.write(json.dumps(_jsonable(row.asDict(recursive=True)),
-                             default=str))
+                             separators=(",", ":"), default=str))
         out.write("\n")
 
 
@@ -81,7 +244,9 @@ def _native_value(v) -> str:
     if isinstance(v, str):
         return f"'{v}'"
     if isinstance(v, float):
-        return str(int(v)) if v.is_integer() else repr(v)
+        return go_float(v)
+    if isinstance(v, datetime.timedelta):
+        return go_duration(v)
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%dT%H:%M:%SZ")
     if isinstance(v, Row):
@@ -145,15 +310,21 @@ def _octo_type_name(dt) -> str:
     return dt.simpleString()
 
 
-def describe(df: DataFrame) -> DataFrame:
-    """--describe: the query's output schema as rows with the
-    reference's type names (cmd/root.go:300-313, cmd/describe.go;
-    golden varying_object_fields_describe.out renders 'String',
-    'Float', '{field: T; ...}')."""
+def describe(df: DataFrame, event_time: str | None = None) -> DataFrame:
+    """--describe: the query's output schema as rows — columns
+    ``name, type, time_field`` exactly like the reference's
+    DescribeNode (cmd/describe.go:12-27). Type strings use the
+    inferred octo-type carried in field metadata when available
+    (union alternatives like ``NULL | String``), else the rendering
+    derived from the Spark type."""
     spark = df.sparkSession
-    rows = [(f.name, _octo_type_name(f.dataType), f.nullable)
-            for f in df.schema.fields]
-    return spark.createDataFrame(rows, "name string, type string, nullable boolean")
+    rows = []
+    for f in df.schema.fields:
+        meta = f.metadata or {}
+        tname = meta.get("octosql_type") or _octo_type_name(f.dataType)
+        rows.append((f.name, tname, f.name == event_time))
+    return spark.createDataFrame(
+        rows, "name string, type string, time_field boolean")
 
 
 WRITERS = {
@@ -224,12 +395,12 @@ def stream_batch_writer(output: str, out: IO[str] | None = None):
             write_table(batch_df.sort(batch_df.columns), out)
         elif output == "csv":
             import csv as _csv
-            w = _csv.writer(out)
+            w = _csv.writer(out, lineterminator="\n")
             if not header_written["done"]:
                 w.writerow(batch_df.columns)
                 header_written["done"] = True
             for row in batch_df.toLocalIterator():
-                w.writerow(["" if v is None else v for v in row])
+                w.writerow([_csv_value(v) for v in row])
         elif output == "json":
             write_json(batch_df, out)
         out.flush()

@@ -55,6 +55,7 @@ class Transpiled:
     views: dict[str, str] = field(default_factory=dict)  # view -> source desc
     polls: list[str] = field(default_factory=list)  # poll() intervals
     event_time: str | None = None  # column carrying record event time
+    ordered: bool = False  # top-level ORDER BY (sink must not re-sort)
 
 
 def _sig(toks: list[Tok]) -> list[int]:
@@ -96,6 +97,17 @@ def _primary_start(toks: list[Tok], end_i: int) -> int:
                 i = j
         elif t.kind not in ("IDENT", "QIDENT", "STRING", "NUMBER"):
             raise ValueError(f"cannot find primary start at {t.text!r}")
+        # `INTERVAL <n> <unit>` literal: extend back from the unit
+        if t.kind == "IDENT":
+            back = []
+            j = i - 1
+            while j >= 0 and len(back) < 2:
+                if toks[j].kind not in ("WS", "COMMENT"):
+                    back.append(j)
+                j -= 1
+            if (len(back) == 2 and toks[back[0]].kind in ("NUMBER", "STRING")
+                    and toks[back[1]].is_kw("INTERVAL")):
+                return back[1]
         # extend over `.`-qualified prefix
         j = i - 1
         while j >= 0 and toks[j].kind in ("WS", "COMMENT"):
@@ -118,6 +130,18 @@ def _primary_end(toks: list[Tok], start_i: int) -> int:
         t = toks[i]
         if t.text == "(":
             i = _match_paren(toks, i, 1)
+        elif t.is_kw("INTERVAL"):
+            # `INTERVAL <n> <unit>` literal spans three tokens
+            j = i + 1
+            while j < len(toks) and toks[j].kind in ("WS", "COMMENT"):
+                j += 1
+            if j < len(toks) and toks[j].kind in ("NUMBER", "STRING"):
+                k = j + 1
+                while k < len(toks) and toks[k].kind in ("WS", "COMMENT"):
+                    k += 1
+                if k < len(toks) and toks[k].kind == "IDENT":
+                    return k
+            raise ValueError("malformed INTERVAL literal")
         elif t.kind in ("IDENT", "QIDENT"):
             # maybe a call: peek next significant
             j = i + 1
@@ -231,7 +255,11 @@ def _is_call(toks: list[Tok], sig: list[int], si: int) -> bool:
 
 _CAST_FNS = {"int": ("TRY_CAST", "BIGINT"), "float": ("TRY_CAST", "DOUBLE"),
              "string": ("CAST", "STRING")}
-_SIMPLE_RENAMES = {"now": "current_timestamp", "time_from_unix": "timestamp_seconds"}
+# panic(msg) fails the query at runtime (functions.go catalog;
+# tests/scenarios/functions/panic golden) → Spark's raise_error
+_SIMPLE_RENAMES = {"now": "current_timestamp",
+                   "time_from_unix": "timestamp_seconds",
+                   "panic": "raise_error"}
 
 
 def _split_call_args(toks: list[Tok], open_i: int, close_i: int) -> list[tuple[int, int]]:
@@ -508,6 +536,10 @@ def _span_cat(toks: list[Tok], lo: int, hi: int,
             return "float"
         if all(c == "string" for c in cats):
             return "string"  # will rewrite to concat/repeat
+        if "duration" in cats and set(cats) <= {"duration", "int", "float"}:
+            # duration +/- duration, duration */÷ scalar → duration
+            # (functions.go:156-355 Duration overloads)
+            return "duration"
         return None
     t = toks[sig[0]]
     if t.kind == "STRING":
@@ -518,6 +550,10 @@ def _span_cat(toks: list[Tok], lo: int, hi: int,
         txt = t.text.lower()
         return "float" if ("." in txt or "e" in txt) else "int"
     if t.kind in ("IDENT", "QIDENT"):
+        if (t.is_kw("INTERVAL") and len(sig) == 3
+                and toks[sig[1]].kind in ("NUMBER", "STRING")
+                and toks[sig[2]].kind == "IDENT"):
+            return "duration"
         if len(sig) == 1:
             return types.get(t.text.strip('"`').lower())
         if toks[sig[1]].text == "(" and sig[-1] == _match_paren(toks, sig[1], 1):
@@ -582,6 +618,13 @@ def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
                 hit = (si, "repeat" if lcat == "string" else "repeat_swap")
             elif op == "/" and lcat == rcat == "int":
                 hit = (si, "div")
+            elif op == "/" and lcat == rcat == "duration":
+                # Duration / Duration → Float ratio (functions.go
+                # Duration overloads; arithmetic golden: INTERVAL 7
+                # SECOND / INTERVAL 3 SECOND = 2.333…). Spark can't
+                # divide intervals — convert each to exact micros via
+                # epoch shift, then BIGINT/BIGINT → DOUBLE.
+                hit = (si, "durdiv")
             if hit:
                 break
         if hit is None:
@@ -593,6 +636,16 @@ def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
         right = toks[sig[si + 1]:rend + 1]
         if kind == "div":
             repl = left + [Tok("WS", " "), Tok("IDENT", "DIV"), Tok("WS", " ")] + right
+        elif kind == "durdiv":
+            def _micros(span: list[Tok]) -> list[Tok]:
+                return ([Tok("IDENT", "unix_micros"), Tok("PUNCT", "("),
+                         Tok("IDENT", "timestamp_micros"), Tok("PUNCT", "("),
+                         Tok("NUMBER", "0"), Tok("PUNCT", ")"),
+                         Tok("WS", " "), Tok("OP", "+"), Tok("WS", " ")]
+                        + span + [Tok("PUNCT", ")")])
+            repl = ([Tok("PUNCT", "(")] + _micros(left)
+                    + [Tok("WS", " "), Tok("OP", "/"), Tok("WS", " ")]
+                    + _micros(right) + [Tok("PUNCT", ")")])
         else:
             fn = "concat" if kind == "concat" else "repeat"
             if kind == "repeat_swap":
@@ -601,6 +654,27 @@ def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
                     + [Tok("PUNCT", ","), Tok("WS", " ")] + right
                     + [Tok("PUNCT", ")")])
         toks = toks[:lstart] + repl + toks[rend + 1:]
+
+
+def _rewrite_float_literals(toks: list[Tok]) -> list[Tok]:
+    """``42.42`` → ``CAST(42.42 AS DOUBLE)``: the dialect's Float is
+    float64 (octosql/values.go:17-18), but Spark SQL parses decimal
+    literals as DecimalType (7.0/3.0 would yield Decimal('2.333333')
+    instead of the reference's 2.3333333333333335)."""
+    out: list[Tok] = []
+    prev_sig: Tok | None = None
+    for t in toks:
+        if (t.kind == "NUMBER" and any(c in t.text for c in ".eE")
+                and not (prev_sig is not None
+                         and prev_sig.is_kw("INTERVAL"))):
+            out += [Tok("IDENT", "CAST"), Tok("PUNCT", "("), t,
+                    Tok("WS", " "), Tok("IDENT", "AS"), Tok("WS", " "),
+                    Tok("IDENT", "DOUBLE"), Tok("PUNCT", ")")]
+        else:
+            out.append(t)
+        if t.kind not in ("WS", "COMMENT"):
+            prev_sig = t
+    return out
 
 
 def _strip_trigger(toks: list[Tok]) -> tuple[list[Tok], list[str]]:
@@ -654,6 +728,303 @@ def _strip_join_modifiers(toks: list[Tok]) -> list[Tok]:
             continue
         out.append(t)
     return out
+
+
+def _rewrite_outer_join(toks: list[Tok]) -> list[Tok]:
+    """Bare ``OUTER JOIN`` → ``FULL OUTER JOIN``: the reference's
+    parser reads OUTER as full outer (tests/scenarios/nodes/
+    outer_join_1.in); Spark SQL requires the FULL keyword."""
+    sig = _sig(toks)
+    hits = []
+    for si, i in enumerate(sig):
+        if (toks[i].is_kw("OUTER") and si + 1 < len(sig)
+                and toks[sig[si + 1]].is_kw("JOIN")
+                and not (si > 0
+                         and toks[sig[si - 1]].is_kw("LEFT", "RIGHT", "FULL"))):
+            hits.append(i)
+    for i in reversed(hits):
+        toks = toks[:i] + [Tok("IDENT", "FULL"), Tok("WS", " ")] + toks[i:]
+    return toks
+
+
+# ----------------------------------------- output naming (reference parity)
+
+_AGG_FNS = {"count", "sum", "avg", "min", "max", "array_agg"}
+# keywords that make an all-IDENT item an expression, not a column
+# reference (`NULL IS NULL` names col_N, not "NULL")
+_EXPR_KW = {"NULL", "TRUE", "FALSE", "IS", "NOT", "AND", "OR", "BETWEEN",
+            "LIKE", "IN", "CASE", "WHEN", "THEN", "ELSE", "END",
+            "INTERVAL", "EXISTS", "DISTINCT", "ALL",
+            "CURRENT_TIMESTAMP", "CURRENT_DATE"}
+
+
+def _top_select_span(toks: list[Tok]):
+    """(sig, select_si, from_si_or_None) for the single depth-0
+    SELECT; None for set operations / multiple statements."""
+    sig = _sig(toks)
+    depth = 0
+    selects = []
+    for si, i in enumerate(sig):
+        t = toks[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("SELECT"):
+            selects.append(si)
+        elif depth == 0 and t.is_kw("UNION", "INTERSECT", "EXCEPT"):
+            return None
+    if len(selects) != 1:
+        return None
+    si = selects[0]
+    depth = 0
+    for sj in range(si + 1, len(sig)):
+        t = toks[sig[sj]]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("FROM"):
+            return sig, si, sj
+    return sig, si, None
+
+
+def _split_top_commas(toks: list[Tok], start: int, end: int) -> list[tuple[int, int]]:
+    """Comma-split token span [start, end] at depth 0, trimmed."""
+    spans = []
+    depth = 0
+    s = start
+    for j in range(start, end + 1):
+        t = toks[j]
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.text == ",":
+            spans.append((s, j - 1))
+            s = j + 1
+    spans.append((s, end))
+    trimmed = []
+    for s, e in spans:
+        while s <= e and toks[s].kind in ("WS", "COMMENT"):
+            s += 1
+        while e >= s and toks[e].kind in ("WS", "COMMENT"):
+            e -= 1
+        if s <= e:
+            trimmed.append((s, e))
+    return trimmed
+
+
+def _tables_with_aliases(toks: list[Tok]) -> list[tuple[str, str | None]]:
+    """(table_name, alias) for every FROM/JOIN table reference."""
+    sig = _sig(toks)
+    out = []
+    for si in _table_positions(toks):
+        t = toks[sig[si]]
+        if t.kind not in ("IDENT", "QIDENT"):
+            continue
+        name = t.text.strip('"`')
+        alias = None
+        sj = si + 1
+        if sj < len(sig) and toks[sig[sj]].is_kw("AS"):
+            sj += 1
+        if sj < len(sig) and toks[sig[sj]].kind in ("IDENT", "QIDENT") \
+                and not toks[sig[sj]].is_kw(*_CLAUSE_KW) \
+                and not toks[sig[sj]].is_kw("AS"):
+            alias = toks[sig[sj]].text.strip('"`')
+        out.append((name, alias))
+    return out
+
+
+def _name_tok(name: str) -> Tok:
+    import re as _re
+    if _re.fullmatch(r"\w+", name):
+        return Tok("IDENT", name)
+    return Tok("QIDENT", f"`{name}`")
+
+
+def _expand_star(spark: SparkSession, toks: list[Tok]) -> list[Tok]:
+    """Top-level ``SELECT *`` over 2+ tables expands to qualified
+    columns so colliding names render alias-qualified, like the
+    reference's requalified output (tests/scenarios/nodes/
+    inner_join_0.out headers ``l.i | r.i``)."""
+    span = _top_select_span(toks)
+    if span is None:
+        return toks
+    sig, sel_si, from_si = span
+    if from_si is None:
+        return toks
+    items = _split_top_commas(toks, sig[sel_si] + 1, sig[from_si] - 1)
+    if len(items) != 1:
+        return toks
+    s, e = items[0]
+    if not (s == e and toks[s].text == "*"):
+        return toks
+    tables = _tables_with_aliases(toks)
+    if len(tables) < 2:
+        return toks
+    cols: list[tuple[str, str]] = []  # (qualifier, column)
+    for name, alias in tables:
+        try:
+            table_cols = spark.table(name).columns
+        except Exception:
+            return toks
+        ref = alias or name
+        cols.extend((ref, c) for c in table_cols)
+    counts: dict[str, int] = {}
+    for _, c in cols:
+        counts[c] = counts.get(c, 0) + 1
+    new: list[Tok] = []
+    for idx, (ref, c) in enumerate(cols):
+        if idx:
+            new += [Tok("PUNCT", ","), Tok("WS", " ")]
+        out_name = c if counts[c] == 1 else f"{ref}.{c}"
+        new += [_name_tok(ref), Tok("PUNCT", "."), _name_tok(c),
+                Tok("WS", " "), Tok("IDENT", "AS"), Tok("WS", " "),
+                _name_tok(out_name)]
+    return toks[:s] + new + toks[e + 1:]
+
+
+def _classify_item(toks: list[Tok], s: int, e: int):
+    """(kind, detail) for one select item:
+    star | aliased(name, alias_tok_idx) | bare(name) |
+    agg(aggname, argname_or_None) | expr."""
+    isig = [j for j in range(s, e + 1) if toks[j].kind not in ("WS", "COMMENT")]
+    while isig and toks[isig[0]].is_kw("DISTINCT", "ALL"):
+        isig = isig[1:]
+    if not isig:
+        return ("expr", None)
+    # trailing explicit alias?
+    depth = 0
+    for k, j in enumerate(isig):
+        t = toks[j]
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.is_kw("AS") and k + 1 < len(isig):
+            return ("aliased", (toks[isig[k + 1]].text.strip('"`'), isig[k + 1]))
+    if any(toks[j].text == "*" and toks[j].kind == "OP" for j in isig) \
+            and len(isig) <= 3 and toks[isig[-1]].text == "*":
+        return ("star", None)  # `*` / `t.*` / (post-arrow) `obj.*`
+    if all(toks[j].kind in ("IDENT", "QIDENT") or toks[j].text == "."
+           for j in isig) \
+            and not any(toks[j].is_kw(*_EXPR_KW) for j in isig):
+        return ("bare", toks[isig[-1]].text.strip('"`'))
+    fn = toks[isig[0]].text.lower()
+    base = fn[:-9] if fn.endswith("_distinct") else fn
+    if (toks[isig[0]].kind == "IDENT" and base in _AGG_FNS
+            and len(isig) >= 2 and toks[isig[1]].text == "("
+            and _match_paren(toks, isig[1], 1) == isig[-1]):
+        args = _split_call_args(toks, isig[1], isig[-1])
+        aggname = fn
+        argname = None
+        if len(args) == 1:
+            asig = [j for j in range(args[0][0], args[0][1] + 1)
+                    if toks[j].kind not in ("WS", "COMMENT")]
+            if asig and toks[asig[0]].is_kw("DISTINCT"):
+                if not fn.endswith("_distinct"):
+                    aggname = fn + "_distinct"
+                asig = asig[1:]
+            if asig and all(toks[j].kind in ("IDENT", "QIDENT")
+                            or toks[j].text == "." for j in asig) \
+                    and not any(toks[j].is_kw(*_EXPR_KW) for j in asig):
+                argname = toks[asig[-1]].text.strip('"`')
+        return ("agg", (aggname, argname))
+    return ("expr", None)
+
+
+def _alias_select_items(toks: list[Tok]) -> list[Tok]:
+    """Reference output naming for unaliased select items
+    (logical/map.go:100-117, parser/parser.go:140-185): plain
+    expressions → ``col_<position>``; aggregates → ``<agg>`` /
+    ``<agg>_<field>``; group-by key expressions → ``key_<n>``;
+    duplicate names get ``_<count>`` suffixes. Emitted as explicit
+    ``AS`` aliases so Spark's output schema matches the reference."""
+    span = _top_select_span(toks)
+    if span is None:
+        return toks
+    sig, sel_si, from_si = span
+    end_tok = sig[from_si] - 1 if from_si is not None else len(toks) - 1
+    items = _split_top_commas(toks, sig[sel_si] + 1, end_tok)
+    infos = [_classify_item(toks, s, e) for s, e in items]
+    is_group_by = any(kind == "agg" for kind, _ in infos)
+    group_keys: list[str] = []
+    if is_group_by:
+        depth = 0
+        gb_si = None
+        for sj in range(len(sig)):
+            t = toks[sig[sj]]
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            elif depth == 0 and t.is_kw("GROUP") and sj + 1 < len(sig) \
+                    and toks[sig[sj + 1]].is_kw("BY"):
+                gb_si = sj
+                break
+        if gb_si is not None:
+            gend = len(toks) - 1
+            depth = 0
+            for sj in range(gb_si + 2, len(sig)):
+                t = toks[sig[sj]]
+                if t.text == "(":
+                    depth += 1
+                elif t.text == ")":
+                    if depth == 0:
+                        gend = sig[sj] - 1
+                        break
+                    depth -= 1
+                elif depth == 0 and t.is_kw("HAVING", "ORDER", "LIMIT",
+                                            "WINDOW", "TRIGGER"):
+                    gend = sig[sj] - 1
+                    break
+            for s, e in _split_top_commas(toks, sig[gb_si + 2], gend):
+                group_keys.append("".join(
+                    t.text for t in toks[s:e + 1] if t.kind not in ("WS", "COMMENT")))
+    counter: dict[str, int] = {}
+
+    def unique(name: str) -> str:
+        n = counter.get(name, 0)
+        counter[name] = n + 1
+        return name if n == 0 else f"{name}_{n}"
+
+    edits: list[tuple[int, Tok | None, list[Tok]]] = []
+    for idx, ((s, e), (kind, detail)) in enumerate(zip(items, infos)):
+        if kind == "star":
+            continue
+        if kind == "aliased":
+            alias, alias_idx = detail
+            final = unique(alias)
+            if final != alias:
+                edits.append((e, toks[alias_idx], [_name_tok(final)]))
+            continue
+        if kind == "bare":
+            final = unique(detail)
+            if final != detail:
+                edits.append((e, None, [Tok("WS", " "), Tok("IDENT", "AS"),
+                                        Tok("WS", " "), _name_tok(final)]))
+            continue
+        if kind == "agg":
+            aggname, argname = detail
+            name = f"{aggname}_{argname}" if argname else aggname
+        else:  # expr
+            item_text = "".join(t.text for t in toks[s:e + 1]
+                                if t.kind not in ("WS", "COMMENT"))
+            if is_group_by and item_text in group_keys:
+                name = f"key_{group_keys.index(item_text)}"
+            else:
+                name = f"col_{idx}"
+        final = unique(name)
+        edits.append((e, None, [Tok("WS", " "), Tok("IDENT", "AS"),
+                                Tok("WS", " "), _name_tok(final)]))
+    for e, replace, new in reversed(edits):
+        if replace is not None:
+            pos = next(j for j in range(e, -1, -1) if toks[j] is replace)
+            toks = toks[:pos] + new + toks[pos + 1:]
+        else:
+            toks = toks[:e + 1] + new + toks[e + 1:]
+    return toks
 
 
 def _table_positions(toks: list[Tok]) -> list[int]:
@@ -738,24 +1109,38 @@ def _rewrite_file_tables(spark: SparkSession, toks: list[Tok],
                     target = (si, si, inner)
                     break
             elif t.kind == "IDENT":
-                # ident(.ident)* chain ending in a known extension
+                # ident((.|/|-)ident)* chain — unquoted paths like
+                # ``mydir/my-file.csv`` work in the reference's parser
+                # (README examples); dotted chains cover stdin./docs./
+                # configured databases
                 chain = [t.text]
+                text = t.text
                 sj = si
-                while sj + 2 < len(sig) and toks[sig[sj + 1]].text == "." \
-                        and toks[sig[sj + 2]].kind == "IDENT":
+                while sj + 2 < len(sig) \
+                        and toks[sig[sj + 1]].text in (".", "/", "-") \
+                        and toks[sig[sj + 2]].kind in ("IDENT", "NUMBER"):
+                    text += toks[sig[sj + 1]].text + toks[sig[sj + 2]].text
+                    if toks[sig[sj + 1]].text == ".":
+                        chain.append(toks[sig[sj + 2]].text)
+                    else:
+                        chain[-1] += toks[sig[sj + 1]].text + toks[sig[sj + 2]].text
                     sj += 2
-                    chain.append(toks[sig[sj]].text)
                 if len(chain) >= 2 and chain[-1].lower() in _FILE_EXTS:
-                    target = (si, sj, ".".join(chain))
+                    target = (si, sj, text)
+                    break
+                if len(chain) == 2 and chain[-1].lower() == "stdin":
+                    # `lines.stdin` == `stdin.lines` (the reference
+                    # accepts either order for the stdin pseudo-file)
+                    target = (si, sj, f"stdin.{chain[0]}")
                     break
                 if chain[0] in ("stdin", "docs") and len(chain) >= 2:
-                    target = (si, sj, ".".join(chain))
+                    target = (si, sj, text)
                     break
                 if chain == ["dual"]:
                     target = (si, si, "dual")
                     break
                 if chain[0] in db_names and len(chain) >= 2:
-                    target = (si, sj, ".".join(chain))
+                    target = (si, sj, text)
                     break
         if target is None:
             return toks
@@ -902,15 +1287,27 @@ def transpile(spark: SparkSession, sql: str) -> Transpiled:
     toks = tokenize(sql)
     toks, out.triggers = _strip_trigger(toks)
     toks = _strip_join_modifiers(toks)
+    toks = _rewrite_outer_join(toks)
     toks = _rewrite_arrow(toks)
     toks = _rewrite_tvfs(spark, toks, out)
     toks = _rewrite_file_tables(spark, toks, out)
+    toks = _expand_star(spark, toks)
+    toks = _alias_select_items(toks)
     types = _collect_column_types(spark, toks)
     toks = _rewrite_type_assert(toks)
     toks = _rewrite_regex_ops(toks)
     toks = _rewrite_subscript(toks)
     toks = _rewrite_arith_overloads(toks, types)
     toks = _rewrite_functions(toks, types)
+    toks = _rewrite_float_literals(toks)
+    depth = 0
+    for t in toks:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("ORDER"):
+            out.ordered = True
     out.sql = "".join(t.text for t in toks).strip()
     return out
 
@@ -923,10 +1320,11 @@ class QueryResult:
     polls: list[str] = field(default_factory=list)
     views: dict[str, str] = field(default_factory=dict)
     event_time: str | None = None
+    ordered: bool = False
 
 
 def run_query(spark: SparkSession, sql: str) -> QueryResult:
     """Full front-end: OctoSQL dialect in, DataFrame out."""
     t = transpile(spark, sql)
     return QueryResult(spark.sql(t.sql), t.triggers, t.sql, t.polls,
-                       t.views, t.event_time)
+                       t.views, t.event_time, t.ordered)

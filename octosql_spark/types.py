@@ -48,13 +48,20 @@ class OctoType:
     alts: frozenset = frozenset()                       # UNION
 
     def __repr__(self) -> str:
+        """The reference's Type.String() rendering exactly
+        (octosql/types.go:180-226): ``NULL`` uppercase, struct fields
+        ``; ``-joined, union alternatives `` | ``-joined in TypeID
+        order."""
+        if self.id == TypeID.NULL:
+            return "NULL"
         if self.id == TypeID.LIST:
             return f"[{self.elem!r}]"
         if self.id == TypeID.STRUCT:
-            inner = ", ".join(f"{n}: {t!r}" for n, t in self.fields)
+            inner = "; ".join(f"{n}: {t!r}" for n, t in self.fields)
             return "{" + inner + "}"
         if self.id == TypeID.UNION:
-            return " | ".join(sorted(repr(a) for a in self.alts))
+            return " | ".join(repr(a) for a in
+                              sorted(self.alts, key=lambda a: a.id.value))
         if self.id == TypeID.TUPLE:
             return "(" + ", ".join(repr(e) for e in self.elems) + ")"
         return self.id.name.capitalize()

@@ -87,12 +87,11 @@ def test_union_json_golden(spark, capsys):
     rc = main([f"SELECT * FROM '{_FIXTURES}/union.json'", "--output", "json"])
     out = capsys.readouterr().out
     assert rc == 0
-    # reference golden (union.out), modulo id rendering: JSON numbers
-    # infer as Float (impl.go:89-90) so id prints 0.0 where Go's
-    # encoder prints 0 — the VALUE payloads match exactly
-    assert out.splitlines() == ['{"id": 0.0, "value": 42}',
-                                '{"id": 0.0, "value": "42"}',
-                                '{"id": 0.0, "value": [42, "42"]}']
+    # reference golden (union.out) byte-for-byte: Go-style JSON (no
+    # spaces, whole floats without .0), exact per-value union types
+    assert out.splitlines() == ['{"id":0,"value":42}',
+                                '{"id":0,"value":"42"}',
+                                '{"id":0,"value":[42,"42"]}']
 
 
 def test_varying_fields_stream_native_golden(spark, capsys):

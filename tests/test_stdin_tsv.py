@@ -23,14 +23,15 @@ def test_stdin_lines_seqsum():
     seq = "\n".join(str(i) for i in range(1, 101)) + "\n"
     out = _cli("SELECT SUM(int(text)) AS s FROM stdin.lines", seq)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert '"s": 5050' in out.stdout
+    assert '"s":5050' in out.stdout  # Go-style JSON: no spaces
 
 
 def test_stdin_json():
     data = '{"a": 1}\n{"a": 2}\n'
     out = _cli("SELECT SUM(a) AS s, COUNT(*) AS n FROM stdin.json", data)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert '"s": 3.0' in out.stdout and '"n": 2' in out.stdout
+    # Float sum renders Go-style: whole double without .0, no spaces
+    assert '"s":3' in out.stdout and '"n":2' in out.stdout
 
 
 def test_tsv_file(spark, tmp_path):
