@@ -16,6 +16,10 @@ from octosql_spark.datapipe.similarity import (  # noqa: F401
 )
 from octosql_spark.datapipe.text import (  # noqa: F401
     token_count, quality_metrics, language_id, fingerprint,
+    redact_pii, tf_idf_top_terms,
+)
+from octosql_spark.datapipe.cluster import (  # noqa: F401
+    connected_components, dedup_clusters,
 )
 from octosql_spark.datapipe.multimodal import (  # noqa: F401
     attach_media_metadata, decode_media, sample_frames, resize_media,

@@ -84,6 +84,64 @@ def language_id(text: Column) -> Column:
             .otherwise(F.lit("und")))
 
 
+# PII/markup scrubbing patterns — applied in order (URLs first so an
+# address inside a URL is not half-redacted). Patterns stay inside the
+# RE2 ∩ Java-regex subset: no backreferences or lookaround.
+_REDACT_PATTERNS = [
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
+    """Training-data scrubbing: replace emails / URLs / IPv4s /
+    phone-number-ish digit runs with typed placeholders. A chain of
+    ``regexp_replace`` expressions — scan-speed, no Python in the row
+    path; at 100 TB this fuses into the same whole-stage-codegen pass
+    as the scan."""
+    out = text
+    for kind, pat, repl in _REDACT_PATTERNS:
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def tf_idf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF:
+    ``tf(term, doc) * ln(N / df(term))``, score rounded to 6 decimals
+    (cross-engine float comparability), ties broken by term.
+
+    Scale shape: tokenize+explode is narrow; the (doc, term) count and
+    the (term) document-frequency are both map-side-combined
+    aggregations; N is one scalar broadcast back; top-k per doc is a
+    bounded window. No driver materialization.
+    """
+    toks = (df.select(id_col,
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        r"[^a-z]+")).alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("dfreq"))  # tf rows are distinct (doc, term)
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("score",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("n_docs")
+                                          / F.col("dfreq")), 6)))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("score").desc(), F.col("term")))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "term", "score"))
+
+
 def fingerprint(text: Column, mode: str = "md5") -> Column:
     """Document fingerprint over whitespace-normalized, lowercased
     text. ``md5`` = content hash; ``rolling`` = min of rolling window

@@ -898,6 +898,111 @@ def dedup_ngram_planted_q(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+# transitive-closure fixture: a 4-chain, a 2-pair, a triangle and a
+# 5-node star-with-tail — components are hand-computed, so the oracle
+# tests the CLOSURE (a~b~c collapses across edges never emitted)
+_CC_EDGES = [(1, 2), (2, 3), (3, 4), (10, 11),
+             (20, 21), (21, 22), (20, 22),
+             (30, 31), (31, 32), (30, 33), (33, 34)]
+_CC_EXPECT = ([(n, 1) for n in (1, 2, 3, 4)] + [(10, 10), (11, 10)]
+              + [(n, 20) for n in (20, 21, 22)]
+              + [(n, 30) for n in (30, 31, 32, 33, 34)])
+
+
+@workload("cluster_connected_components",
+          "SELECT CAST(node AS BIGINT) AS node, "
+          "CAST(component AS BIGINT) AS component FROM (VALUES "
+          + ", ".join(f"({n}, {c})" for n, c in sorted(_CC_EXPECT))
+          + ") AS t(node, component)")
+def cluster_connected_components_q(spark, sf_dir):
+    """Distributed connected components (min-label propagation, the
+    GraphX/Pregel shape) on a graph with chains/triangles/stars:
+    every node must get the min reachable id, including across edges
+    that were never emitted as pairs."""
+    from octosql_spark.datapipe import connected_components
+    edges = spark.createDataFrame(_CC_EDGES, "id_a long, id_b long")
+    return connected_components(edges)
+
+
+_CLUSTER_EXPECT = (
+    [(i, i) for i in range(1, 9)] + [(100 + i, i) for i in range(1, 9)]
+    + [(i, i) for i in range(51, 55)] + [(100 + i, i) for i in range(51, 55)]
+    + [(d, d) for d in range(201, 221)])
+
+
+@workload("dedup_clusters_planted",
+          "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+          "CAST(cluster_id AS BIGINT) AS cluster_id FROM (VALUES "
+          + ", ".join(f"({a}, {b})" for a, b in sorted(_CLUSTER_EXPECT))
+          + ") AS t(doc_id, cluster_id)")
+def dedup_clusters_planted_q(spark, sf_dir):
+    """End-to-end near-dup cluster resolution on the planted fixture:
+    MinHash-LSH pairs → connected components → one cluster id per doc
+    (min doc id), singletons self-labeled.
+    ``filter(doc_id == cluster_id)`` is then the deduplicated corpus."""
+    from octosql_spark.datapipe import dedup_clusters, minhash_lsh_pairs
+    docs = _planted_docs(spark)
+    pairs = minhash_lsh_pairs(docs)
+    return dedup_clusters(docs, pairs)
+
+
+_REDACT_SAMPLES = [
+    (1, "contact me at john.doe@example.com today",
+     "contact me at <EMAIL> today"),
+    (2, "see https://example.com/path?q=1 for info", "see <URL> for info"),
+    (3, "server at 192.168.0.1 rebooted", "server at <IP> rebooted"),
+    (4, "call +1-555-123-4567 now", "call <PHONE> now"),
+    (5, "no pii here just words", "no pii here just words"),
+    (6, "mail a@b.co or visit http://x.io/a", "mail <EMAIL> or visit <URL>"),
+]
+
+
+@workload("text_redact_planted",
+          "SELECT CAST(doc_id AS BIGINT) AS doc_id, redacted FROM (VALUES "
+          + ", ".join(f"({i}, '{exp}')" for i, _, exp in _REDACT_SAMPLES)
+          + ") AS t(doc_id, redacted)")
+def text_redact_planted_q(spark, sf_dir):
+    """PII scrubbing (emails/URLs/IPv4/phones → typed placeholders) on
+    planted samples with hand-written expected outputs — the oracle is
+    the construction, independent of any regex engine."""
+    from octosql_spark.datapipe import redact_pii
+    df = spark.createDataFrame([(i, t) for i, t, _ in _REDACT_SAMPLES],
+                               "doc_id long, text string")
+    return df.select("doc_id", redact_pii(F.col("text")).alias("redacted"))
+
+
+@workload("text_tfidf_topk", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * LN(CAST(n_docs AS DOUBLE) / dfreq), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, score FROM ranked WHERE rn <= 3
+""")
+def text_tfidf_topk_q(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF. Tokenize →
+    two map-side-combined aggregations (term counts, document
+    frequency) → broadcast N → bounded per-doc top-k window."""
+    from octosql_spark.datapipe import tf_idf_top_terms
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tf_idf_top_terms(d, k=3)
+
+
 @workload("dedup_embedding_cosine", """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a

@@ -268,3 +268,48 @@ def test_ivf_topk_exact_cosines_and_recall(spark):
     full = ivf_topk(q, e, k=5, n_centroids=8, n_probe=8)
     fl = {(r.query_id, r.neighbor_id) for r in full.collect()}
     assert fl == set(ex)
+
+
+def test_connected_components_transitive(spark):
+    """A 5-node path must collapse to one component even though only
+    adjacent pairs exist as edges — the closure, not the pair list."""
+    from octosql_spark.datapipe import connected_components
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (7, 8)], "id_a long, id_b long")
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (7, 7), (8, 7)}
+
+
+def test_dedup_clusters_representatives(spark):
+    from octosql_spark.datapipe import dedup_clusters
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id) for r in
+           dedup_clusters(docs, pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)}
+    # one representative per cluster
+    reps = {c for _, c in got}
+    assert reps == {1, 4, 5}
+
+
+def test_redact_pii(spark):
+    from octosql_spark.datapipe import redact_pii
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("write a@b.co via https://a.b/c from 10.0.0.1 or +1-800-555-0199",)],
+        "text string")
+    out = df.select(redact_pii(F.col("text")).alias("r")).collect()[0].r
+    assert out == "write <EMAIL> via <URL> from <IP> or <PHONE>"
+
+
+def test_tfidf_top_terms(spark):
+    """A term unique to one doc must outrank corpus-wide terms."""
+    from octosql_spark.datapipe import tf_idf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "common common zebra"), (2, "common common yak"),
+         (3, "common common common")], "doc_id long, text string")
+    out = tf_idf_top_terms(docs, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    assert top[1] == "zebra" and top[2] == "yak"
+    # 'common' appears in every doc: idf = ln(1) = 0
+    assert all(r.score == 0 for r in out if r.term == "common")
