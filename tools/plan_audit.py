@@ -23,7 +23,10 @@ CARTESIAN_OK = {"join_cross", "ann_cosine_topk", "ann_lsh_topk",
                 "agg_global", "scalar_subquery",
                 # exact all-pairs verification variant by design (the
                 # scale path is dedup_embedding_cosine_lsh)
-                "dedup_embedding_cosine"}
+                "dedup_embedding_cosine",
+                # broadcasts the 1-row corpus count N (scalar IDF
+                # denominator) — a 1×M BNLJ is the scalar-broadcast plan
+                "text_tfidf_topk"}
 
 
 def audit(name: str, df) -> list[str]:
