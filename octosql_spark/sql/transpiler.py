@@ -498,6 +498,14 @@ _FN_RESULT_CAT = {
 }
 
 
+_CAST_TARGET_CAT = {
+    "BIGINT": "int", "INT": "int", "INTEGER": "int", "SMALLINT": "int",
+    "TINYINT": "int", "LONG": "int",
+    "DOUBLE": "float", "FLOAT": "float", "REAL": "float",
+    "STRING": "string", "VARCHAR": "string", "TEXT": "string",
+}
+
+
 def _span_cat(toks: list[Tok], lo: int, hi: int,
               types: dict[str, str]) -> str | None:
     """Type category of the expression spanned by toks[lo..hi]
@@ -557,6 +565,13 @@ def _span_cat(toks: list[Tok], lo: int, hi: int,
         if len(sig) == 1:
             return types.get(t.text.strip('"`').lower())
         if toks[sig[1]].text == "(" and sig[-1] == _match_paren(toks, sig[1], 1):
+            if t.text.lower() in ("try_cast", "cast"):
+                # ``x::T`` has already been rewritten to
+                # TRY_CAST(x AS T) by the time the overload pass runs,
+                # so the cast target (token before the closing paren)
+                # determines the category: '7'::Int / 2 must still be
+                # Int/Int integer division (functions.go:320-355).
+                return _CAST_TARGET_CAT.get(toks[sig[-2]].text.upper())
             return _FN_RESULT_CAT.get(t.text.lower())
         # dotted chain t.col → category of the final identifier
         if all(toks[i].kind in ("IDENT", "QIDENT") or toks[i].text == "."

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 NATION = "/root/testdata/sf0.001/nation.parquet"
@@ -95,6 +95,9 @@ def _exprs() -> st.SearchStrategy:
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(_exprs())
+# regression: a ::Int cast result must count as an Int operand so the
+# Int/Int integer-division overload still fires (found by this fuzzer)
+@example(expr=("('7'::int / 2)", "('7'::BIGINT // 2)"))
 def test_dialect_matches_duckdb(spark, duck, nation_view, expr):
     dialect, ducksql = expr
     from octosql_spark.sql import run_query
