@@ -1003,6 +1003,72 @@ def text_tfidf_topk_q(spark, sf_dir):
     return tf_idf_top_terms(d, k=3)
 
 
+@workload("curate_decontaminate", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+             array_to_string(ws[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gram
+      FROM w, UNNEST(range(1, len(ws) - 4 + 2)) AS t(i)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT DISTINCT doc_id FROM g
+WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench)
+""")
+def curate_decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word
+    4-gram with the 'benchmark' subset (doc_id % 97 = 0) are flagged.
+    Explode grams → broadcast semi-join against the (small) benchmark
+    gram set → distinct ids; one corpus scan, no corpus-sized shuffle."""
+    from octosql_spark.datapipe import decontaminate
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=4)
+
+
+@workload("curate_sample_stratified", """
+SELECT doc_id, source FROM documents
+WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296
+      < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.25
+                    WHEN 'src2' THEN 0.25 ELSE 0.05 END
+""")
+def curate_sample_stratified_q(spark, sf_dir):
+    """Deterministic stratified sampling: per-source keep rates decided
+    by a Knuth multiplicative hash of doc_id — reproducible across
+    engines and runs (the oracle computes the same arithmetic), and
+    map-only at scale: a filter on the scan, zero shuffles."""
+    from octosql_spark.datapipe import sample_stratified
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_stratified(
+        docs, {"src0": 0.8, "src1": 0.25, "src2": 0.25}, default_rate=0.05)
+
+
+@workload("curate_pack_sequences", """
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - n_tokens AS start
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(start / 512.0) AS BIGINT) AS pack_id,
+       start % 512 AS pack_offset
+FROM c
+""")
+def curate_pack_sequences_q(spark, sf_dir):
+    """Sequence packing: concatenate docs in id order per source shard
+    and split the token stream into 512-token context windows; each doc
+    gets the pack where its first token lands + its offset. Window
+    cumsum PARTITIONed BY shard — distributed, never a global sort."""
+    from octosql_spark.datapipe import pack_sequences
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return pack_sequences(docs, max_tokens=512)
+
+
 @workload("dedup_embedding_cosine", """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a

@@ -313,3 +313,47 @@ def test_tfidf_top_terms(spark):
     assert top[1] == "zebra" and top[2] == "yak"
     # 'common' appears in every doc: idf = ln(1) = 0
     assert all(r.score == 0 for r in out if r.term == "common")
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from octosql_spark.datapipe import decontaminate
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "prefix the quick brown fox suffix"),   # shares a 4-gram
+         (2, "quick brown dog runs away fast here"),  # no shared 4-gram
+         (3, "a b c")],                               # shorter than n
+        "doc_id long, text string")
+    got = {r.doc_id for r in decontaminate(docs, bench, n=4).collect()}
+    assert got == {1}
+
+
+def test_sample_stratified_deterministic_and_bounded(spark):
+    from octosql_spark.datapipe import sample_stratified
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string")
+    kept1 = sorted(r.doc_id for r in
+                   sample_stratified(docs, {"a": 0.5}).collect())
+    kept2 = sorted(r.doc_id for r in
+                   sample_stratified(docs, {"a": 0.5}).collect())
+    assert kept1 == kept2                       # deterministic
+    assert all(i % 2 == 0 for i in kept1)       # default_rate=0 drops 'b'
+    assert 350 < len(kept1) < 650               # ~50% of the 1000 'a' rows
+
+
+def test_pack_sequences_invariants(spark):
+    from octosql_spark.datapipe import pack_sequences
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", " ".join(["w"] * (3 + i % 7))) for i in range(40)],
+        "doc_id long, source string, text string")
+    rows = pack_sequences(docs, max_tokens=10).collect()
+    assert all(0 <= r.pack_offset < 10 for r in rows)
+    # within a shard, doc starts are contiguous: next start = prev + n_tokens
+    for src in ("s0", "s1"):
+        shard = sorted((r for r in rows if r.source == src),
+                       key=lambda r: r.doc_id)
+        start = 0
+        for r in shard:
+            assert r.pack_id == start // 10 and r.pack_offset == start % 10
+            start += r.n_tokens
