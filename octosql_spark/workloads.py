@@ -203,6 +203,46 @@ def join_inner_agg(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
+@workload("join_multiway_revenue", """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY n_name
+""", headline=True)
+def join_multiway_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join (fact lineitem/orders against 4
+    dims) + filtered agg — the canonical reporting query. At scale the
+    plan is exactly what you want: region/nation/supplier/customer are
+    all under the broadcast threshold so the only shuffles are the
+    lineitem↔orders equi-join and the tiny final agg; the o_orderdate
+    and r_name filters reach the scans, and AQE can reorder/shrink
+    the remaining exchange at runtime."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1999-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (stream_join(c, o, [("c_custkey", "o_custkey")])
+         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey")))
+         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(r, F.col("n_regionkey") == F.col("r_regionkey")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(rev), 2).alias("revenue")))
+
+
 @workload("join_theta", """
 SELECT c_nationkey AS nationkey, COUNT(*) AS n
 FROM supplier JOIN customer
