@@ -142,6 +142,35 @@ def tf_idf_top_terms(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "term", "score"))
 
 
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap perplexity proxy for quality
+    filtering (gibberish and boilerplate score low; typical prose
+    scores near the corpus mode). Returns (id, n_tokens,
+    avg_logprob rounded to 6 — the mean is order-dependent).
+
+    Scale shape: two map-side-combined aggregations (token counts =
+    the vocab, then the per-doc mean), one scalar total broadcast
+    back, and one tokens↔vocab equi-join. The vocab is Zipf-small
+    relative to the corpus (~10M rows at 100 TB) so AQE broadcasts it
+    when it fits and shuffle-joins otherwise; nothing touches the
+    driver.
+    """
+    toks = (df.select(id_col,
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        r"[^a-z]+")).alias("term"))
+            .filter(F.col("term") != ""))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (toks.join(vocab, "term")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6)
+                 .alias("avg_logprob")))
+
+
 def fingerprint(text: Column, mode: str = "md5") -> Column:
     """Document fingerprint over whitespace-normalized, lowercased
     text. ``md5`` = content hash; ``rolling`` = min of rolling window

@@ -1043,6 +1043,29 @@ def text_tfidf_topk_q(spark, sf_dir):
     return tf_idf_top_terms(d, k=3)
 
 
+@workload("text_unigram_logprob", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+vocab AS (SELECT term, COUNT(*) AS cnt FROM t2 GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(LN(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+FROM t2 JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
+""")
+def text_unigram_logprob_q(spark, sf_dir):
+    """Mean unigram log-prob per document under the corpus's own
+    unigram LM — the cheap perplexity proxy used for quality
+    filtering. Two map-side aggs + one tokens↔vocab join; the scalar
+    total broadcasts back."""
+    from octosql_spark.datapipe import unigram_logprob
+    return unigram_logprob(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 @workload("curate_decontaminate", """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 g AS (SELECT doc_id,

@@ -357,3 +357,12 @@ def test_pack_sequences_invariants(spark):
         for r in shard:
             assert r.pack_id == start // 10 and r.pack_offset == start % 10
             start += r.n_tokens
+
+
+def test_unigram_logprob_ranks_gibberish_low(spark):
+    from octosql_spark.datapipe import unigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the mat"),
+         (3, "zxqj vvkw qqpz xxyy zz aa")], "doc_id long, text string")
+    got = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+    assert got[3] < got[1] and got[3] < got[2]  # gibberish scores lowest
