@@ -26,6 +26,13 @@ def _nanos_ts_columns(path: str) -> list[str]:
     import pyarrow.parquet as pq
     import pyarrow as pa
     cols = []
+    if os.path.isdir(path):
+        # directory-style parquet (any multi-file dataset): all parts
+        # share one schema, so sniff the first part file
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not parts:
+            return cols
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     for field in schema:
         t = field.type

@@ -1,0 +1,129 @@
+"""10x scale stress: does the headline plan set survive a 10x data
+blow-up with ~linear wall time?
+
+Materializes a key-remapped k-fold replica of an SF directory (sf0.1
+x10 ~= TPC-H sf1: 6M-row lineitem), runs every headline registry
+workload on both the base and the scaled copy (same warm-median
+methodology as bench.py), and reports the time ratio per query. A
+scale-safe plan grows ~linearly (ratio ~= k for scan-bound work, less
+for fixed-output top-k/agg shapes); a plan with an accidental
+cartesian, driver materialization, or single-task stage grows
+super-linearly and fails the gate here before it fails on a cluster.
+
+Replication keeps referential integrity: each replica i shifts every
+join key by i*OFFSET consistently across fact and dim tables, so join
+fan-outs and group cardinalities scale honestly (10x rows, 10x
+groups, same per-key fan-in). nation/region stay fixed (25/5 rows,
+like TPC-H at every SF). documents text is replicated verbatim, which
+also stress-tests the near-dup pipeline under a 90% exact-duplicate
+corpus - the realistic worst case for LSH bucket load.
+
+Run: python tools/scale_stress.py [sf_dir] [k]
+Prints one JSON line; SCALE.md records the checked-in results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+# join keys to shift per replica, per table (all BIGINT in testdata)
+KEYED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+OFFSET = 100_000_000
+
+
+def build_scaled(spark, src: str, dst: str, k: int) -> None:
+    from octosql_spark.catalog import load_table
+    os.makedirs(dst, exist_ok=True)
+    for t in COPY_AS_IS:
+        shutil.copy(os.path.join(src, f"{t}.parquet"),
+                    os.path.join(dst, f"{t}.parquet"))
+    for t, keys in KEYED.items():
+        df = load_table(spark, src, t)
+        rep = df.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(k)])))
+        for c in keys:
+            rep = rep.withColumn(c, (F.col(c) + F.col("_r") * OFFSET))
+        # single parquet file per table to mirror the testdata layout
+        # (the point is plan shape, not write parallelism)
+        rep.drop("_r").coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet"))
+
+
+def timed(spark, build, warmups: int = 1, runs: int = 3) -> float:
+    for _ in range(warmups):
+        build().collect()
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        build().collect()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def main() -> int:
+    from octosql_spark.session import get_spark
+    from octosql_spark.workloads import REGISTRY
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    dst = f"/tmp/octosql_scale{k}x"
+
+    spark = get_spark("scale-stress")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    if not os.path.exists(os.path.join(dst, "lineitem.parquet")):
+        build_scaled(spark, src, dst, k)
+
+    # size-derived tuning, same policy as bench.py, per directory
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def tune(d: str) -> None:
+        biggest = max(
+            sum(os.path.getsize(os.path.join(r, f)) for r, _, fs in
+                os.walk(os.path.join(d, t)) for f in fs)
+            if os.path.isdir(os.path.join(d, t))
+            else os.path.getsize(os.path.join(d, t))
+            for t in os.listdir(d) if t.endswith(".parquet"))
+        split = min(max(biggest // (2 * cpus), 2 << 20), 256 << 20)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
+    out: dict[str, dict] = {}
+    for name, w in REGISTRY.items():
+        if not w.headline:
+            continue
+        tune(src)
+        base = timed(spark, lambda: w.build(spark, src))
+        tune(dst)
+        scaled = timed(spark, lambda: w.build(spark, dst))
+        out[name] = {
+            "base_sec": round(base, 4),
+            f"x{k}_sec": round(scaled, 4),
+            "ratio": round(scaled / base, 2),
+        }
+        print(f"  {name}: {base:.3f}s -> {scaled:.3f}s "
+              f"(x{scaled / base:.1f})", file=sys.stderr)
+
+    print(json.dumps({"metric": f"scale_stress_x{k}", "src": src,
+                      "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
