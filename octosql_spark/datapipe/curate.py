@@ -114,3 +114,79 @@ def pack_sequences(docs: DataFrame, max_tokens: int = 512,
         F.floor(start / max_tokens).alias("pack_id"),
         (start % max_tokens).alias("pack_offset"),
     )
+
+
+def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", top_n: int = 2,
+                       dup_n: int = 5, line_sep: str = "\n") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1) — the standard
+    repetition filters between raw scrape and training corpus:
+
+    - ``dup_line_frac``: occurrences of non-unique lines / all lines
+      (lines = ``line_sep``-separated, trimmed, non-empty)
+    - ``dup_line_char_frac``: same, weighted by line length
+    - ``top_{n}gram_char_frac``: occurrences x length of the most
+      frequent word ``top_n``-gram / total chars (ties broken toward
+      the longer gram; the fraction is identical either way)
+    - ``dup_{n}gram_char_frac``: occurrences x length summed over
+      non-unique ``dup_n``-grams / total chars
+    Both gram fractions are capped at 1: occurrences x length counts
+    overlapping occurrences' characters multiply (Gopher counts each
+    char once; this deterministic variant is an upper bound).
+    - ``keep``: the Gopher thresholds (dup lines <= 0.30, top 2-gram
+      <= 0.20, dup 5-gram <= 0.15) as a composite filter column
+
+    Scale shape: ONE corpus scan — lines and both gram families
+    explode from the same row into a tagged (kind, unit) column, then
+    two map-side-combined aggregations keyed by (id, kind, unit) and
+    (id, kind), and a final per-id conditional rollup. No joins back
+    to the corpus, no driver state; the widest shuffle is the
+    per-unit count, the same volume as any tokenize step.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.transform(F.split(t, line_sep), lambda x: F.trim(x)),
+                     lambda x: x != "")
+    tag = lambda kind, arr: F.transform(  # noqa: E731
+        arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("unit")))
+    units = F.concat(tag("line", lines),
+                     tag("top", _word_ngrams(t, top_n)),
+                     tag("dup", _word_ngrams(t, dup_n)))
+    base = docs.select(F.col(id_col), F.length(t).alias("n_chars"),
+                       F.explode_outer(units).alias("u"))
+    per_unit = (base.groupBy(id_col, "n_chars",
+                             F.col("u.kind").alias("kind"),
+                             F.col("u.unit").alias("unit"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    ulen = F.length("unit")
+    dup_cnt = F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))
+    per_kind = (per_unit.groupBy(id_col, "n_chars", "kind").agg(
+        F.sum("cnt").alias("total"),
+        F.sum(dup_cnt).alias("dup"),
+        F.sum(F.col("cnt") * ulen).alias("chars_total"),
+        F.sum(dup_cnt * ulen).alias("chars_dup"),
+        F.max(F.struct(F.col("cnt").alias("cnt"), ulen.alias("len")))
+         .alias("top")))
+
+    def _k(kind: str, expr) -> Column:
+        # per_kind has one row per (doc, kind); fractions divide by
+        # sums over >= 1 unit of length >= 0 — guard every denominator
+        # (ANSI mode: x/0 throws, it does not yield NULL)
+        return F.round(F.coalesce(
+            F.max(F.when(F.col("kind") == kind, expr)), F.lit(0.0)), 6)
+
+    nz = F.when(F.col("n_chars") > 0, F.col("n_chars"))
+    ct = F.when(F.col("chars_total") > 0, F.col("chars_total"))
+    tl = F.when(F.col("total") > 0, F.col("total"))
+    out = (per_kind.groupBy(id_col).agg(
+        _k("line", F.col("dup") / tl).alias("dup_line_frac"),
+        _k("line", F.col("chars_dup") / ct).alias("dup_line_char_frac"),
+        _k("top", F.least(F.lit(1.0),
+                          F.col("top.cnt") * F.col("top.len") / nz))
+            .alias(f"top_{top_n}gram_char_frac"),
+        _k("dup", F.least(F.lit(1.0), F.col("chars_dup") / nz))
+            .alias(f"dup_{dup_n}gram_char_frac")))
+    return out.withColumn(
+        "keep", (F.col("dup_line_frac") <= 0.30)
+                & (F.col(f"top_{top_n}gram_char_frac") <= 0.20)
+                & (F.col(f"dup_{dup_n}gram_char_frac") <= 0.15))

@@ -1066,6 +1066,65 @@ def text_unigram_logprob_q(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+@workload("text_repetition_gopher", """
+WITH d AS (SELECT doc_id, text, LENGTH(text) AS n_chars FROM documents),
+l0 AS (SELECT doc_id, TRIM(x) AS unit
+       FROM d, UNNEST(string_split(text, ' ')) AS t(x)
+       WHERE TRIM(x) <> ''),
+lc AS (SELECT doc_id, unit, COUNT(*) AS cnt FROM l0 GROUP BY 1, 2),
+ls AS (SELECT doc_id, SUM(cnt) AS total,
+              SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup,
+              SUM(cnt * LENGTH(unit)) AS chars_total,
+              SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(unit) ELSE 0 END)
+                AS chars_dup
+       FROM lc GROUP BY 1),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+g2 AS (SELECT doc_id,
+              array_to_string(ws[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+                AS unit
+       FROM w, UNNEST(range(1, len(ws) - 2 + 2)) AS t(i)),
+g2c AS (SELECT doc_id, unit, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+g2s AS (SELECT doc_id,
+               (list(cnt * LENGTH(unit)
+                     ORDER BY cnt DESC, LENGTH(unit) DESC))[1] AS topnum
+        FROM g2c GROUP BY 1),
+g5 AS (SELECT doc_id,
+              array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+                AS unit
+       FROM w, UNNEST(range(1, len(ws) - 5 + 2)) AS t(i)),
+g5c AS (SELECT doc_id, unit, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2),
+g5s AS (SELECT doc_id,
+               SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(unit) ELSE 0 END)
+                 AS chars_dup
+        FROM g5c GROUP BY 1),
+fr AS (SELECT d.doc_id,
+  ROUND(COALESCE(ls.dup * 1.0 / ls.total, 0), 6) AS dup_line_frac,
+  ROUND(COALESCE(ls.chars_dup * 1.0 / ls.chars_total, 0), 6)
+    AS dup_line_char_frac,
+  ROUND(COALESCE(LEAST(1.0, g2s.topnum * 1.0 / NULLIF(d.n_chars, 0)), 0), 6)
+    AS top_2gram_char_frac,
+  ROUND(COALESCE(LEAST(1.0, g5s.chars_dup * 1.0 / NULLIF(d.n_chars, 0)), 0),
+        6) AS dup_5gram_char_frac
+  FROM d LEFT JOIN ls USING (doc_id) LEFT JOIN g2s USING (doc_id)
+  LEFT JOIN g5s USING (doc_id))
+SELECT *, (dup_line_frac <= 0.30 AND top_2gram_char_frac <= 0.20
+           AND dup_5gram_char_frac <= 0.15) AS keep
+FROM fr
+""")
+def text_repetition_gopher_q(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 Table A1): duplicate
+    -line fraction, char-weighted variant, top-2-gram char fraction,
+    duplicated-5-gram char fraction + composite keep. One corpus scan
+    (tagged explode), map-side-combined counts — no corpus-sized join.
+    The synthetic documents are single-line, so this entry uses
+    word-level "lines" (line_sep=' ') to keep the line metrics
+    non-degenerate; real corpora use the '\\n' default."""
+    from octosql_spark.datapipe import repetition_metrics
+    return repetition_metrics(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        line_sep=" ")
+
+
 @workload("curate_decontaminate", """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 g AS (SELECT doc_id,

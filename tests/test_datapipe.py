@@ -366,3 +366,40 @@ def test_unigram_logprob_ranks_gibberish_low(spark):
          (3, "zxqj vvkw qqpz xxyy zz aa")], "doc_id long, text string")
     got = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
     assert got[3] < got[1] and got[3] < got[2]  # gibberish scores lowest
+
+
+def test_repetition_metrics_gopher(spark):
+    from octosql_spark.datapipe import repetition_metrics
+    docs = spark.createDataFrame(
+        [(1, "aaa\naaa\nbbb"),             # 2 of 3 lines duplicated
+         (2, "go go go go"),               # "go go" x3, len 5, 11 chars
+         (3, "many distinct words in this sentence avoid any repeated "
+             "pair so every bigram occurs once only here today")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in repetition_metrics(docs).collect()}
+    assert got[1]["dup_line_frac"] == round(2 / 3, 6)
+    assert got[1]["dup_line_char_frac"] == round(6 / 9, 6)
+    assert got[1]["top_2gram_char_frac"] == 0.0  # no spaces -> no grams
+    assert not got[1]["keep"]
+    # overlapping "go go" occurrences: 3 x 5 chars > 11 chars -> capped
+    assert got[2]["top_2gram_char_frac"] == 1.0
+    assert got[2]["dup_line_frac"] == 0.0  # single line
+    assert not got[2]["keep"]
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["dup_5gram_char_frac"] == 0.0
+    assert got[3]["keep"]
+
+
+def test_repetition_metrics_empty_and_blank(spark):
+    from octosql_spark.datapipe import repetition_metrics
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "x\n\n\nx")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in repetition_metrics(docs).collect()}
+    assert got[1]["dup_line_frac"] == 0.0 and not got[1] is None
+    # whitespace-only text degenerates to repeated empty-token grams:
+    # scores as maximal repetition -> filtered, which is what a
+    # quality filter should do with blank documents
+    assert got[2]["top_2gram_char_frac"] == 1.0 and not got[2]["keep"]
+    assert got[3]["dup_line_frac"] == 1.0  # both non-blank lines are "x"
+    assert len(got) == 3
