@@ -856,6 +856,57 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3)
 
 
+@workload("dedup_substring_spans", """
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents),
+t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM d),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')
+               AS gram
+      FROM t, UNNEST(range(1, n_tokens - 8 + 2)) AS r(i)
+      WHERE n_tokens >= 8),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+lg AS (SELECT doc_id, pos,
+              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       FROM p),
+i2 AS (SELECT doc_id, pos,
+              SUM(CASE WHEN prev IS NULL OR pos > prev + 8
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS isl
+       FROM lg),
+sp AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 7 AS e
+       FROM i2 GROUP BY doc_id, isl),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+               string_agg(s || '-' || e, ';' ORDER BY s) AS spans
+        FROM sp GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(agg.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(agg.dup_tokens, 0) AS dup_tokens,
+       ROUND(COALESCE(agg.dup_tokens, 0) * 1.0 / t.n_tokens, 6)
+         AS dup_token_frac,
+       COALESCE(agg.spans, '') AS spans
+FROM t LEFT JOIN agg USING (doc_id)
+""")
+def dedup_substring_spans_q(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2021 ExactSubstr shape):
+    maximal merged spans of >= 8 tokens appearing in >= 2 distinct
+    documents, per doc, with duplicated-token fraction. Gram hashing +
+    one count shuffle + one join — no all-pairs, no suffix array."""
+    from octosql_spark.datapipe import duplicated_spans
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = duplicated_spans(d, min_len=8)
+    return out.select("doc_id",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+                      F.col("dup_tokens").cast("long").alias("dup_tokens"),
+                      "dup_token_frac", "spans")
+
+
 @workload("dedup_ngram_jaccard", None)
 def dedup_ngram_jaccard_q(spark, sf_dir):
     """Exact n-gram Jaccard pairs over an inverted-index candidate join."""

@@ -403,3 +403,50 @@ def test_repetition_metrics_empty_and_blank(spark):
     assert got[2]["top_2gram_char_frac"] == 1.0 and not got[2]["keep"]
     assert got[3]["dup_line_frac"] == 1.0  # both non-blank lines are "x"
     assert len(got) == 3
+
+
+def test_duplicated_spans_basic(spark):
+    from octosql_spark.datapipe import duplicated_spans
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m"),   # shares a..h with doc 2
+         (2, "z z a b c d e f g h q r s"),
+         (3, "totally different words here only"),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.asDict()
+           for r in duplicated_spans(docs, min_len=4).collect()}
+    # docs 1+2 share the 8-token run a..h: overlapping 4-gram windows
+    # merge into one maximal span per doc
+    assert got[1]["spans"] == "1-8" and got[1]["n_dup_spans"] == 1
+    assert got[2]["spans"] == "3-10"
+    assert got[1]["dup_tokens"] == 8
+    assert got[1]["dup_token_frac"] == round(8 / 13, 6)
+    assert got[3]["n_dup_spans"] == 0 and got[3]["spans"] == ""
+    assert got[4]["dup_tokens"] == 0  # empty doc survives with zeros
+    assert len(got) == 4
+
+
+def test_duplicated_spans_cross_doc_only(spark):
+    from octosql_spark.datapipe import duplicated_spans
+    # within-doc repetition is NOT a duplicate at min_dup_docs=2 —
+    # the same gram must appear in >= 2 distinct documents
+    docs = spark.createDataFrame(
+        [(1, "p q r s p q r s p q r s"),
+         (2, "unrelated text with other words")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.asDict()
+           for r in duplicated_spans(docs, min_len=4).collect()}
+    assert got[1]["n_dup_spans"] == 0
+
+
+def test_duplicated_spans_two_separate_spans(spark):
+    from octosql_spark.datapipe import duplicated_spans
+    # two shared runs separated by a >k gap stay separate spans
+    docs = spark.createDataFrame(
+        [(1, "a b c d X1 X2 X3 X4 X5 X6 w x y z"),
+         (2, "a b c d A1 B2 C3 D4 E5 F6 w x y z")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.asDict()
+           for r in duplicated_spans(docs, min_len=4).collect()}
+    assert got[1]["spans"] == "1-4;11-14"
+    assert got[1]["n_dup_spans"] == 2 and got[1]["dup_tokens"] == 8

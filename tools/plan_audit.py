@@ -26,7 +26,10 @@ CARTESIAN_OK = {"join_cross", "ann_cosine_topk", "ann_lsh_topk",
                 "dedup_embedding_cosine",
                 # broadcasts the 1-row corpus count N (scalar IDF
                 # denominator) — a 1×M BNLJ is the scalar-broadcast plan
-                "text_tfidf_topk"}
+                "text_tfidf_topk",
+                # same shape: 1-row corpus token total broadcast as the
+                # unigram-LM denominator
+                "text_unigram_logprob"}
 
 
 def audit(name: str, df) -> list[str]:
