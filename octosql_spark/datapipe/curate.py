@@ -190,3 +190,54 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
         "keep", (F.col("dup_line_frac") <= 0.30)
                 & (F.col(f"top_{top_n}gram_char_frac") <= 0.20)
                 & (F.col(f"dup_{dup_n}gram_char_frac") <= 0.15))
+
+
+def mixture_sample(docs: DataFrame, budget_tokens: int,
+                   alpha: float = 0.5, seed: int = 17,
+                   id_col: str = "doc_id", source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Temperature-weighted domain mixture sampling — the step that
+    turns per-domain corpora into one training mix (the alpha-scaled
+    multinomial of XLM-R / mT5: domain weight w_d proportional to
+    tokens_d^alpha, renormalized; alpha < 1 upsamples small domains).
+    Each domain is then downsampled to its token budget
+    ``budget_tokens * w_d`` with a deterministic per-document
+    keep/drop decision, so the same corpus + seed always yields the
+    same mix (resumable pipelines, reproducible ablations).
+
+    The keep decision hashes the document id through an LCG over the
+    Mersenne prime 2^31-1 (products stay < 2^62 — ANSI-overflow-safe,
+    and plain bigint arithmetic so any engine reproduces it exactly);
+    a doc is kept when hash < rate * (2^31-1). Multiplicative hashing
+    of sequential ids is equidistributed, so realized rates track
+    targets even on tiny domains.
+
+    Returns the kept docs as (id, source, n_tokens, sample_rate
+    rounded to 6). Scale shape: one map-side-combined aggregation to
+    the (tiny) domain table, an unpartitioned window over that
+    domain table only (|domains| rows — never the corpus), and a
+    broadcast join back; the corpus is scanned once and never
+    shuffled."""
+    p = 2147483647  # Mersenne 2^31-1
+    a = 1103515245
+    d = docs.select(F.col(id_col), F.col(source_col),
+                    token_count(F.col(text_col)).alias("n_tokens"))
+    dom = d.groupBy(source_col).agg(F.sum("n_tokens").alias("_t"))
+    wsum = Window.partitionBy()  # the domain table only — stays tiny
+    dom = (dom.withColumn("_pw", F.pow(F.col("_t").cast("double"),
+                                       F.lit(float(alpha))))
+           .withColumn("_w", F.col("_pw") / F.sum("_pw").over(wsum))
+           .select(source_col,
+                   F.least(F.lit(1.0),
+                           F.lit(float(budget_tokens)) * F.col("_w")
+                           / F.when(F.col("_t") > 0, F.col("_t")))
+                   .alias("_rate")))
+    # seed is added BEFORE the multiplication: (id+seed)*a mod p —
+    # an additive-only seed would shift every hash by a constant and
+    # barely change the kept set; pre-multiplication it decorrelates
+    h = F.pmod(F.pmod(F.pmod(F.col(id_col), F.lit(p)) + F.lit(seed),
+                      F.lit(p)) * F.lit(a), F.lit(p))
+    return (d.join(F.broadcast(dom), source_col)
+            .filter(h < F.round(F.col("_rate") * p).cast("long"))
+            .select(id_col, source_col, "n_tokens",
+                    F.round("_rate", 6).alias("sample_rate")))

@@ -1214,6 +1214,37 @@ def curate_sample_stratified_q(spark, sf_dir):
         docs, {"src0": 0.8, "src1": 0.25, "src2": 0.25}, default_rate=0.05)
 
 
+@workload("curate_mixture_sample", """
+WITH d AS (SELECT doc_id, source,
+                  CASE WHEN len(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END AS n_tokens
+           FROM documents),
+dom AS (SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS t
+        FROM d GROUP BY source),
+w AS (SELECT source, t,
+             POWER(t, 0.5) / SUM(POWER(t, 0.5)) OVER () AS wgt
+      FROM dom),
+r AS (SELECT source,
+             LEAST(1.0, 10000 * wgt / NULLIF(t, 0)) AS rate
+      FROM w)
+SELECT d.doc_id, d.source, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(r.rate, 6) AS sample_rate
+FROM d JOIN r USING (source)
+WHERE (((d.doc_id % 2147483647 + 17) % 2147483647) * 1103515245)
+      % 2147483647
+      < CAST(ROUND(r.rate * 2147483647) AS BIGINT)
+""")
+def curate_mixture_sample_q(spark, sf_dir):
+    """Temperature-weighted domain mixture sampling (alpha=0.5,
+    10k-token budget): deterministic LCG keep/drop per doc, rates
+    from tokens^alpha renormalization — bit-reproducible across
+    engines, so fully oracled."""
+    from octosql_spark.datapipe import mixture_sample
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return mixture_sample(d, budget_tokens=10000, alpha=0.5, seed=17)
+
+
 @workload("curate_pack_sequences", """
 WITH t AS (
   SELECT doc_id, source,

@@ -450,3 +450,42 @@ def test_duplicated_spans_two_separate_spans(spark):
            for r in duplicated_spans(docs, min_len=4).collect()}
     assert got[1]["spans"] == "1-4;11-14"
     assert got[1]["n_dup_spans"] == 2 and got[1]["dup_tokens"] == 8
+
+
+def _mix_docs(spark):
+    # domain "big": 40 docs x 10 tokens; "small": 8 docs x 5 tokens
+    rows = [(i, "big", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10") for i in range(40)]
+    rows += [(100 + i, "small", "a b c d e") for i in range(8)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mixture_sample_budget_and_alpha(spark):
+    from octosql_spark.datapipe import mixture_sample
+    docs = _mix_docs(spark)
+    # alpha=1: proportional (rates equal across domains when budget
+    # spans the whole corpus: total 440 tokens, budget 220 -> rate .5)
+    out = mixture_sample(docs, budget_tokens=220, alpha=1.0).collect()
+    rates = {r.source: r.sample_rate for r in out}
+    assert rates["big"] == rates["small"] == 0.5
+    kept_big = sum(1 for r in out if r.source == "big")
+    assert 10 <= kept_big <= 30  # hash-sampling near the 50% target
+    # alpha=0: domain weights equalize -> small domain upsampled to
+    # its cap (rate 1.0) while big is cut harder
+    out0 = mixture_sample(docs, budget_tokens=220, alpha=0.0).collect()
+    rates0 = {r.source: r.sample_rate for r in out0}
+    assert rates0["small"] == 1.0
+    assert rates0["big"] < 0.5
+    assert sum(1 for r in out0 if r.source == "small") == 8
+
+
+def test_mixture_sample_deterministic_and_capped(spark):
+    from octosql_spark.datapipe import mixture_sample
+    docs = _mix_docs(spark)
+    a = sorted(r.doc_id for r in mixture_sample(docs, 100, seed=7).collect())
+    b = sorted(r.doc_id for r in mixture_sample(docs, 100, seed=7).collect())
+    assert a == b  # same seed -> identical sample
+    c = sorted(r.doc_id for r in mixture_sample(docs, 100, seed=8).collect())
+    assert a != c  # different seed -> different sample
+    # budget >= corpus: everything kept, rates capped at 1.0
+    allr = mixture_sample(docs, budget_tokens=10**6).collect()
+    assert len(allr) == 48 and all(r.sample_rate == 1.0 for r in allr)
