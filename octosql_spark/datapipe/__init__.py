@@ -20,7 +20,7 @@ from octosql_spark.datapipe.text import (  # noqa: F401
     redact_pii, tf_idf_top_terms, unigram_logprob,
 )
 from octosql_spark.datapipe.cluster import (  # noqa: F401
-    connected_components, dedup_clusters,
+    connected_components, dedup_clusters, semantic_dedup,
 )
 from octosql_spark.datapipe.curate import (  # noqa: F401
     decontaminate, sample_stratified, sample_hash_bucket, pack_sequences,

@@ -80,3 +80,85 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
             .select(id_col,
                     F.coalesce("component", F.col(id_col))
                     .alias("cluster_id")))
+
+
+def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.9,
+                   method: str = "cells", n_cells: int = 16,
+                   seed: int = 42) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): collapse groups of
+    semantically near-identical examples (cosine >= ``threshold``) to
+    one representative each. Returns every input id with its
+    ``cluster_id`` and a ``keep`` flag; ``filter(keep)`` is the
+    deduplicated corpus.
+
+    ``method="exact"`` — all-pairs cosine + transitive closure;
+    deterministic min-id representative. O(n²): verification scale
+    only (it is the policy an oracle can replay).
+
+    ``method="cells"`` — the paper's actual recipe and the 100 TB
+    shape: k-means cells partition the corpus (train on MLlib, one
+    coarse iterative step), near-dup pairs are found ONLY within a
+    cell (the single shuffle is the cell equi-join; cross-cell pairs
+    are sacrificed exactly as in the paper), and each duplicate
+    group keeps the member FARTHEST from the cell centroid (the
+    paper's low-centroid-similarity rule — outliers carry the most
+    information), tiebroken by min id.
+    """
+    from octosql_spark.datapipe.dedup import embedding_near_dup_pairs
+    from octosql_spark.datapipe.similarity import _dot
+
+    ids = embeddings.select(F.col(id_col))
+    if method == "exact":
+        pairs = embedding_near_dup_pairs(
+            embeddings, id_col, vec_col, threshold, method="exact")
+        cl = dedup_clusters(ids, pairs, id_col)
+        return cl.select(id_col, "cluster_id",
+                         (F.col(id_col) == F.col("cluster_id")).alias("keep"))
+    if method != "cells":
+        raise ValueError(method)
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    e = embeddings.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).cast("array<double>").alias("_v"))
+    norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    e = e.withColumn("_nv", F.transform("_v", lambda x: x / norm))
+    model = (KMeans(k=n_cells, seed=seed, featuresCol="features")
+             .fit(e.select(array_to_vector("_nv").alias("features"))))
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _cell_and_ccos(vec):
+        scored = F.array(*[
+            F.struct(_dot(vec, F.array(*[F.lit(x) for x in ctr])).alias("c"),
+                     F.lit(i).alias("cid"))
+            for i, ctr in enumerate(centers)])
+        best = F.array_sort(scored)[F.size(scored) - 1]  # max cosine
+        return best["cid"].alias("cell"), best["c"].alias("ccos")
+
+    cell, ccos = _cell_and_ccos(F.col("_nv"))
+    x = e.select("_id", "_nv", cell, ccos).persist()
+    a = x.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"),
+                 "cell")
+    b = x.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"),
+                 "cell")
+    pairs = (a.join(b, "cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(_dot(F.col("_va"), F.col("_vb")) >= threshold)
+             .select("id_a", "id_b"))
+    comp = connected_components(pairs, max_iter=25)
+    labeled = (x.join(comp.withColumnRenamed("node", "_id"), "_id", "left")
+               .select(F.col("_id"), "ccos",
+                       F.coalesce("component", F.col("_id"))
+                       .alias("cluster_id")))
+    # representative = farthest from the centroid (min ccos), min id
+    from pyspark.sql.window import Window
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.col("ccos").asc(),
+                                                 F.col("_id").asc()))
+    out = (labeled.withColumn("_rk", rk)
+           .select(F.col("_id").alias(id_col), "cluster_id",
+                   (F.col("_rk") == 1).alias("keep")))
+    x.unpersist()
+    return out

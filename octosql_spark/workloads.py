@@ -1292,6 +1292,41 @@ def dedup_embedding_cosine_q(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+@workload("dedup_semantic_exact", """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+e AS (SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+r AS (WITH RECURSIVE reach(node, r) AS (
+        SELECT vec_id, vec_id FROM v
+        UNION
+        SELECT e.src, reach.r FROM e JOIN reach ON reach.node = e.dst)
+      SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS vec_id, cluster_id, node = cluster_id AS keep FROM r
+""")
+def dedup_semantic_exact_q(spark, sf_dir):
+    """SemDeDup selection, exact variant: transitive closure over
+    all-pairs cosine >= 0.45, min-id representative per duplicate
+    group — the policy a SQL oracle can replay (recursive CTE)."""
+    from octosql_spark.datapipe import semantic_dedup
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(e, threshold=0.45, method="exact")
+
+
+@workload("dedup_semantic_cells", None)
+def dedup_semantic_cells_q(spark, sf_dir):
+    """SemDeDup as published: k-means cells, within-cell near-dup
+    groups, keep the member farthest from its cell centroid. Cell
+    assignment is model-derived, so rows-only at the gate; the exact
+    variant above carries the value check."""
+    from octosql_spark.datapipe import semantic_dedup
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(e, threshold=0.45, method="cells", n_cells=8)
+
+
 @workload("dedup_embedding_cosine_lsh", None)
 def dedup_embedding_cosine_lsh_q(spark, sf_dir):
     """LSH-bucketed variant (the scale path) — approximate recall,

@@ -489,3 +489,42 @@ def test_mixture_sample_deterministic_and_capped(spark):
     # budget >= corpus: everything kept, rates capped at 1.0
     allr = mixture_sample(docs, budget_tokens=10**6).collect()
     assert len(allr) == 48 and all(r.sample_rate == 1.0 for r in allr)
+
+
+def test_semantic_dedup_exact_chain(spark):
+    from octosql_spark.datapipe import semantic_dedup
+    import math
+    # 1 ~ 2 and 2 ~ 3 (cos ~.995) but 1 ~ 3 weaker: transitive
+    # closure must still collapse all three to cluster 1
+    a = math.radians(0); b = math.radians(8); c = math.radians(16)
+    rows = [(1, [math.cos(a), math.sin(a)]),
+            (2, [math.cos(b), math.sin(b)]),
+            (3, [math.cos(c), math.sin(c)]),
+            (9, [0.0, -1.0])]                     # far from everything
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.asDict()
+           for r in semantic_dedup(e, threshold=0.99, method="exact").collect()}
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == \
+        got[3]["cluster_id"] == 1
+    assert got[1]["keep"] and not got[2]["keep"] and not got[3]["keep"]
+    assert got[9]["cluster_id"] == 9 and got[9]["keep"]
+
+
+def test_semantic_dedup_cells_outlier_rep(spark):
+    from octosql_spark.datapipe import semantic_dedup
+    import math
+    # one tight dup group + singletons; the kept member must be the
+    # one FARTHEST from the group centroid (SemDeDup's rule)
+    angs = {11: 0.0, 12: 1.0, 13: 2.0, 14: 30.0, 20: 120.0, 21: 240.0}
+    rows = [(i, [math.cos(math.radians(d)), math.sin(math.radians(d))])
+            for i, d in angs.items()]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(e, threshold=0.999, method="cells",
+                         n_cells=2).collect()
+    got = {r.vec_id: r.asDict() for r in out}
+    grp = {i for i in (11, 12, 13) }
+    cids = {got[i]["cluster_id"] for i in grp}
+    assert cids == {11}                       # 11,12,13 cluster together
+    kept = [i for i in grp if got[i]["keep"]]
+    assert len(kept) == 1                     # exactly one representative
+    assert sum(1 for r in out if r.keep) == 4  # 14, 20, 21 + the rep
