@@ -241,3 +241,27 @@ def mixture_sample(docs: DataFrame, budget_tokens: int,
             .filter(h < F.round(F.col("_rate") * p).cast("long"))
             .select(id_col, source_col, "n_tokens",
                     F.round("_rate", 6).alias("sample_rate")))
+
+
+def shard_shuffle(docs: DataFrame, n_shards: int = 1024, seed: int = 23,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle into training shards — the last
+    step before a corpus becomes training input: every document gets
+    a pseudo-random ``shard_id`` (which output file / worker reads
+    it) and a ``sort_key`` (its position within the shard). Consuming
+    shards in order, rows sorted by ``sort_key``, replays one fixed
+    global permutation of the corpus — reproducible across runs and
+    engines, resumable mid-epoch by (shard, key) checkpoint.
+
+    The permutation is the same Mersenne-31 LCG as
+    ``mixture_sample`` (pure bigint arithmetic); sharding is
+    hash-partitioning, intra-shard order is a sort of corpus/n_shards
+    rows per shard — no global sort, no driver state, any engine
+    reproduces it bit-for-bit."""
+    p = 2147483647
+    a = 1103515245
+    h = F.pmod(F.pmod(F.pmod(F.col(id_col), F.lit(p)) + F.lit(seed),
+                      F.lit(p)) * F.lit(a), F.lit(p))
+    return (docs.withColumn("sort_key", h)
+            .withColumn("shard_id",
+                        F.pmod(F.col("sort_key"), F.lit(n_shards))))

@@ -165,3 +165,28 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return df.sparkSession.table(name)
+
+
+def stream_dedup(df: DataFrame, keys: Sequence[str],
+                 time_field: str | None = None,
+                 max_diff: str | None = None) -> DataFrame:
+    """Streaming exact deduplication — the "dedup at ingest" step of a
+    continuously-fed training corpus (drop re-crawled/replayed
+    documents before they reach storage).
+
+    With ``time_field`` + ``max_diff``, state is WATERMARK-BOUNDED:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes it, so state is O(keys per watermark
+    horizon) — the only shape that survives an unbounded 100 TB/day
+    stream. Without a watermark it falls back to
+    ``dropDuplicates`` (state grows with distinct keys — bounded
+    corpora only; Spark evicts nothing).
+
+    Works identically on a batch DataFrame (Spark's unified model),
+    where it degrades to a plain distinct-by-key."""
+    if time_field is not None and max_diff is not None:
+        wm = df.withWatermark(time_field, max_diff)
+        if wm.isStreaming:
+            return wm.dropDuplicatesWithinWatermark(list(keys))
+        return wm.dropDuplicates(list(keys))
+    return df.dropDuplicates(list(keys))

@@ -1245,6 +1245,22 @@ def curate_mixture_sample_q(spark, sf_dir):
     return mixture_sample(d, budget_tokens=10000, alpha=0.5, seed=17)
 
 
+@workload("curate_shard_shuffle", """
+SELECT doc_id, source,
+       (((doc_id % 2147483647 + 23) % 2147483647) * 1103515245)
+         % 2147483647 AS sort_key,
+       ((((doc_id % 2147483647 + 23) % 2147483647) * 1103515245)
+         % 2147483647) % 64 AS shard_id
+FROM documents
+""")
+def curate_shard_shuffle_q(spark, sf_dir):
+    """Deterministic training-order shard shuffle: LCG permutation
+    key + hash sharding, reproducible bit-for-bit on any engine."""
+    from octosql_spark.datapipe import shard_shuffle
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shard_shuffle(d, n_shards=64, seed=23)
+
+
 @workload("curate_pack_sequences", """
 WITH t AS (
   SELECT doc_id, source,

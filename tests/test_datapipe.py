@@ -528,3 +528,23 @@ def test_semantic_dedup_cells_outlier_rep(spark):
     kept = [i for i in grp if got[i]["keep"]]
     assert len(kept) == 1                     # exactly one representative
     assert sum(1 for r in out if r.keep) == 4  # 14, 20, 21 + the rep
+
+
+def test_shard_shuffle_permutation(spark):
+    from octosql_spark.datapipe import shard_shuffle
+    docs = spark.createDataFrame([(i, "s") for i in range(200)],
+                                 "doc_id long, source string")
+    out = shard_shuffle(docs, n_shards=8, seed=23).collect()
+    keys = [r.sort_key for r in out]
+    assert len(set(keys)) == 200          # injective on this id range
+    assert all(0 <= r.shard_id < 8 for r in out)
+    # shards are balanced-ish (hash partitioning, 200 rows / 8 shards)
+    from collections import Counter
+    sizes = Counter(r.shard_id for r in out)
+    assert len(sizes) == 8 and max(sizes.values()) <= 2 * min(sizes.values())
+    # the permutation order differs from id order but is reproducible
+    order = [r.doc_id for r in sorted(out, key=lambda r: (r.shard_id, r.sort_key))]
+    assert order != sorted(order)
+    again = shard_shuffle(docs, n_shards=8, seed=23).collect()
+    order2 = [r.doc_id for r in sorted(again, key=lambda r: (r.shard_id, r.sort_key))]
+    assert order == order2

@@ -121,3 +121,34 @@ def test_sliding_and_session_aggregates(spark, events_dir):
     # user 1: 00:00:01+00:00:05 chain (gap 4s); 00:01:10 is 65s later
     # → a separate session. user 2: two singleton sessions.
     assert got == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Replayed keys are dropped across micro-batches while the
+    watermark still covers them; batch mode degrades to distinct."""
+    import os
+    from pyspark.sql import functions as F
+    p = tmp_path / "dedup_stream"
+    p.mkdir()
+    rows1 = [{"ts": "2024-01-01T00:00:05", "doc": "a", "v": 1},
+             {"ts": "2024-01-01T00:00:06", "doc": "b", "v": 2}]
+    rows2 = [{"ts": "2024-01-01T00:00:07", "doc": "a", "v": 3},   # replay
+             {"ts": "2024-01-01T00:00:08", "doc": "c", "v": 4}]
+    f1, f2 = p / "p1.json", p / "p2.json"
+    f1.write_text("\n".join(json.dumps(r) for r in rows1))
+    f2.write_text("\n".join(json.dumps(r) for r in rows2))
+    os.utime(f1, (1, 1)); os.utime(f2, (2, 2))  # order micro-batches
+    src = st.read_stream_file(spark, str(p), "json",
+                              maxFilesPerTrigger=1)
+    typed = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = st.stream_dedup(typed, ["doc"], "ts", "1 minute")
+    got = _mem(out).collect()
+    docs = sorted(r.doc for r in got)
+    assert docs == ["a", "b", "c"]  # the replayed "a" was dropped
+    kept_a = [r.v for r in got if r.doc == "a"]
+    assert kept_a == [1]            # first occurrence wins
+
+    # batch path: same call, plain DataFrame
+    b = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "doc string, v long")
+    assert st.stream_dedup(b, ["doc"]).count() == 2
