@@ -115,16 +115,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
               .select(id_col,
                       F.col("_band.band_id").alias("band_id"),
                       F.col("_band.band_hash").alias("band_hash")))
-    # cap pathological buckets (constant/empty docs) to avoid n² blowup
-    counts = banded.groupBy("band_id", "band_hash").count()
-    banded = (banded.join(counts.filter(F.col("count") <= max_bucket)
-                          .drop("count"),
-                          ["band_id", "band_hash"]))
-    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    cand = (a.join(b, ["band_id", "band_hash"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+    # ONE shuffle for candidate generation: group each bucket's ids,
+    # cap pathological buckets (constant/empty docs — the n² hazard)
+    # by array size, and emit ordered pairs with array HOFs inside the
+    # bucket row. The previous groupBy-count + join-back + self-join
+    # topology shuffled the banded table three times for the same
+    # candidate set.
+    buckets = (banded.groupBy("band_id", "band_hash")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+               .filter((F.size("_ids") >= 2)
+                       & (F.size("_ids") <= max_bucket)))
+    pairs_arr = F.flatten(F.transform(
+        F.col("_ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    cand = (buckets.select(F.explode(pairs_arr).alias("_p"))
+            .select(F.col("_p.id_a").alias("id_a"),
+                    F.col("_p.id_b").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
     # exact-Jaccard verification only for candidates: shingles are
     # recomputed for the (small) candidate id set, not carried through

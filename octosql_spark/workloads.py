@@ -232,8 +232,15 @@ def join_multiway_revenue(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    j = (stream_join(c, o, [("c_custkey", "o_custkey")])
-         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    # fact-first join tree: lineitem is the STREAM side throughout, so
+    # it is scanned once and never built into a broadcast hash relation
+    # (a dim-first tree made Catalyst broadcast the 600k-row fact —
+    # a driver-collect of the biggest table, ~1 s locally and an
+    # instant OOM at real scale); every dim is under the broadcast
+    # threshold here, and at 100 TB AQE swaps the orders join to a
+    # shuffle while the tree shape stays optimal
+    j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(c, F.col("o_custkey") == F.col("c_custkey"))
          .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
                & (F.col("c_nationkey") == F.col("s_nationkey")))
          .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
