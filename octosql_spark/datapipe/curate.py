@@ -116,6 +116,70 @@ def pack_sequences(docs: DataFrame, max_tokens: int = 512,
     )
 
 
+def _dup_run_stats(arr: Column) -> Column:
+    """Duplicate-run statistics of a string array, computed entirely
+    inside the row: sort the array so equal units become adjacent
+    runs, then one ``F.aggregate`` pass tracks the current run and
+    flushes it when the unit changes. Returns a struct:
+
+    - ``occ``:   occurrences belonging to non-unique units
+                 (sum of run lengths over runs longer than 1)
+    - ``chars``: the same occurrences weighted by unit length
+    - ``best``:  count x length of the most frequent unit (ties
+                 broken toward the longer unit) — the "top gram"
+                 numerator
+    - ``n``:     total unit count
+    - ``len_total``: total unit chars
+
+    Zero shuffle — repetition is a property of ONE document, and one
+    document is one row, so counting grams cluster-wide (explode +
+    groupBy on the gram string) would shuffle every token twice for
+    an answer each row already holds. This runs at scan speed.
+    """
+    s = F.array_sort(arr)
+    zero = F.lit(0).cast("long")
+
+    def merge(acc, x):
+        same = F.coalesce(acc["prev"] == x, F.lit(False))
+        newrun = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        flush = (~same) & (acc["run"] > 1)
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            (acc["occ"] + F.when(flush, acc["run"]).otherwise(zero))
+            .alias("occ"),
+            (acc["chars"] + F.when(flush, acc["run"] * F.length(acc["prev"]))
+             .otherwise(zero)).alias("chars"),
+            F.greatest(acc["best"],
+                       F.struct(newrun.alias("cnt"),
+                                F.length(x).cast("long").alias("len")))
+            .alias("best"),
+            (acc["len_total"] + F.length(x)).alias("len_total"),
+        )
+
+    def finish(acc):
+        last_dup = acc["run"] > 1
+        return F.struct(
+            (acc["occ"] + F.when(last_dup, acc["run"]).otherwise(zero))
+            .alias("occ"),
+            (acc["chars"] + F.when(last_dup,
+                                   acc["run"] * F.length(acc["prev"]))
+             .otherwise(zero)).alias("chars"),
+            (acc["best"]["cnt"] * acc["best"]["len"]).alias("best"),
+            acc["len_total"].alias("len_total"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"), zero.alias("run"),
+        zero.alias("occ"), zero.alias("chars"),
+        F.struct(zero.alias("cnt"), zero.alias("len")).alias("best"),
+        zero.alias("len_total"))
+    stats = F.aggregate(s, init, merge, finish)
+    return F.struct(stats["occ"].alias("occ"), stats["chars"].alias("chars"),
+                    stats["best"].alias("best"), F.size(s).alias("n"),
+                    stats["len_total"].alias("len_total"))
+
+
 def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", top_n: int = 2,
                        dup_n: int = 5, line_sep: str = "\n") -> DataFrame:
@@ -137,55 +201,47 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
     - ``keep``: the Gopher thresholds (dup lines <= 0.30, top 2-gram
       <= 0.20, dup 5-gram <= 0.15) as a composite filter column
 
-    Scale shape: ONE corpus scan — lines and both gram families
-    explode from the same row into a tagged (kind, unit) column, then
-    two map-side-combined aggregations keyed by (id, kind, unit) and
-    (id, kind), and a final per-id conditional rollup. No joins back
-    to the corpus, no driver state; the widest shuffle is the
-    per-unit count, the same volume as any tokenize step.
+    Scale shape: ZERO shuffles — every metric is a function of one
+    document, and one document is one row, so the line/gram counting
+    happens inside the row with sorted-array run statistics
+    (``_dup_run_stats``) instead of exploding grams into a
+    cluster-wide groupBy. One corpus scan, narrow-only plan,
+    parallelism = input splits; at 100 TB this is the difference
+    between a tokenize-volume shuffle and none at all.
     """
+    # The plan below is narrow (no shuffle), so its parallelism is the
+    # scan's split count. A small local file arrives as ONE split and
+    # would serialize this CPU-heavy map through one task; at real
+    # scale the scan has >> cores splits and this branch never fires.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+
     t = F.col(text_col)
     lines = F.filter(F.transform(F.split(t, line_sep), lambda x: F.trim(x)),
                      lambda x: x != "")
-    tag = lambda kind, arr: F.transform(  # noqa: E731
-        arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("unit")))
-    units = F.concat(tag("line", lines),
-                     tag("top", _word_ngrams(t, top_n)),
-                     tag("dup", _word_ngrams(t, dup_n)))
-    base = docs.select(F.col(id_col), F.length(t).alias("n_chars"),
-                       F.explode_outer(units).alias("u"))
-    per_unit = (base.groupBy(id_col, "n_chars",
-                             F.col("u.kind").alias("kind"),
-                             F.col("u.unit").alias("unit"))
-                .agg(F.count(F.lit(1)).alias("cnt")))
-    ulen = F.length("unit")
-    dup_cnt = F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))
-    per_kind = (per_unit.groupBy(id_col, "n_chars", "kind").agg(
-        F.sum("cnt").alias("total"),
-        F.sum(dup_cnt).alias("dup"),
-        F.sum(F.col("cnt") * ulen).alias("chars_total"),
-        F.sum(dup_cnt * ulen).alias("chars_dup"),
-        F.max(F.struct(F.col("cnt").alias("cnt"), ulen.alias("len")))
-         .alias("top")))
 
-    def _k(kind: str, expr) -> Column:
-        # per_kind has one row per (doc, kind); fractions divide by
-        # sums over >= 1 unit of length >= 0 — guard every denominator
-        # (ANSI mode: x/0 throws, it does not yield NULL)
+    def frac(num: Column, den: Column) -> Column:
+        # guard every denominator (ANSI mode: x/0 throws, not NULL)
         return F.round(F.coalesce(
-            F.max(F.when(F.col("kind") == kind, expr)), F.lit(0.0)), 6)
+            num / F.when(den > 0, den), F.lit(0.0)), 6)
 
-    nz = F.when(F.col("n_chars") > 0, F.col("n_chars"))
-    ct = F.when(F.col("chars_total") > 0, F.col("chars_total"))
-    tl = F.when(F.col("total") > 0, F.col("total"))
-    out = (per_kind.groupBy(id_col).agg(
-        _k("line", F.col("dup") / tl).alias("dup_line_frac"),
-        _k("line", F.col("chars_dup") / ct).alias("dup_line_char_frac"),
-        _k("top", F.least(F.lit(1.0),
-                          F.col("top.cnt") * F.col("top.len") / nz))
-            .alias(f"top_{top_n}gram_char_frac"),
-        _k("dup", F.least(F.lit(1.0), F.col("chars_dup") / nz))
-            .alias(f"dup_{dup_n}gram_char_frac")))
+    nc = F.length(t)
+    out = docs.select(
+        F.col(id_col), nc.alias("n_chars"),
+        _dup_run_stats(lines).alias("L"),
+        _dup_run_stats(_word_ngrams(t, top_n)).alias("T"),
+        _dup_run_stats(_word_ngrams(t, dup_n)).alias("D"),
+    ).select(
+        F.col(id_col),
+        frac(F.col("L.occ"), F.col("L.n")).alias("dup_line_frac"),
+        frac(F.col("L.chars"), F.col("L.len_total"))
+            .alias("dup_line_char_frac"),
+        F.round(F.least(F.lit(1.0), frac(F.col("T.best"), F.col("n_chars"))),
+                6).alias(f"top_{top_n}gram_char_frac"),
+        F.round(F.least(F.lit(1.0), frac(F.col("D.chars"), F.col("n_chars"))),
+                6).alias(f"dup_{dup_n}gram_char_frac"),
+    )
     return out.withColumn(
         "keep", (F.col("dup_line_frac") <= 0.30)
                 & (F.col(f"top_{top_n}gram_char_frac") <= 0.20)
