@@ -321,3 +321,78 @@ def shard_shuffle(docs: DataFrame, n_shards: int = 1024, seed: int = 23,
     return (docs.withColumn("sort_key", h)
             .withColumn("shard_id",
                         F.pmod(F.col("sort_key"), F.lit(n_shards))))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    stride: int = 96, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping context-window chunking: split each document's
+    token stream into windows of ``chunk_tokens`` tokens advancing by
+    ``stride`` (stride < chunk_tokens ⇒ overlap) — the standard
+    pre-step for both RAG indexing and long-document training. Emits
+    one row per chunk: (id, chunk_idx, start_token 1-based,
+    n_chunk_tokens, chunk_text); the final chunk may be short.
+
+    Coverage is complete: start positions are ``1 + k*stride`` while
+    the previous window has not yet reached the last token (bound
+    ``greatest(n - chunk_tokens + stride, 1)`` — the last start is the
+    first one whose window covers token ``n``), so no tail tokens are
+    dropped and no fully-redundant trailing window is emitted.
+
+    Scale shape: entirely within-row — split, a generated start
+    sequence, explode, array slice — a narrow map with zero shuffles.
+    The chunk fan-out is output-proportional (≈ n_tokens/stride per
+    doc), so a 100 TB corpus chunks in one scan at scan speed.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # cap at n so stride > chunk_tokens (gap sampling) cannot emit an
+    # empty window past the last token
+    starts = F.sequence(
+        F.lit(1),
+        F.least(F.greatest(n - chunk_tokens + stride, F.lit(1)), n),
+        F.lit(stride))
+    return (docs
+            .filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col), words.alias("_w"), n.alias("_n"),
+                    F.explode(starts).alias("start_token"))
+            .select(
+                id_col,
+                ((F.col("start_token") - 1) / stride).cast("long")
+                .alias("chunk_idx"),
+                F.col("start_token").cast("long"),
+                F.least(F.lit(chunk_tokens),
+                        F.col("_n") - F.col("start_token") + 1)
+                .cast("long").alias("n_chunk_tokens"),
+                F.concat_ws(" ", F.slice(F.col("_w"), F.col("start_token"),
+                                         F.lit(chunk_tokens)))
+                .alias("chunk_text")))
+
+
+def length_buckets(docs: DataFrame, batch_size: int = 32,
+                   id_col: str = "doc_id", source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Length-bucketed batching: assign each document a power-of-two
+    token-length bucket (floor(log2(n_tokens))) and a batch index
+    within its (source, bucket) group — grouping similar-length
+    sequences so a training/inference batch pads to the bucket bound
+    instead of the corpus maximum (the classic padding-efficiency
+    trick).
+
+    Scale shape: the bucket id is a map-only expression; the batch
+    index is a window PARTITIONed BY (source, bucket) — parallelism =
+    shards × buckets, matching how real pipelines batch per shard.
+    ``log2`` is exact at power-of-two boundaries in IEEE doubles, so
+    the bucket edges are engine-independent.
+    """
+    n_tok = token_count(F.col(text_col))
+    d = (docs.select(F.col(id_col), F.col(source_col),
+                     n_tok.alias("n_tokens"))
+         .filter(F.col("n_tokens") > 0)
+         .withColumn("bucket", F.floor(F.log2("n_tokens")).cast("long")))
+    w = Window.partitionBy(source_col, "bucket").orderBy(id_col)
+    return d.withColumn(
+        "batch_idx",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"))

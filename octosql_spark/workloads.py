@@ -1296,6 +1296,63 @@ def curate_pack_sequences_q(spark, sf_dir):
     return pack_sequences(docs, max_tokens=512)
 
 
+@workload("curate_chunk_documents", """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents WHERE len(trim(text)) > 0
+), s AS (
+  SELECT doc_id, words, len(words) AS n FROM t
+), e AS (
+  SELECT doc_id, n, words,
+         unnest(generate_series(1, least(greatest(n - 128 + 96, 1), n), 96))
+           AS start_token
+  FROM s
+)
+SELECT doc_id,
+       CAST((start_token - 1) / 96 AS BIGINT) AS chunk_idx,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(least(128, n - start_token + 1) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(words[start_token:start_token + 127], ' ')
+         AS chunk_text
+FROM e
+""")
+def curate_chunk_documents_q(spark, sf_dir):
+    """Overlapping context-window chunking (128-token windows, stride
+    96) for RAG indexing / long-doc training. Within-row sequence +
+    explode + slice — a zero-shuffle narrow map over the corpus."""
+    from octosql_spark.datapipe import chunk_documents
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=128, stride=96)
+
+
+@workload("curate_length_buckets", """
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(FLOOR(log2(n_tokens)) AS BIGINT) AS bucket
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, source, n_tokens, bucket,
+       CAST((ROW_NUMBER() OVER (PARTITION BY source, bucket
+                                ORDER BY doc_id) - 1) / 32 AS BIGINT)
+         AS batch_idx
+FROM b
+""")
+def curate_length_buckets_q(spark, sf_dir):
+    """Length-bucketed batching: power-of-two token-length buckets +
+    batch index within (source, bucket) — similar-length sequences
+    batch together so padding goes to the bucket bound, not the corpus
+    max. Map-only bucket id; one window per (shard, bucket)."""
+    from octosql_spark.datapipe import length_buckets
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return length_buckets(docs, batch_size=32)
+
+
 @workload("dedup_embedding_cosine", """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a

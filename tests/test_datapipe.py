@@ -548,3 +548,64 @@ def test_shard_shuffle_permutation(spark):
     again = shard_shuffle(docs, n_shards=8, seed=23).collect()
     order2 = [r.doc_id for r in sorted(again, key=lambda r: (r.shard_id, r.sort_key))]
     assert order == order2
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    # 10 tokens, chunk 4, stride 3 → starts 1,4,7 (bound 10-4+3=9 → 7)
+    text10 = " ".join(f"w{i}" for i in range(1, 11))
+    df = spark.createDataFrame([Row(doc_id=1, text=text10)])
+    out = sorted(dp.chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+                 key=lambda r: r.chunk_idx)
+    assert [(r.chunk_idx, r.start_token, r.n_chunk_tokens) for r in out] == \
+        [(0, 1, 4), (1, 4, 4), (2, 7, 4)]
+    assert out[0].chunk_text == "w1 w2 w3 w4"
+    assert out[2].chunk_text == "w7 w8 w9 w10"
+    # every token covered (no dropped tail)
+    covered = set()
+    for r in out:
+        covered |= set(range(r.start_token, r.start_token + r.n_chunk_tokens))
+    assert covered == set(range(1, 11))
+
+
+def test_chunk_documents_boundaries(spark):
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=mk(4)),    # exactly one window
+        Row(doc_id=2, text=mk(5)),    # one extra token → short tail chunk
+        Row(doc_id=3, text=mk(2)),    # shorter than chunk → single short
+        Row(doc_id=4, text=""),       # empty → no chunks
+        Row(doc_id=5, text="   "),    # whitespace-only → no chunks
+    ])
+    out = dp.chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.start_token, r.n_chunk_tokens))
+    assert by_doc[1] == [(1, 4)]                 # aligned: no redundant tail
+    assert sorted(by_doc[2]) == [(1, 4), (4, 2)]  # tail covered
+    assert by_doc[3] == [(1, 2)]
+    assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_chunk_documents_gap_sampling(spark):
+    # stride > chunk (gap sampling): no empty window past the end
+    text5 = " ".join("abcde")
+    df = spark.createDataFrame([Row(doc_id=1, text=text5)])
+    out = dp.chunk_documents(df, chunk_tokens=2, stride=5).collect()
+    assert all(r.n_chunk_tokens >= 1 for r in out)
+    assert {r.start_token for r in out} == {1}
+
+
+def test_length_buckets(spark):
+    rows = [Row(doc_id=i, source="a",
+                text=" ".join("x" * 1 for _ in range(n)))
+            for i, n in [(1, 1), (2, 2), (3, 3), (4, 4), (5, 7), (6, 8)]]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: (r.bucket, r.batch_idx)
+           for r in dp.length_buckets(df, batch_size=2).collect()}
+    assert out[1][0] == 0           # floor(log2(1)) = 0
+    assert out[2][0] == 1 and out[3][0] == 1
+    assert out[4][0] == 2 and out[5][0] == 2
+    assert out[6][0] == 3           # exact power of two boundary
+    # batch index increments within (source, bucket) by batch_size
+    assert out[2][1] == 0 and out[3][1] == 0
