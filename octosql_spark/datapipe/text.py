@@ -185,3 +185,120 @@ def fingerprint(text: Column, mode: str = "md5") -> Column:
         return F.array_min(F.transform(
             idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, 4)))))
     raise ValueError(mode)
+
+
+def _lower_words(text: Column) -> Column:
+    """Lowercased alphabetic word array (the tokenizer shared by the
+    TF-IDF / unigram-LM / BM25 / classifier ops)."""
+    return F.filter(F.split(F.lower(text), r"[^a-z]+"),
+                    lambda w: w != F.lit(""))
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every document against a fixed bag of query
+    terms — the ranking function behind keyword retrieval (quality
+    mining, eval-set retrieval baselines, hard-negative mining).
+    Returns (id, dl, bm25 rounded to 6) for documents matching at
+    least one term.
+
+    ``bm25 = Σ_t ln(1 + (N - df_t + .5)/(df_t + .5))
+             * tf_t (k1+1) / (tf_t + k1 (1 - b + b·dl/avgdl))``
+
+    Scale shape: per-document term frequencies are within-row array
+    expressions (no tokenize-explode shuffle — the query bag is tiny
+    and fixed, so tf is ``size(filter(words, = term))`` per term);
+    corpus stats (N, Σdl, per-term document frequencies) are ONE
+    map-side-combined aggregation to a single row broadcast back.
+    One scan, one scalar broadcast, zero corpus shuffles.
+    """
+    words = _lower_words(F.col(text_col))
+
+    def _eq(term: str):
+        # NB: a `lambda w, t=t` default-arg closure would make PySpark
+        # see a 2-parameter lambda and pass (element, index) instead
+        return lambda w: w == F.lit(term)
+
+    d = df.select(
+        F.col(id_col), F.size(words).alias("dl"),
+        *[F.size(F.filter(words, _eq(t))).cast("long").alias(f"tf_{i}")
+          for i, t in enumerate(query_terms)])
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(query_terms))])
+    j = d.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfq = F.col(f"df_{i}").cast("double")
+        idf = F.log(1.0 + (F.col("n_docs") - dfq + 0.5) / (dfq + 0.5))
+        part = idf * tf * (k1 + 1.0) \
+            / (tf + k1 * ((1.0 - b) + b * F.col("dl") / avgdl))
+        score = part if score is None else score + part
+    any_tf = None
+    for i in range(len(query_terms)):
+        c = F.col(f"tf_{i}") > 0
+        any_tf = c if any_tf is None else (any_tf | c)
+    return (j.filter(any_tf)
+            .select(id_col, "dl", F.round(score, 6).alias("bm25")))
+
+
+# Mersenne-31 LCG pieces shared with curate.mixture_sample: all
+# intermediate products stay < 2^62, so ANY engine reproduces the
+# hash exactly in plain BIGINT arithmetic.
+_HP = 2147483647       # 2^31 - 1
+_HA = 1103515245
+_HALF = (_HP - 1) // 2
+_KNUTH32 = 2654435761  # floor(2^32/phi)
+_M32 = 4294967296
+
+
+def hashed_linear_score(df: DataFrame, n_buckets: int = 1024,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """fastText-style hashed linear classifier score: hash each word
+    into ``n_buckets`` feature buckets, look up a per-bucket weight,
+    average over the document, squash with a sigmoid — the serving
+    shape of the linear quality classifiers used to filter pretraining
+    corpora (here with a deterministic pseudo-weight table so any
+    engine reproduces the score bit-for-bit; production would
+    broadcast-join learned weights keyed by bucket, same plan).
+
+    Word hash: position-weighted character sum (ascii(c_i)·(i·K mod
+    2^32), exact in BIGINT) pushed through the Mersenne-31 LCG;
+    weights are integer-centered so the per-doc sum is EXACT integer
+    arithmetic — the only float ops are one division and the sigmoid,
+    making the result engine-independent without rounding tricks.
+
+    Scale shape: everything is within-row array algebra — a map-only
+    scan with zero shuffles at any corpus size.
+
+    Returns (id, n_words, quality_logit, quality_prob rounded to 6)
+    for documents with at least one word.
+    """
+    words = _lower_words(F.col(text_col))
+
+    def bucket(w: Column) -> Column:
+        chars = F.split(w, "")
+        h = F.aggregate(
+            F.transform(chars, lambda c, i:
+                        F.ascii(c) * (((i + 1) * F.lit(_KNUTH32)) % _M32)),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+        return F.pmod(F.pmod(h, F.lit(_HP)) * F.lit(_HA), F.lit(_HP)) \
+            % n_buckets
+
+    def weight_int(bkt: Column) -> Column:
+        return F.pmod((bkt + 1) * F.lit(_HA), F.lit(_HP)) - F.lit(_HALF)
+
+    wsum = F.aggregate(F.transform(words, lambda w: weight_int(bucket(w))),
+                       F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(words)
+    logit = wsum.cast("double") / n / float(_HALF)
+    prob = 1.0 / (1.0 + F.exp(-logit))
+    return (df.select(F.col(id_col), n.alias("n_words"),
+                      F.round(logit, 6).alias("quality_logit"),
+                      F.round(prob, 6).alias("quality_prob"))
+            .filter(F.col("n_words") > 0))

@@ -1325,6 +1325,93 @@ def curate_chunk_documents_q(spark, sf_dir):
     return chunk_documents(docs, chunk_tokens=128, stride=96)
 
 
+@workload("text_bm25", """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, x -> x = 'spark'))  AS tf_0,
+         len(list_filter(w, x -> x = 'hash'))   AS tf_1,
+         len(list_filter(w, x -> x = 'window')) AS tf_2
+  FROM d
+), s AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+         SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+         SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+  FROM m
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       ROUND(
+           ln(1.0 + ((n_docs - CAST(df_0 AS DOUBLE)) + 0.5)
+                    / (CAST(df_0 AS DOUBLE) + 0.5))
+             * CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf_0 AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + (0.75 * dl) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+         + ln(1.0 + ((n_docs - CAST(df_1 AS DOUBLE)) + 0.5)
+                    / (CAST(df_1 AS DOUBLE) + 0.5))
+             * CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf_1 AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + (0.75 * dl) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+         + ln(1.0 + ((n_docs - CAST(df_2 AS DOUBLE)) + 0.5)
+                    / (CAST(df_2 AS DOUBLE) + 0.5))
+             * CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf_2 AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + (0.75 * dl) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+       , 6) AS bm25
+FROM m CROSS JOIN s
+WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+""")
+def text_bm25_q(spark, sf_dir):
+    """BM25 scores of the corpus against the query bag {spark, hash,
+    window}. Per-doc term frequencies are within-row array expressions
+    (no tokenize-explode); corpus stats are one 1-row aggregation
+    broadcast back — one scan, zero corpus shuffles."""
+    from octosql_spark.datapipe import bm25_scores
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(d, ["spark", "hash", "window"])
+
+
+@workload("text_quality_classifier", """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_sum(list_transform(w, x ->
+           ((((list_sum(list_transform(string_split(x, ''), (c, i) ->
+                 ascii(c) * ((i * 2654435761) % 4294967296)))
+               % 2147483647) * 1103515245) % 2147483647) % 1024 + 1)
+             * 1103515245 % 2147483647 - 1073741823)) AS wsum
+  FROM d
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       ROUND(CAST(wsum AS DOUBLE) / n_words / 1073741823.0, 6)
+         AS quality_logit,
+       ROUND(1.0 / (1.0 + exp(-(CAST(wsum AS DOUBLE) / n_words
+                                / 1073741823.0))), 6) AS quality_prob
+FROM m WHERE n_words > 0
+""")
+def text_quality_classifier_q(spark, sf_dir):
+    """fastText-style hashed linear classifier score per document:
+    word → feature bucket (position-weighted char hash through the
+    Mersenne-31 LCG), bucket → integer-centered weight, per-doc mean →
+    sigmoid. Exact integer arithmetic until one final division — the
+    engine-independent serving shape of a learned quality filter;
+    map-only, zero shuffles."""
+    from octosql_spark.datapipe import hashed_linear_score
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_linear_score(d, n_buckets=1024)
+
+
 @workload("curate_length_buckets", """
 WITH t AS (
   SELECT doc_id, source,

@@ -609,3 +609,33 @@ def test_length_buckets(spark):
     assert out[6][0] == 3           # exact power of two boundary
     # batch index increments within (source, bucket) by batch_size
     assert out[2][1] == 0 and out[3][1] == 0
+
+
+def test_bm25_scores_ranking(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="spark spark spark engine"),   # heavy on term
+        Row(doc_id=2, text="spark engine"),               # one hit, short
+        Row(doc_id=3, text="nothing relevant here"),      # no hits
+        Row(doc_id=4, text="hash join hash"),             # other term
+    ])
+    out = {r.doc_id: r for r in
+           dp.bm25_scores(df, ["spark", "hash"]).collect()}
+    assert 3 not in out                  # non-matching docs dropped
+    assert out[1].bm25 > out[2].bm25     # more tf → higher score
+    assert out[4].bm25 > 0
+    assert out[1].dl == 4
+
+
+def test_hashed_linear_score_deterministic(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox"),
+        Row(doc_id=2, text="the quick brown fox"),
+        Row(doc_id=3, text="a completely different document body"),
+        Row(doc_id=4, text=""),
+    ])
+    out = {r.doc_id: r for r in dp.hashed_linear_score(df).collect()}
+    assert 4 not in out                                   # empty dropped
+    assert out[1].quality_prob == out[2].quality_prob     # deterministic
+    assert out[1].quality_prob != out[3].quality_prob     # content-sensitive
+    assert all(0.0 < r.quality_prob < 1.0 for r in out.values())
+    assert out[1].n_words == 4

@@ -29,7 +29,10 @@ CARTESIAN_OK = {"join_cross", "ann_cosine_topk", "ann_lsh_topk",
                 "text_tfidf_topk",
                 # same shape: 1-row corpus token total broadcast as the
                 # unigram-LM denominator
-                "text_unigram_logprob"}
+                "text_unigram_logprob",
+                # 1-row corpus stats (N, Σdl, per-term df) broadcast as
+                # the BM25 idf/avgdl inputs
+                "text_bm25"}
 
 
 def audit(name: str, df) -> list[str]:
