@@ -2000,6 +2000,51 @@ def cube_counts_q(spark, sf_dir):
             .agg(F.count(F.lit(True)).alias("n")))
 
 
+@workload("grouping_sets_counts", """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def grouping_sets_counts_q(spark, sf_dir):
+    """Explicit GROUPING SETS (exceeds parity — the reference has no
+    grouping sets at all, SURVEY §2.4): per-flag totals, per-status
+    totals, and the grand total in ONE pass — Spark expands the sets
+    into a single Expand + hash aggregate, one shuffle, instead of
+    three scans unioned."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@workload("percentile_stats", """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       ROUND(MEDIAN(l_discount), 4) AS med_disc
+FROM lineitem GROUP BY l_returnflag
+""")
+def percentile_stats_q(spark, sf_dir):
+    """EXACT percentiles per group (exceeds parity). Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both use the
+    linear-interpolation (type-7) estimator, so the values hash-match
+    cross-engine. The scale path for 100 TB is ``percentile_approx``
+    (t-digest sketch, mergeable map-side); exact percentile is the
+    correctness baseline the sketch is judged against."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("med_disc")))
+
+
 @workload("tuple_in_subquery", """
 SELECT COUNT(*) AS n FROM lineitem l
 WHERE EXISTS (SELECT 1 FROM orders o
