@@ -664,6 +664,62 @@ def window_running_sum(spark, sf_dir):
                     F.sum("o_totalprice").over(w).alias("running"))
 
 
+@workload("window_analytics", """
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey)  OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       NTILE(4) OVER w AS quartile,
+       DENSE_RANK() OVER w AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def window_analytics_q(spark, sf_dir):
+    """Analytic window catalog beyond ranking: lag/lead navigation,
+    first_value, ntile quartiles, dense_rank — all in ONE window spec
+    so Spark evaluates them in a single partition-local sort pass (one
+    hash shuffle on the key, no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drank"))
+
+
+@workload("window_range_frame", """
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER w AS n_30d,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS cents_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+""")
+def window_range_frame_q(spark, sf_dir):
+    """Time-RANGE window frame (trailing 30-day order count / revenue
+    per customer) — the sliding-window-aggregate shape expressed as a
+    declarative frame instead of a self-join. Revenue is summed in
+    integer cents: frame CONTENTS are deterministic but double
+    summation order inside a frame is not, so exact integer arithmetic
+    is what makes the result engine-independent. One hash shuffle on
+    the partition key; frames evaluate partition-locally."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_wrf_orders")
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               COUNT(*) OVER w AS n_30d,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                 AS cents_30d
+        FROM _wrf_orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                               AND CURRENT ROW)
+    """)
+
+
 # ------------------------------------------------------------ TVF-ish
 
 @workload("tvf_range", """
