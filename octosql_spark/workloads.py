@@ -1721,6 +1721,18 @@ def ann_ivf_topk_q(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
+@workload("ann_pq_topk", None)
+def ann_pq_topk_q(spark, sf_dir):
+    """Product-quantization ANN with exact rerank (FAISS ADC serving
+    shape; the compressed-corpus scale path) — approximate by nature →
+    rows-only; pytest asserts recall vs brute force and exact cosines
+    on returned rows."""
+    from octosql_spark.datapipe import pq_topk
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return pq_topk(q, e, k=5, n_subvectors=8, n_codes=16, rerank=50)
+
+
 @workload("ann_lsh_topk", None)
 def ann_lsh_topk_q(spark, sf_dir):
     """Multi-table hyperplane-LSH ANN (the scale path) — approximate,

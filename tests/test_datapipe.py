@@ -639,3 +639,27 @@ def test_hashed_linear_score_deterministic(spark):
     assert out[1].quality_prob != out[3].quality_prob     # content-sensitive
     assert all(0.0 < r.quality_prob < 1.0 for r in out.values())
     assert out[1].n_words == 4
+
+
+def test_pq_topk_recall_and_exact_rerank(spark):
+    from octosql_spark.datapipe import cosine_topk_bruteforce, pq_topk
+    from octosql_spark.catalog import load_table
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(q, e, k=5)
+    pq = pq_topk(q, e, k=5, n_subvectors=8, n_codes=16, rerank=40)
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    pqd = {(r.query_id, r.neighbor_id): r.cosine for r in pq.collect()}
+    # rerank cosines are EXACT wherever the pair is shared
+    for pair, cos in pqd.items():
+        if pair in ex:
+            assert abs(cos - ex[pair]) < 1e-9
+    # random (near-orthogonal) vectors are PQ's adversarial case —
+    # assert a nontrivial recall floor, not production recall
+    recall = len(set(pqd) & set(ex)) / len(ex)
+    assert recall >= 0.4
+    # rerank = corpus size degenerates to brute force
+    full = pq_topk(q, e, k=5, n_subvectors=8, n_codes=8, rerank=10**6)
+    fl = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert fl == set(ex)

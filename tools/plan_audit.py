@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # queries whose SEMANTICS are a cross product — cartesian is the plan
 CARTESIAN_OK = {"join_cross", "ann_cosine_topk", "ann_lsh_topk",
+                # broadcast query block vs compressed code table —
+                # the intended ADC scan
+                "ann_pq_topk",
                 "agg_global", "scalar_subquery",
                 # exact all-pairs verification variant by design (the
                 # scale path is dedup_embedding_cosine_lsh)
