@@ -1371,7 +1371,7 @@ SELECT doc_id,
        array_to_string(words[start_token:start_token + 127], ' ')
          AS chunk_text
 FROM e
-""")
+""", headline=True)
 def curate_chunk_documents_q(spark, sf_dir):
     """Overlapping context-window chunking (128-token windows, stride
     96) for RAG indexing / long-doc training. Within-row sequence +
@@ -1423,7 +1423,7 @@ SELECT doc_id, CAST(dl AS BIGINT) AS dl,
        , 6) AS bm25
 FROM m CROSS JOIN s
 WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
-""")
+""", headline=True)
 def text_bm25_q(spark, sf_dir):
     """BM25 scores of the corpus against the query bag {spark, hash,
     window}. Per-doc term frequencies are within-row array expressions
