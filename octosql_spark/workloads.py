@@ -2113,6 +2113,53 @@ def percentile_stats_q(spark, sf_dir):
         F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("med_disc")))
 
 
+@workload("pivot_counts", """
+SELECT o_orderstatus,
+       COALESCE(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT'), 0)
+         AS urgent,
+       COALESCE(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH'), 0)
+         AS high,
+       COALESCE(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW'), 0)
+         AS low
+FROM orders GROUP BY o_orderstatus
+""")
+def pivot_counts_q(spark, sf_dir):
+    """SQL PIVOT (exceeds parity): order counts per status with one
+    column per priority tier. Spark compiles PIVOT to a single hash
+    aggregate with pivot-value projections — same one-shuffle plan as
+    the FILTERed-aggregate spelling the oracle uses; a missing
+    (status, priority) combination yields NULL, normalized to 0 to
+    match COUNT FILTER semantics."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_pv_orders")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               COALESCE(urgent, 0) AS urgent,
+               COALESCE(high, 0) AS high,
+               COALESCE(low, 0) AS low
+        FROM (SELECT o_orderstatus, o_orderpriority FROM _pv_orders)
+        PIVOT (COUNT(*) FOR o_orderpriority IN
+               ('1-URGENT' AS urgent, '2-HIGH' AS high, '5-LOW' AS low))
+    """)
+
+
+@workload("approx_sketches", None)
+def approx_sketches_q(spark, sf_dir):
+    """Mergeable sketch aggregates — the 100 TB cardinality/quantile
+    story: approx_count_distinct (HyperLogLog++) and percentile_approx
+    (positional sketch) build per-partition sketches that merge
+    associatively map-side, replacing the exact-distinct shuffle whose
+    state grows with the key space. Sketch internals are
+    engine-specific → rows-only gate; tests/test_workloads.py bounds
+    the relative error against the exact answers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("nd_partkey"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("nd_orderkey"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"))
+
+
 @workload("tuple_in_subquery", """
 SELECT COUNT(*) AS n FROM lineitem l
 WHERE EXISTS (SELECT 1 FROM orders o
