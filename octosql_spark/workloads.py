@@ -2113,6 +2113,75 @@ def percentile_stats_q(spark, sf_dir):
         F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("med_disc")))
 
 
+@workload("sessionize_events", """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+), m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR ts > prev_ts + INTERVAL '30 minutes' THEN 1
+              ELSE 0 END AS is_new
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_seq
+""")
+def sessionize_events_q(spark, sf_dir):
+    """Batch sessionization with a 30-minute inactivity gap — the
+    lag + flag + running-sum idiom that turns an event log into
+    sessions without any stateful operator. Per-user windows (hash
+    partition by user), then one aggregation; no global sort. The
+    streaming twin is the session_window entry."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id", "event_id", "ts",
+        F.when(prev.isNull()
+               | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+               1).otherwise(0).alias("is_new"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.select(
+        "user_id", "ts",
+        F.sum("is_new").over(wc).cast("long").alias("session_seq"))
+    return (sessions.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+@workload("unpivot_measures", """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       l_quantity AS val
+FROM lineitem WHERE l_linenumber <= 2
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_linenumber <= 2
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_linenumber <= 2
+""")
+def unpivot_measures_q(spark, sf_dir):
+    """UNPIVOT / melt (exceeds parity): wide measure columns to tall
+    (measure, value) rows. Spark's unpivot is an Expand node — the
+    3x fan-out happens inside the scan stage with zero shuffles,
+    unlike the oracle's triple-scan UNION ALL spelling."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.unpivot(["l_orderkey", "l_linenumber"],
+                      ["l_quantity", "l_discount", "l_tax"],
+                      "measure", "val")
+
+
 @workload("pivot_counts", """
 SELECT o_orderstatus,
        COALESCE(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT'), 0)
