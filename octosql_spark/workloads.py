@@ -1360,25 +1360,27 @@ WITH t AS (
   SELECT doc_id, words, len(words) AS n FROM t
 ), e AS (
   SELECT doc_id, n, words,
-         unnest(generate_series(1, least(greatest(n - 128 + 96, 1), n), 96))
+         unnest(generate_series(1, least(greatest(n - 32 + 24, 1), n), 24))
            AS start_token
   FROM s
 )
 SELECT doc_id,
-       CAST((start_token - 1) / 96 AS BIGINT) AS chunk_idx,
+       CAST((start_token - 1) / 24 AS BIGINT) AS chunk_idx,
        CAST(start_token AS BIGINT) AS start_token,
-       CAST(least(128, n - start_token + 1) AS BIGINT) AS n_chunk_tokens,
-       array_to_string(words[start_token:start_token + 127], ' ')
+       CAST(least(32, n - start_token + 1) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(words[start_token:start_token + 31], ' ')
          AS chunk_text
 FROM e
 """, headline=True)
 def curate_chunk_documents_q(spark, sf_dir):
-    """Overlapping context-window chunking (128-token windows, stride
-    96) for RAG indexing / long-doc training. Within-row sequence +
-    explode + slice — a zero-shuffle narrow map over the corpus."""
+    """Overlapping context-window chunking (32-token windows, stride
+    24 — sized so the gate corpus's 10-99-token docs exercise the
+    MULTI-chunk path incl. short tails cross-engine) for RAG indexing /
+    long-doc training. Within-row sequence + explode + slice — a
+    zero-shuffle narrow map over the corpus."""
     from octosql_spark.datapipe import chunk_documents
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return chunk_documents(docs, chunk_tokens=128, stride=96)
+    return chunk_documents(docs, chunk_tokens=32, stride=24)
 
 
 @workload("text_bm25", """
