@@ -221,7 +221,8 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
 def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_subvectors: int = 8, n_codes: int = 16,
-            rerank: int = 50, seed: int = 42) -> DataFrame:
+            rerank: int = 50, seed: int = 42,
+            max_iter: int = 10, train_rows: int = 25_000) -> DataFrame:
     """Product-quantization ANN (the FAISS PQ/ADC serving shape):
     vectors are split into ``n_subvectors`` subspaces, each quantized
     to one of ``n_codes`` learned centroids, so a d-dim float vector
@@ -243,39 +244,68 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     Returns (query_id, neighbor_id, rank, cosine) — cosines exact on
     the returned rows; recall depends on n_codes/rerank.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("_cv"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("_qv"))
-    dim = len(c.select("_cv").first()[0])
+
+    # --- train: codebooks fit on a BOUNDED in-memory sample (how PQ
+    # is trained in practice — quantizer quality saturates at ~25k
+    # sample rows regardless of corpus size, so the driver pull is
+    # O(train_rows x dim), never O(corpus)). A tiny vectorized Lloyd's
+    # loop per subspace replaces n_subvectors MLlib fits whose
+    # per-iteration job scheduling dominates at this problem size.
+    sample = np.array(
+        [r[0] for r in c.select("_cv").limit(train_rows).collect()],
+        dtype="float64")
+    dim = sample.shape[1]
     if dim % n_subvectors:
         raise ValueError(f"dim {dim} not divisible by {n_subvectors}")
     sub = dim // n_subvectors
-
-    # --- train: one tiny k-means per subspace (on the corpus here; on
-    # a sample at scale — the fit input is n_rows x sub floats)
+    if len(sample) < n_codes:
+        raise ValueError(f"corpus sample ({len(sample)}) smaller than "
+                         f"n_codes ({n_codes})")
+    rng = np.random.RandomState(seed)
     books: list[list[list[float]]] = []
     for j in range(n_subvectors):
-        train = c.select(array_to_vector(
-            F.slice("_cv", j * sub + 1, sub)).alias("features"))
-        model = KMeans(k=n_codes, seed=seed + j,
-                       featuresCol="features").fit(train)
-        books.append([list(map(float, ctr)) for ctr in model.clusterCenters()])
+        S = sample[:, j * sub:(j + 1) * sub]
+        cent = S[rng.choice(len(S), n_codes, replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for code in range(n_codes):
+                pts = S[assign == code]
+                if len(pts):
+                    cent[code] = pts.mean(0)  # empty cells keep position
+        books.append(cent.tolist())
+
+    # The codebooks enter the plan as ONE nested literal array
+    # (n_subvectors x n_codes x sub doubles) indexed at runtime via
+    # element_at inside transform() loops — an unrolled per-(j, code)
+    # expression forest compiles ~n_subvectors*n_codes separate
+    # aggregate trees and whole-stage codegen time dominates the query
+    # at small scale.
+    booklit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
+                  for ctr in book])
+        for book in books])
+
+    def _centroid(j, code) -> Column:
+        return F.element_at(F.element_at(booklit, j + 1), code + 1)
 
     def _code(vec: Column, j: int) -> Column:
         """Nearest-centroid code of subspace j (squared L2)."""
         sv = F.slice(vec, j * sub + 1, sub)
-        dists = F.array(*[
-            F.struct(
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda code: F.struct(
                 F.aggregate(
-                    F.zip_with(sv, F.array(*[F.lit(x) for x in ctr]),
+                    F.zip_with(sv, _centroid(F.lit(j), code),
                                lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0), lambda acc, v: acc + v).alias("d"),
-                F.lit(code).alias("c"))
-            for code, ctr in enumerate(books[j])])
+                code.alias("c")))
         return F.array_sort(dists)[0].getField("c")
 
     encoded = c.select(
@@ -286,10 +316,12 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     # --- serve: per-query ADC table of subspace inner products,
     # flat-indexed [j * n_codes + code]
     def _adc_table(vec: Column) -> Column:
-        return F.array(*[
-            _dot(F.slice(vec, j * sub + 1, sub),
-                 F.array(*[F.lit(x) for x in books[j][code]]))
-            for j in range(n_subvectors) for code in range(n_codes)])
+        return F.flatten(F.transform(
+            F.sequence(F.lit(0), F.lit(n_subvectors - 1)),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda code: _dot(F.slice(vec, j * sub + 1, sub),
+                                  _centroid(j, code)))))
 
     qt = q.select("query_id", "_qv", _adc_table(F.col("_qv")).alias("_tab"))
     approx_ip = F.aggregate(
