@@ -2115,6 +2115,83 @@ def percentile_stats_q(spark, sf_dir):
         F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("med_disc")))
 
 
+@workload("asof_join_events", """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, c.click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def asof_join_events_q(spark, sf_dir):
+    """As-of join (an operator Spark lacks; DuckDB's native ASOF JOIN
+    is the oracle): every purchase picks up the user's LATEST prior
+    click value. Implemented as union-tag + hash partition by key +
+    last(ignorenulls) carry-forward — one shuffle, no range explosion,
+    no per-row lookup."""
+    from octosql_spark.operators.temporal import asof_join
+    e = _t(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("click_value")))
+    return asof_join(purchases, clicks, on="user_id",
+                     left_ts="ts", right_ts="ts",
+                     value_cols=["click_value"])
+
+
+@workload("range_join_sessions", """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+), m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR ts > prev_ts + INTERVAL '30 minutes' THEN 1
+              ELSE 0 END AS is_new
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m
+), sess AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT sess.user_id, sess.session_seq, COUNT(*) AS n_contained
+FROM sess JOIN events e
+  ON e.user_id = sess.user_id
+ AND e.ts >= sess.session_start AND e.ts <= sess.session_end
+GROUP BY sess.user_id, sess.session_seq
+""")
+def range_join_sessions_q(spark, sf_dir):
+    """Range (interval-containment) join — events matched into the
+    session intervals that contain them. The oracle is the plain
+    inequality join (fine at sf0.01, quadratic per key at scale); the
+    engine explodes intervals onto a fixed time grid and hash
+    equi-joins on (key, bin) with the exact predicate re-checked — the
+    bucketed band-join shape. Sessions come from sessionize_events, so
+    each session's contained-event count must equal its n_events."""
+    from octosql_spark.operators.temporal import range_join
+    e = _t(spark, sf_dir, "events")
+    sess = (REGISTRY["sessionize_events"].build(spark, sf_dir)
+            .select("user_id", "session_seq",
+                    "session_start", "session_end"))
+    out = range_join(sess, e.select("user_id", "ts"), on="user_id",
+                     start_col="session_start", end_col="session_end",
+                     point_col="ts", bin_seconds=1800)
+    return (out.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_contained")))
+
+
 @workload("sessionize_events", """
 WITH o AS (
   SELECT user_id, event_id, ts,

@@ -118,3 +118,59 @@ def test_unnest(spark):
     assert [(r.id, r.x) for r in flat.collect()] == [(1, 1), (1, 2)]
     outer = unnest(df, "xs", alias="x", keep=["id"], outer=True)
     assert outer.count() == 4  # empty + NULL arrays keep their row
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+    from pyspark.sql import Row
+    from octosql_spark.operators.temporal import asof_join
+    T = datetime
+    trades = spark.createDataFrame([
+        Row(trade_id=1, sym="A", ts=T(2024, 1, 1, 10, 0, 5)),
+        Row(trade_id=2, sym="A", ts=T(2024, 1, 1, 10, 0, 0)),  # tie → incl
+        Row(trade_id=3, sym="A", ts=T(2024, 1, 1, 9, 0, 0)),   # before all
+        Row(trade_id=4, sym="B", ts=T(2024, 1, 1, 10, 0, 30)),
+    ])
+    quotes = spark.createDataFrame([
+        Row(sym="A", ts=T(2024, 1, 1, 10, 0, 0), px=100.0),
+        Row(sym="A", ts=T(2024, 1, 1, 10, 0, 4), px=101.0),
+        Row(sym="B", ts=T(2024, 1, 1, 8, 0, 0), px=7.0),
+    ])
+    out = {r.trade_id: r.px for r in
+           asof_join(trades, quotes, on="sym", value_cols=["px"]).collect()}
+    assert out[1] == 101.0     # latest prior quote
+    assert out[2] == 100.0     # equal timestamps match (inclusive)
+    assert out[3] is None      # no prior quote → NULL (left join)
+    assert out[4] == 7.0       # per-key isolation
+    # tolerance discards stale matches
+    tol = {r.trade_id: r.px for r in
+           asof_join(trades, quotes, on="sym", value_cols=["px"],
+                     tolerance="1 hour").collect()}
+    assert tol[4] is None      # quote 2h30m old > 1h tolerance
+    assert tol[1] == 101.0
+
+
+def test_range_join_bin_boundaries(spark):
+    from datetime import datetime
+    from pyspark.sql import Row
+    from octosql_spark.operators.temporal import range_join
+    T = datetime
+    ivs = spark.createDataFrame([
+        # spans multiple 60s bins
+        Row(k="x", iv=1, s=T(2024, 1, 1, 0, 0, 30), e=T(2024, 1, 1, 0, 3, 30)),
+        Row(k="x", iv=2, s=T(2024, 1, 1, 0, 5, 0), e=T(2024, 1, 1, 0, 5, 59)),
+        Row(k="y", iv=3, s=T(2024, 1, 1, 0, 0, 0), e=T(2024, 1, 1, 0, 9, 0)),
+    ])
+    pts = spark.createDataFrame([
+        Row(k="x", p=1, ts=T(2024, 1, 1, 0, 2, 0)),    # inside iv1, mid-bin
+        Row(k="x", p=2, ts=T(2024, 1, 1, 0, 3, 30)),   # == end (inclusive)
+        Row(k="x", p=3, ts=T(2024, 1, 1, 0, 4, 0)),    # in no interval
+        Row(k="x", p=4, ts=T(2024, 1, 1, 0, 0, 30)),   # == start (inclusive)
+        Row(k="y", p=5, ts=T(2024, 1, 1, 0, 2, 0)),    # other key
+    ])
+    out = range_join(ivs, pts, on="k", start_col="s", end_col="e",
+                     point_col="ts", bin_seconds=60)
+    got = {(r.iv, r.p) for r in out.collect()}
+    assert got == {(1, 1), (1, 2), (1, 4), (3, 5)}
+    # exactly one row per matched pair (no bin-straddle duplicates)
+    assert out.count() == len(got)
