@@ -2115,6 +2115,86 @@ def percentile_stats_q(spark, sf_dir):
         F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("med_disc")))
 
 
+@workload("salted_join_skew", """
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'P'
+""")
+def salted_join_skew_q(spark, sf_dir):
+    """Salted skew join, gate-verified row-identical to the plain
+    equi-join oracle: the big side gets a per-row salt, the small side
+    replicates salt times, the shuffle key becomes (key, salt) so one
+    hot key spreads over 16 partitions. The manual fallback for skew
+    distributions AQE's skew-join split can't fix (storage.py)."""
+    from octosql_spark.storage import salted_join
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "P")
+         .select("o_orderkey", "o_orderpriority"))
+    out = salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"), o,
+                      on=["o_orderkey"], salt=16)
+    return out.select(F.col("o_orderkey").alias("l_orderkey"),
+                      "l_linenumber", "o_orderpriority")
+
+
+@workload("dedup_incremental_ingest", """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE source <> 'src0'
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.source = 'src0'
+  AND md5(d.text) NOT IN (SELECT fp FROM corpus)
+""")
+def dedup_incremental_ingest_q(spark, sf_dir):
+    """Incremental dedup-at-ingest (batch twin of the streaming
+    variant): a new batch (source src0) keeps only documents whose
+    content fingerprint is absent from the existing corpus — a
+    fingerprint anti-join. At 100 TB the corpus side is a persisted
+    bucketed fingerprint store, so the ingest batch shuffles only
+    itself (or broadcasts, being the small side)."""
+    d = _t(spark, sf_dir, "documents")
+    batch = (d.filter(F.col("source") == "src0")
+             .select("doc_id", "source", F.md5("text").alias("_fp")))
+    corpus = (d.filter(F.col("source") != "src0")
+              .select(F.md5("text").alias("_fp")).distinct())
+    from octosql_spark.operators.joins import anti_join
+    return (anti_join(batch, corpus, [("_fp", "_fp")])
+            .select("doc_id", "source"))
+
+
+@workload("corpus_top_ngrams", """
+WITH g AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> array_to_string(w[i:i+2], ' '))) AS gram
+  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS w
+        FROM documents)
+)
+SELECT gram, COUNT(*) AS n FROM g
+GROUP BY gram ORDER BY n DESC, gram LIMIT 25
+""")
+def corpus_top_ngrams_q(spark, sf_dir):
+    """Corpus-level top-25 word trigrams — the LM-data diagnostic for
+    boilerplate discovery. Within-row gram construction (HOF, no
+    cross-row state), one map-side-combined count, and the global
+    top-k is TakeOrderedAndProject (per-partition heads, constant
+    driver merge) — never a full sort of the gram table."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), r"[^a-z]+"),
+                     lambda w: w != F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
+    # sequence(1, n-2) counts DOWN for n < 3 — guard short docs
+    grams = F.when(F.size(words) >= 3, grams) \
+        .otherwise(F.array().cast("array<string>"))
+    return (d.select(F.explode(grams).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "gram").limit(25))
+
+
 @workload("asof_join_events", """
 WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
