@@ -26,7 +26,7 @@ from octosql_spark.datapipe.cluster import (  # noqa: F401
 from octosql_spark.datapipe.curate import (  # noqa: F401
     decontaminate, sample_stratified, sample_hash_bucket, pack_sequences,
     repetition_metrics, mixture_sample, shard_shuffle, chunk_documents,
-    length_buckets,
+    length_buckets, assign_splits,
 )
 from octosql_spark.datapipe.multimodal import (  # noqa: F401
     attach_media_metadata, decode_media, sample_frames, resize_media,

@@ -396,3 +396,28 @@ def length_buckets(docs: DataFrame, batch_size: int = 32,
     return d.withColumn(
         "batch_idx",
         ((F.row_number().over(w) - 1) / batch_size).cast("long"))
+
+
+def assign_splits(docs: DataFrame, test_frac: float = 0.05,
+                  valid_frac: float = 0.05, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  key_col: Column | None = None) -> DataFrame:
+    """Leakage-safe train/valid/test split: the split decision hashes
+    the CONTENT fingerprint (md5 prefix), not the document id, so
+    exact duplicates always land in the same split — the hygiene rule
+    that stops a train/test leak through copies of the same page.
+    Pass ``key_col`` (e.g. a dedup-cluster representative id rendered
+    as a string) to extend the guarantee to near-duplicate clusters.
+
+    Deterministic and engine-reproducible: the first 8 md5 hex chars
+    parse to a 32-bit integer, ``u = h / 2^32`` is an exact double in
+    [0, 1), and split boundaries compare against the same literals
+    everywhere. Map-only — a projection on the scan, zero shuffles.
+    """
+    key = key_col if key_col is not None else F.md5(F.col(text_col))
+    u = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+         / F.lit(4294967296.0))
+    split = (F.when(u < test_frac, F.lit("test"))
+             .when(u < test_frac + valid_frac, F.lit("valid"))
+             .otherwise(F.lit("train")))
+    return docs.withColumn("split", split)

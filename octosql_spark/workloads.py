@@ -1498,6 +1498,47 @@ def curate_length_buckets_q(spark, sf_dir):
     return length_buckets(docs, batch_size=32)
 
 
+@workload("curate_split_leakage_safe", """
+SELECT doc_id, source,
+       CASE WHEN u < 0.05 THEN 'test'
+            WHEN u < 0.1  THEN 'valid'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id, source,
+             CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM documents)
+""")
+def curate_split_leakage_safe_q(spark, sf_dir):
+    """Leakage-safe train/valid/test split: the split hashes the
+    CONTENT fingerprint, not the doc id, so exact duplicates always
+    land in the same split (no train/test leak through copies).
+    Map-only projection; u = first 8 md5 hex chars / 2^32 is an exact
+    double, reproducible in any engine."""
+    from octosql_spark.datapipe import assign_splits
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return (assign_splits(d, test_frac=0.05, valid_frac=0.05)
+            .select("doc_id", "source", "split"))
+
+
+@workload("curate_split_cluster_safe", None)
+def curate_split_cluster_safe_q(spark, sf_dir):
+    """Cluster-safe split: extends the leakage guarantee to NEAR
+    duplicates by hashing the dedup-cluster representative id (LSH
+    pairs → connected components → min-id representative) instead of
+    the document's own content. Hash-seeded clustering → rows-only;
+    tests assert planted near-dup pairs always share a split."""
+    from octosql_spark.datapipe import (assign_splits, dedup_clusters,
+                                        minhash_lsh_pairs)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    clusters = dedup_clusters(d, pairs, id_col="doc_id")
+    joined = d.join(clusters, "doc_id").withColumn(
+        "_key", F.md5(F.col("cluster_id").cast("string")))
+    out = assign_splits(joined, test_frac=0.05, valid_frac=0.05,
+                        key_col=F.col("_key"))
+    return out.select("doc_id", "source", "split")
+
+
 @workload("dedup_embedding_cosine", """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a

@@ -663,3 +663,36 @@ def test_pq_topk_recall_and_exact_rerank(spark):
     full = pq_topk(q, e, k=5, n_subvectors=8, n_codes=8, rerank=10**6)
     fl = {(r.query_id, r.neighbor_id) for r in full.collect()}
     assert fl == set(ex)
+
+
+def test_assign_splits_leakage_safe(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=i, text=t) for i, t in [
+            (1, "identical page content"), (2, "identical page content"),
+            (3, "another unique document"), (4, "yet another one"),
+        ]])
+    out = {r.doc_id: r.split for r in
+           dp.assign_splits(df, 0.3, 0.3).collect()}
+    assert out[1] == out[2]                 # exact dups share a split
+    assert set(out.values()) <= {"train", "valid", "test"}
+    # deterministic across invocations
+    again = {r.doc_id: r.split for r in
+             dp.assign_splits(df, 0.3, 0.3).collect()}
+    assert out == again
+
+
+def test_cluster_safe_split_colocates_near_dups(spark):
+    import os
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "planted_docs.json")
+    df = spark.read.schema("doc_id long, text string").json(path)
+    pairs = dp.minhash_lsh_pairs(df)
+    clusters = dp.dedup_clusters(df, pairs, id_col="doc_id")
+    joined = df.join(clusters, "doc_id").withColumn(
+        "_key", F.md5(F.col("cluster_id").cast("string")))
+    out = {r.doc_id: r.split for r in
+           dp.assign_splits(joined, 0.3, 0.3,
+                            key_col=F.col("_key")).collect()}
+    # planted near-dup pairs (i, 100+i) must land in the same split
+    for i in list(range(1, 9)) + list(range(51, 55)):
+        assert out[i] == out[100 + i], f"pair ({i},{100+i}) split apart"
