@@ -670,15 +670,19 @@ SELECT o_custkey, o_orderkey,
        LEAD(o_orderkey) OVER w AS next_order,
        FIRST_VALUE(o_orderkey) OVER w AS first_order,
        NTILE(4) OVER w AS quartile,
-       DENSE_RANK() OVER w AS drank
+       DENSE_RANK() OVER w AS drank,
+       PERCENT_RANK() OVER w AS prank,
+       CUME_DIST() OVER w AS cdist
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """)
 def window_analytics_q(spark, sf_dir):
     """Analytic window catalog beyond ranking: lag/lead navigation,
-    first_value, ntile quartiles, dense_rank — all in ONE window spec
-    so Spark evaluates them in a single partition-local sort pass (one
-    hash shuffle on the key, no global sort)."""
+    first_value, ntile quartiles, dense_rank, percent_rank/cume_dist
+    (exact rationals (rank-1)/(n-1), rows<=cur/n — engine-independent
+    doubles) — all in ONE window spec so Spark evaluates them in a
+    single partition-local sort pass (one hash shuffle on the key, no
+    global sort)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -687,7 +691,9 @@ def window_analytics_q(spark, sf_dir):
         F.lead("o_orderkey").over(w).alias("next_order"),
         F.first("o_orderkey").over(w).alias("first_order"),
         F.ntile(4).over(w).alias("quartile"),
-        F.dense_rank().over(w).alias("drank"))
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"))
 
 
 @workload("window_range_frame", """
