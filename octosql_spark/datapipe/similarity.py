@@ -153,16 +153,23 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              .fit(train))
     centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
+    # centroids as ONE nested literal indexed at runtime (same
+    # codegen-size rationale as pq_topk: an unrolled per-centroid
+    # expression forest makes whole-stage codegen compile time the
+    # dominant cost)
+    centlit = F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
+                        for ctr in centers])
+
     def _nearest(vec: Column, top: int) -> Column:
         """Array of the `top` nearest centroid ids (squared L2)."""
-        dists = F.array(*[
-            F.struct(
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+            lambda cid: F.struct(
                 F.aggregate(
-                    F.zip_with(vec, F.array(*[F.lit(x) for x in ctr]),
+                    F.zip_with(vec, F.element_at(centlit, cid + 1),
                                lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0), lambda acc, v: acc + v).alias("d"),
-                F.lit(i).alias("cid"))
-            for i, ctr in enumerate(centers)])
+                cid.alias("cid")))
         return F.transform(F.slice(F.array_sort(dists), 1, top),
                            lambda s: s.getField("cid"))
 

@@ -101,3 +101,32 @@ def test_partitioned_write_prunes(spark, tmp_path):
     import re
     scans = [l for l in plan.splitlines() if "Location" in l]
     assert all("lang=fr" not in l for l in scans)
+
+
+def test_compact_parquet(spark, tmp_path):
+    import os
+    from octosql_spark.storage import compact_parquet
+    src = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(0, 40000).withColumn("k", F.col("id") % 100) \
+        .repartition(40).write.parquet(src)
+    assert sum(1 for f in os.listdir(src) if f.endswith(".parquet")) == 40
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_mb=256)
+    assert n == 1  # tiny input → single right-sized file
+    assert spark.read.parquet(dst).count() == 40000
+
+    # clustered variant: range-partitioned + sorted files
+    dst2 = str(tmp_path / "clustered")
+    compact_parquet(spark, src, dst2, target_mb=256, sort_within_by=["k"])
+    out = spark.read.parquet(dst2)
+    assert out.count() == 40000
+    # sorted within files: per-partition k is nondecreasing
+    from pyspark.sql.window import Window
+    import pyspark.sql.functions as SF
+    chk = (out.select("k", SF.spark_partition_id().alias("pid"),
+                      SF.monotonically_increasing_id().alias("mid")))
+    w = Window.partitionBy("pid").orderBy("mid")
+    bad = (chk.withColumn("prev", SF.lag("k").over(w))
+           .filter(SF.col("prev") > SF.col("k")).count())
+    assert bad == 0
