@@ -225,11 +225,26 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+def _np_kmeans(S, k: int, max_iter: int, rng):
+    """Vectorized Lloyd's k-means on an in-memory sample; empty cells
+    keep their previous position. Returns a k x dim float list."""
+    cent = S[rng.choice(len(S), k, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for code in range(k):
+            pts = S[assign == code]
+            if len(pts):
+                cent[code] = pts.mean(0)
+    return cent.tolist()
+
+
 def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_subvectors: int = 8, n_codes: int = 16,
             rerank: int = 50, seed: int = 42,
-            max_iter: int = 10, train_rows: int = 25_000) -> DataFrame:
+            max_iter: int = 10, train_rows: int = 25_000,
+            n_cells: int | None = None, n_probe: int = 4) -> DataFrame:
     """Product-quantization ANN (the FAISS PQ/ADC serving shape):
     vectors are split into ``n_subvectors`` subspaces, each quantized
     to one of ``n_codes`` learned centroids, so a d-dim float vector
@@ -248,8 +263,18 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     semi-join). The scan, the broadcast of the query block, and one
     bounded window are the whole plan — no all-pairs on raw vectors.
 
+    With ``n_cells`` set this becomes IVF-PQ — the full FAISS
+    production shape: a coarse quantizer assigns every corpus vector
+    to one of ``n_cells`` cells, queries probe only their ``n_probe``
+    nearest cells, and ADC scoring runs on that slice of the code
+    table instead of all of it. The candidate join is an equi-join on
+    the cell id (the bucketed serving plan: persist the code table
+    clustered by cell and each query batch touches n_probe/n_cells of
+    the data).
+
     Returns (query_id, neighbor_id, rank, cosine) — cosines exact on
-    the returned rows; recall depends on n_codes/rerank.
+    the returned rows; recall depends on n_codes/rerank (and
+    n_probe/n_cells when IVF is on).
     """
     import numpy as np
 
@@ -271,22 +296,13 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     if dim % n_subvectors:
         raise ValueError(f"dim {dim} not divisible by {n_subvectors}")
     sub = dim // n_subvectors
-    if len(sample) < n_codes:
+    if len(sample) < max(n_codes, n_cells or 0):
         raise ValueError(f"corpus sample ({len(sample)}) smaller than "
-                         f"n_codes ({n_codes})")
+                         f"n_codes/n_cells")
     rng = np.random.RandomState(seed)
-    books: list[list[list[float]]] = []
-    for j in range(n_subvectors):
-        S = sample[:, j * sub:(j + 1) * sub]
-        cent = S[rng.choice(len(S), n_codes, replace=False)].copy()
-        for _ in range(max_iter):
-            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for code in range(n_codes):
-                pts = S[assign == code]
-                if len(pts):
-                    cent[code] = pts.mean(0)  # empty cells keep position
-        books.append(cent.tolist())
+    books = [_np_kmeans(sample[:, j * sub:(j + 1) * sub],
+                        n_codes, max_iter, rng)
+             for j in range(n_subvectors)]
 
     # The codebooks enter the plan as ONE nested literal array
     # (n_subvectors x n_codes x sub doubles) indexed at runtime via
@@ -315,10 +331,29 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                 code.alias("c")))
         return F.array_sort(dists)[0].getField("c")
 
+    cells = (_np_kmeans(sample, n_cells, max_iter, rng)
+             if n_cells else None)
+    celllit = (F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
+                         for ctr in cells]) if cells else None)
+
+    def _nearest_cells(vec: Column, top: int) -> Column:
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda cid: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, F.element_at(celllit, cid + 1),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+                cid.alias("cid")))
+        return F.transform(F.slice(F.array_sort(dists), 1, top),
+                           lambda s: s.getField("cid"))
+
     encoded = c.select(
         "neighbor_id",
         F.array(*[_code(F.col("_cv"), j)
-                  for j in range(n_subvectors)]).alias("_codes"))
+                  for j in range(n_subvectors)]).alias("_codes"),
+        *([_nearest_cells(F.col("_cv"), 1)[0].alias("_cell")]
+          if cells else []))
 
     # --- serve: per-query ADC table of subspace inner products,
     # flat-indexed [j * n_codes + code]
@@ -338,8 +373,13 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             F.col("_tab"),
             (j * n_codes + F.element_at(F.col("_codes"), j + 1) + 1)
             .cast("int")))
-    cand = (encoded.crossJoin(F.broadcast(qt))
-            .filter(F.col("query_id") != F.col("neighbor_id"))
+    if cells:
+        qt = qt.withColumn(
+            "_cell", F.explode(_nearest_cells(F.col("_qv"), n_probe)))
+        cand = encoded.join(F.broadcast(qt), "_cell")
+    else:
+        cand = encoded.crossJoin(F.broadcast(qt))
+    cand = (cand.filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("_aip", approx_ip))
     wq = Window.partitionBy("query_id").orderBy(F.col("_aip").desc(),
                                                 F.col("neighbor_id"))

@@ -1782,6 +1782,19 @@ def ann_pq_topk_q(spark, sf_dir):
     return pq_topk(q, e, k=5, n_subvectors=8, n_codes=16, rerank=50)
 
 
+@workload("ann_ivfpq_topk", None)
+def ann_ivfpq_topk_q(spark, sf_dir):
+    """IVF-PQ: coarse cells bound the candidate set (equi-join on cell
+    id, n_probe/n_cells of the code table per query) and ADC scores
+    the compressed codes before an exact rerank — the full production
+    ANN serving shape. Approximate → rows-only."""
+    from octosql_spark.datapipe import pq_topk
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return pq_topk(q, e, k=5, n_subvectors=8, n_codes=16, rerank=50,
+                   n_cells=16, n_probe=6)
+
+
 @workload("ann_lsh_topk", None)
 def ann_lsh_topk_q(spark, sf_dir):
     """Multi-table hyperplane-LSH ANN (the scale path) — approximate,

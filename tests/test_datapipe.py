@@ -696,3 +696,24 @@ def test_cluster_safe_split_colocates_near_dups(spark):
     # planted near-dup pairs (i, 100+i) must land in the same split
     for i in list(range(1, 9)) + list(range(51, 55)):
         assert out[i] == out[100 + i], f"pair ({i},{100+i}) split apart"
+
+
+def test_ivfpq_topk_recall_and_full_probe(spark):
+    from octosql_spark.datapipe import cosine_topk_bruteforce, pq_topk
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(q, e, k=5)
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    ivfpq = pq_topk(q, e, k=5, n_subvectors=8, n_codes=16, rerank=40,
+                    n_cells=8, n_probe=4)
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in ivfpq.collect()}
+    for pair, cos in got.items():           # rerank cosines are exact
+        if pair in ex:
+            assert abs(cos - ex[pair]) < 1e-9
+    # probing 4/8 cells over random vectors: nontrivial recall floor
+    assert len(set(got) & set(ex)) / len(ex) >= 0.3
+    # full probe + full rerank degenerates to brute force
+    full = pq_topk(q, e, k=5, n_subvectors=8, n_codes=16, rerank=10**6,
+                   n_cells=8, n_probe=8)
+    assert {(r.query_id, r.neighbor_id) for r in full.collect()} == set(ex)
