@@ -81,6 +81,8 @@ def _parse_mini_yaml(text: str) -> dict:
 
 def jdbc_url(db: dict) -> str:
     cfg = dict(db.get("config", {}))
+    if "url" in cfg:  # raw JDBC URL passthrough (derby, h2, oracle...)
+        return cfg["url"]
     dbtype = db["type"]
     cfg.setdefault("port", _DEFAULT_PORTS.get(dbtype, 0))
     return _URL_TEMPLATES[dbtype].format(**cfg)
@@ -116,8 +118,10 @@ def jdbc_table(spark: SparkSession, db: dict, table: str,
                              f"SELECT MIN({partition_column}) AS lo, "
                              f"MAX({partition_column}) AS hi FROM {table}")
                      .load().collect()[0])
-            lower_bound = probe["lo"] if lower_bound is None else lower_bound
-            upper_bound = probe["hi"] if upper_bound is None else upper_bound
+            # positional access: identifier case is dialect-dependent
+            # (Derby/Oracle uppercase unquoted aliases)
+            lower_bound = probe[0] if lower_bound is None else lower_bound
+            upper_bound = probe[1] if upper_bound is None else upper_bound
         if lower_bound is None or upper_bound is None:
             return reader.load()  # empty table — single-cursor read
         reader = (reader.option("partitionColumn", partition_column)
