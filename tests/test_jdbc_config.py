@@ -101,3 +101,37 @@ def test_jdbc_integration_derby(spark, tmp_path):
                       num_partitions=3)
     assert part.rdd.getNumPartitions() == 3
     assert sorted(r.ID for r in part.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_jdbc_through_sql_front_door(spark, tmp_path, monkeypatch):
+    """`FROM db.table` through the SQL surface resolves the database
+    from octosql.yml config and reads over real JDBC (embedded Derby)
+    — the reference's plugin-database UX end-to-end."""
+    dbdir = str(tmp_path / "derbydb2")
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{dbdir};create=true")
+    st = conn.createStatement()
+    st.execute("CREATE TABLE pets (id INT, species VARCHAR(16))")
+    for i, s in enumerate(["cat", "dog", "cat", "axolotl"]):
+        st.execute(f"INSERT INTO pets VALUES ({i}, '{s}')")
+    st.close()
+    conn.close()
+
+    cfg = tmp_path / "octosql.yml"
+    cfg.write_text(
+        "databases:\n"
+        "  - name: zoo\n"
+        "    type: derby\n"
+        "    config:\n"
+        f"      url: jdbc:derby:{dbdir}\n")
+    monkeypatch.setenv("OCTOSQL_CONFIG", str(cfg))
+
+    from octosql_spark.sql import run_query
+    out = run_query(
+        spark,
+        "SELECT species, COUNT(*) AS n FROM zoo.pets "
+        "GROUP BY species ORDER BY n DESC, species").df.collect()
+    assert [(r[0], r[1]) for r in out] == [("cat", 2), ("axolotl", 1),
+                                           ("dog", 1)]
