@@ -2175,6 +2175,57 @@ def percentile_stats_q(spark, sf_dir):
         F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("med_disc")))
 
 
+def _federation_files(spark, sf_dir):
+    """Export nation→CSV and region→JSON-lines once per sf (idempotent,
+    deterministic: sorted single files under /tmp)."""
+    import os
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    csv_path = f"/tmp/octosql_fed_{tag}_nation.csv"
+    json_path = f"/tmp/octosql_fed_{tag}_region.json"
+    if not os.path.exists(csv_path):
+        pdf = (_t(spark, sf_dir, "nation")
+               .select("n_nationkey", "n_name", "n_regionkey")
+               .orderBy("n_nationkey").toPandas())
+        pdf.to_csv(csv_path, index=False)
+    if not os.path.exists(json_path):
+        pdf = (_t(spark, sf_dir, "region")
+               .select("r_regionkey", "r_name")
+               .orderBy("r_regionkey").toPandas())
+        pdf.to_json(json_path, orient="records", lines=True)
+    return csv_path, json_path
+
+
+@workload("federation_three_formats", """
+SELECT r.r_name,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN read_csv_auto('/tmp/octosql_fed_sf0.01_nation.csv', header=true) n
+  ON c.c_nationkey = n.n_nationkey
+JOIN read_json_auto('/tmp/octosql_fed_sf0.01_region.json') r
+  ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def federation_three_formats_q(spark, sf_dir):
+    """Multi-format federation — the reference's core identity — AT
+    the gate: one query joining parquet facts with a CSV dimension and
+    a JSON-lines dimension (both read through the engine's own file
+    readers with sampled schema inference), aggregated per region.
+    Both small dims broadcast; the fact side never shuffles."""
+    from octosql_spark.sources.files import read_csv, read_json
+    csv_path, json_path = _federation_files(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_csv(spark, csv_path)
+    r = read_json(spark, json_path)
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+            .join(F.broadcast(r),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
 @workload("salted_join_skew", """
 SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
