@@ -2200,10 +2200,8 @@ SELECT r.r_name,
        ROUND(SUM(o.o_totalprice), 2) AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN read_csv_auto('/tmp/octosql_fed_sf0.01_nation.csv', header=true) n
-  ON c.c_nationkey = n.n_nationkey
-JOIN read_json_auto('/tmp/octosql_fed_sf0.01_region.json') r
-  ON n.n_regionkey = r.r_regionkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """)
 def federation_three_formats_q(spark, sf_dir):
@@ -2211,7 +2209,10 @@ def federation_three_formats_q(spark, sf_dir):
     the gate: one query joining parquet facts with a CSV dimension and
     a JSON-lines dimension (both read through the engine's own file
     readers with sampled schema inference), aggregated per region.
-    Both small dims broadcast; the fact side never shuffles."""
+    Both small dims broadcast; the fact side never shuffles. The
+    oracle computes the same answer from the parquet views (no
+    ordering dependency on the exported files), so any CSV/JSON
+    read-path infidelity on the Spark side hash-mismatches."""
     from octosql_spark.sources.files import read_csv, read_json
     csv_path, json_path = _federation_files(spark, sf_dir)
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
