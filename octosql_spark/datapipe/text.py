@@ -302,3 +302,43 @@ def hashed_linear_score(df: DataFrame, n_buckets: int = 1024,
                       F.round(logit, 6).alias("quality_logit"),
                       F.round(prob, 6).alias("quality_prob"))
             .filter(F.col("n_words") > 0))
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document character entropy  H = -Σ (c/n)·ln(c/n)  over the
+    raw character distribution — the classic cheap gibberish /
+    compression-junk signal (random bytes score high, repeated
+    boilerplate scores low). Returns (id, n_chars, char_entropy
+    rounded to 6) for non-empty documents.
+
+    Engine-exact determinism: the fold walks the SORTED character
+    array, so per-character terms are added in ascending-char order —
+    the same order an oracle gets from an ORDER BY inside its list
+    aggregation — making the double sum bit-identical, not just
+    close. Zero shuffles: entropy is a property of one row.
+    """
+    chars = F.array_sort(F.split(F.col(text_col), ""))
+    n = F.length(F.col(text_col))
+    zero = F.lit(0).cast("long")
+
+    def step(acc, ch):
+        same = F.coalesce(acc["prev"] == ch, F.lit(False))
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        flush = (~same) & (acc["run"] > 0)
+        term = -(acc["run"] / n) * F.log(acc["run"] / n)
+        return F.struct(
+            ch.alias("prev"), run.alias("run"),
+            (acc["h"] + F.when(flush, term).otherwise(F.lit(0.0)))
+            .alias("h"))
+
+    def finish(acc):
+        term = -(acc["run"] / n) * F.log(acc["run"] / n)
+        return acc["h"] + F.when(acc["run"] > 0, term).otherwise(F.lit(0.0))
+
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    zero.alias("run"), F.lit(0.0).alias("h"))
+    h = F.aggregate(chars, init, step, finish)
+    return (df.filter(n > 0)
+            .select(F.col(id_col), n.cast("long").alias("n_chars"),
+                    F.round(h, 6).alias("char_entropy")))

@@ -1476,6 +1476,33 @@ def text_quality_classifier_q(spark, sf_dir):
     return hashed_linear_score(d, n_buckets=1024)
 
 
+@workload("text_char_entropy", """
+WITH c AS (
+  SELECT doc_id, len(text) AS n,
+         unnest(string_split(text, '')) AS ch
+  FROM documents WHERE len(text) > 0
+), rc AS (
+  SELECT doc_id, n, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, n, ch
+), l AS (
+  SELECT doc_id, n, list(cnt ORDER BY ch) AS cnts
+  FROM rc GROUP BY doc_id, n
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       ROUND(list_sum(list_transform(cnts,
+             c -> -(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)))), 6)
+         AS char_entropy
+FROM l
+""")
+def text_char_entropy_q(spark, sf_dir):
+    """Character entropy per document (gibberish / compression-junk
+    signal). The Spark side folds the SORTED char array within the
+    row (zero shuffles); the oracle sums per-char terms in the same
+    ascending-char order, so the doubles match bit-for-bit."""
+    from octosql_spark.datapipe import char_entropy
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy(d)
+
+
 @workload("curate_length_buckets", """
 WITH t AS (
   SELECT doc_id, source,

@@ -717,3 +717,19 @@ def test_ivfpq_topk_recall_and_full_probe(spark):
     full = pq_topk(q, e, k=5, n_subvectors=8, n_codes=16, rerank=10**6,
                    n_cells=8, n_probe=8)
     assert {(r.query_id, r.neighbor_id) for r in full.collect()} == set(ex)
+
+
+def test_char_entropy(spark):
+    import math
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="aaaa"),         # zero entropy
+        Row(doc_id=2, text="abab"),         # 1 bit = ln(2) nats
+        Row(doc_id=3, text="abcd"),         # 2 bits = ln(4) nats
+        Row(doc_id=4, text=""),             # dropped
+    ])
+    out = {r.doc_id: r for r in dp.char_entropy(df).collect()}
+    assert out[1].char_entropy == 0.0
+    assert abs(out[2].char_entropy - math.log(2)) < 1e-6
+    assert abs(out[3].char_entropy - math.log(4)) < 1e-6
+    assert out[3].n_chars == 4
+    assert 4 not in out
