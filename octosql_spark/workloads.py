@@ -2567,6 +2567,22 @@ def docs_aggregates_q(spark, sf_dir):
     return docs_table(spark, "aggregates")
 
 
+def _docs_function_names_oracle() -> str:
+    from octosql_spark.functions.registry import FUNCTIONS
+    vals = ", ".join(f"('{f.name}')"
+                     for f in sorted(FUNCTIONS.values(), key=lambda f: f.name))
+    return f"SELECT DISTINCT name FROM (VALUES {vals}) AS t(name)"
+
+
+@workload("docs_function_names", _docs_function_names_oracle())
+def docs_function_names_q(spark, sf_dir):
+    """docs.functions name column with a VALUES oracle — pins the §2.7
+    scalar catalog (42+ names) at the gate; a silently dropped or
+    renamed function hash-mismatches here."""
+    from octosql_spark.sources.docs import docs_table
+    return docs_table(spark, "functions").select("name").distinct()
+
+
 @workload("ann_cosine_topk_gemm", """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
