@@ -1476,6 +1476,29 @@ def text_quality_classifier_q(spark, sf_dir):
     return hashed_linear_score(d, n_buckets=1024)
 
 
+@workload("text_bpe_pieces", """
+WITH p AS (
+  SELECT unnest(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]+')) AS piece
+  FROM documents
+)
+SELECT piece, COUNT(*) AS n FROM p
+GROUP BY piece ORDER BY n DESC, piece LIMIT 30
+""")
+def text_bpe_pieces_q(spark, sf_dir):
+    """Top-30 BPE-ish pre-tokenizer pieces corpus-wide — gate-verifies
+    that the GPT-2-style pre-tokenization regex behaves identically
+    under Java regex (Spark) and RE2-ish DuckDB, the cross-engine
+    hazard for any regex-defined tokenizer. Map-side count +
+    TakeOrderedAndProject."""
+    from octosql_spark.datapipe.text import _BPE_ISH
+    d = _t(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH), F.lit(0))
+    return (d.select(F.explode(pieces).alias("piece"))
+            .groupBy("piece").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "piece").limit(30))
+
+
 @workload("text_char_entropy", """
 WITH c AS (
   SELECT doc_id, len(text) AS n,
