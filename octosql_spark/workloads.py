@@ -2180,6 +2180,35 @@ def cube_counts_q(spark, sf_dir):
             .agg(F.count(F.lit(True)).alias("n")))
 
 
+@workload("profile_table_stats", """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS ndv_orderkey,
+       COUNT(DISTINCT l_partkey) AS ndv_partkey,
+       SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nulls_flag,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+FROM lineitem
+""")
+def profile_table_stats_q(spark, sf_dir):
+    """Column profiling — the ANALYZE-statistics shape (row count,
+    NDVs, null counts, min/max) that feeds CBO and data-quality
+    monitors. One pass, one aggregate; exact NDVs here as the
+    correctness baseline (the 100 TB path swaps in the HLL sketches
+    of approx_sketches — same plan, mergeable state)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("ndv_orderkey"),
+        F.countDistinct("l_partkey").alias("ndv_partkey"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0))
+        .alias("nulls_flag"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"))
+
+
 @workload("grouping_sets_counts", """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
