@@ -1499,6 +1499,49 @@ def text_bpe_pieces_q(spark, sf_dir):
             .orderBy(F.col("n").desc(), "piece").limit(30))
 
 
+@workload("curate_quality_above_domain_median", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+vocab AS (SELECT term, COUNT(*) AS cnt FROM t2 GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+score AS (
+  SELECT doc_id, ROUND(AVG(LN(CAST(cnt AS DOUBLE) / total)), 6) AS lp
+  FROM t2 JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+), sc AS (
+  SELECT d.doc_id, d.source, s.lp
+  FROM documents d JOIN score s ON d.doc_id = s.doc_id
+), med AS (
+  SELECT source, quantile_cont(lp, 0.5) AS m FROM sc GROUP BY source
+)
+SELECT sc.doc_id, sc.source, sc.lp AS avg_logprob
+FROM sc JOIN med ON sc.source = med.source
+WHERE sc.lp > med.m
+""")
+def curate_quality_above_domain_median_q(spark, sf_dir):
+    """CCNet-style per-domain quality thresholding: score every doc
+    with the unigram-LM log-prob proxy, compute each source's MEDIAN
+    score, keep docs strictly above their own domain's median — the
+    standard per-domain (not global) quality cut that avoids biasing
+    against whole domains. Plan: the scoring aggregations, one tiny
+    per-source exact-percentile aggregate broadcast back, one filter;
+    the corpus shuffles only for the score itself."""
+    from octosql_spark.datapipe import unigram_logprob
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    lp = unigram_logprob(d.select("doc_id", "text"))
+    sc = (d.select("doc_id", "source")
+          .join(lp.select("doc_id", F.col("avg_logprob").alias("lp")),
+                "doc_id"))
+    med = sc.groupBy("source").agg(
+        F.expr("percentile(lp, 0.5)").alias("m"))
+    return (sc.join(F.broadcast(med), "source")
+            .filter(F.col("lp") > F.col("m"))
+            .select("doc_id", "source", F.col("lp").alias("avg_logprob")))
+
+
 @workload("text_char_entropy", """
 WITH c AS (
   SELECT doc_id, len(text) AS n,
