@@ -82,10 +82,45 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
                     .alias("cluster_id")))
 
 
+def _cell_candidate_keys(x: DataFrame, max_cell_population: int,
+                         lsh_tables: int, lsh_planes: int,
+                         seed: int) -> DataFrame:
+    """Candidate-generation key assignment for ``semantic_dedup`` cells:
+    each row of ``x`` (columns ``_id, _nv, cell``) is emitted once per
+    candidate bucket as ``(_id, _nv, cell, table, bucket)``. Rows in
+    cells at or under ``max_cell_population`` get the single sentinel
+    bucket (-1, 0) — paper-exact within-cell all-pairs. Rows in skewed
+    cells fan out to ``lsh_tables`` hyperplane-LSH buckets so no join
+    key's population exceeds the cell's LSH bucket size. Factored out
+    so tests can assert the per-key population bound directly."""
+    from octosql_spark.datapipe.similarity import _hyperplane_signature
+    counts = x.groupBy("cell").agg(F.count(F.lit(True)).alias("_cn"))
+    y = x.join(F.broadcast(counts), "cell")
+    if lsh_planes <= 0:
+        return y.select("_id", "_nv", "cell",
+                        F.lit(-1).alias("table"),
+                        F.lit(0).cast("long").alias("bucket"))
+    dim = len(x.select("_nv").first()[0])
+    exact = F.array(F.struct(F.lit(-1).alias("table"),
+                             F.lit(0).cast("long").alias("bucket")))
+    lsh = F.array(*[
+        F.struct(F.lit(t).alias("table"),
+                 _hyperplane_signature(F.col("_nv"), dim, lsh_planes,
+                                       seed + 7000 + 1000 * t)
+                 .alias("bucket"))
+        for t in range(lsh_tables)])
+    buckets = F.when(F.col("_cn") <= F.lit(max_cell_population), exact) \
+               .otherwise(lsh)
+    return (y.withColumn("_b", F.explode(buckets))
+            .select("_id", "_nv", "cell", "_b.table", "_b.bucket"))
+
+
 def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.9,
                    method: str = "cells", n_cells: int = 16,
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, target_cell_size: int = 4096,
+                   max_cell_population: int | None = None,
+                   lsh_tables: int = 8, lsh_planes: int = 4) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): collapse groups of
     semantically near-identical examples (cosine >= ``threshold``) to
@@ -105,6 +140,25 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
     group keeps the member FARTHEST from the cell centroid (the
     paper's low-centroid-similarity rule — outliers carry the most
     information), tiebroken by min id.
+
+    Scale contract (within-cell pairing is quadratic per cell, so cell
+    population MUST stay bounded as the corpus grows — the paper runs
+    k≈100k cells on LAION):
+
+    - ``n_cells`` is a MINIMUM; the effective k auto-scales to
+      ``ceil(n / target_cell_size)`` so expected cell population stays
+      ~``target_cell_size`` at any corpus size.
+    - Skewed cells are additionally LSH-bucketed: any cell whose
+      population exceeds ``max_cell_population`` (default
+      ``4 * target_cell_size``) generates candidates only within
+      multi-table hyperplane-LSH buckets *inside* the cell
+      (``lsh_tables`` tables × ``lsh_planes`` planes — the same
+      signature machinery as ``embedding_near_dup_pairs``), trading
+      the standard LSH recall bound for a hard cap on pair blowup.
+      Small cells keep the paper-exact all-pairs scan. Set
+      ``lsh_planes=0`` to disable the skew guard (paper-faithful mode).
+    The candidate shuffle is keyed on (cell, table, bucket); see
+    ``_cell_candidate_keys`` for the testable key assignment.
     """
     from octosql_spark.datapipe.dedup import embedding_near_dup_pairs
     from octosql_spark.datapipe.similarity import _dot
@@ -125,7 +179,12 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
                           F.col(vec_col).cast("array<double>").alias("_v"))
     norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
     e = e.withColumn("_nv", F.transform("_v", lambda x: x / norm))
-    model = (KMeans(k=n_cells, seed=seed, featuresCol="features")
+    # auto-scale k so expected cell population stays ~target_cell_size
+    # (n_cells is a floor, not the answer — fixed k at growing n is the
+    # quadratic blowup the paper avoids with k≈100k)
+    n = e.count()
+    k = max(2, min(max(n_cells, -(-n // max(1, target_cell_size))), n))
+    model = (KMeans(k=k, seed=seed, featuresCol="features")
              .fit(e.select(array_to_vector("_nv").alias("features"))))
     centers = [list(map(float, c)) for c in model.clusterCenters()]
 
@@ -139,12 +198,18 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
 
     cell, ccos = _cell_and_ccos(F.col("_nv"))
     x = e.select("_id", "_nv", cell, ccos).persist()
-    a = x.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"),
-                 "cell")
-    b = x.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"),
-                 "cell")
-    pairs = (a.join(b, "cell")
+    keyed = _cell_candidate_keys(
+        x, max_cell_population=(max_cell_population
+                                if max_cell_population is not None
+                                else 4 * target_cell_size),
+        lsh_tables=lsh_tables, lsh_planes=lsh_planes, seed=seed)
+    a = keyed.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"),
+                     "cell", "table", "bucket")
+    b = keyed.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"),
+                     "cell", "table", "bucket")
+    pairs = (a.join(b, ["cell", "table", "bucket"])
              .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"])
              .filter(_dot(F.col("_va"), F.col("_vb")) >= threshold)
              .select("id_a", "id_b"))
     comp = connected_components(pairs, max_iter=25)

@@ -36,14 +36,21 @@ class Workload:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
     headline: bool = False  # include in bench.py
+    # Plan intentionally contains a cartesian/BNLJ: either the query IS
+    # a cross product, or it broadcasts a 1-row scalar (corpus stats /
+    # IDF denominator) against the corpus — the scalar-broadcast plan.
+    # Declared here so tools/plan_audit.py keys its allowlist on the
+    # workload definition instead of a drifting name list.
+    cartesian_ok: bool = False
 
 
 REGISTRY: dict[str, Workload] = {}
 
 
-def workload(name: str, oracle: Optional[str], headline: bool = False):
+def workload(name: str, oracle: Optional[str], headline: bool = False,
+             cartesian_ok: bool = False):
     def deco(fn):
-        REGISTRY[name] = Workload(name, fn, oracle, headline)
+        REGISTRY[name] = Workload(name, fn, oracle, headline, cartesian_ok)
         return fn
     return deco
 
@@ -95,7 +102,7 @@ SELECT COUNT(*) AS cnt,
        MAX(l_shipdate) AS max_ship,
        COUNT(DISTINCT l_orderkey) AS n_orders
 FROM lineitem
-""")
+""", cartesian_ok=True)
 def agg_global(spark, sf_dir):
     """Global aggregation — the reference's end-of-stream trigger emit
     (execution/nodes/simple_group_by.go:45-147) with count/sum/avg/
@@ -332,7 +339,7 @@ def join_full_outer(spark, sf_dir):
 SELECT a.r_name AS r1, b.r_name AS r2
 FROM region a CROSS JOIN region b
 WHERE a.r_regionkey < b.r_regionkey
-""")
+""", cartesian_ok=True)
 def join_cross(spark, sf_dir):
     """Comma-FROM cross product (parser/parser.go:60-71)."""
     r = _t(spark, sf_dir, "region")
@@ -460,7 +467,7 @@ SELECT COUNT(*) AS n_above,
        ROUND(AVG(o_totalprice), 4) AS avg_above
 FROM orders
 WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
-""")
+""", cartesian_ok=True)
 def scalar_subquery(spark, sf_dir):
     """Scalar subquery (QueryExpression, execution/expressions.go:
     202-255) as a broadcast cross join — the single-row aggregate
@@ -699,7 +706,8 @@ def window_analytics_q(spark, sf_dir):
 @workload("window_range_frame", """
 SELECT o_custkey, o_orderkey,
        COUNT(*) OVER w AS n_30d,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS cents_30d
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS cents_30d
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
@@ -1153,7 +1161,7 @@ scored AS (
   FROM scored
 )
 SELECT doc_id, term, score FROM ranked WHERE rn <= 3
-""")
+""", cartesian_ok=True)
 def text_tfidf_topk_q(spark, sf_dir):
     """Top-3 characteristic terms per document by TF-IDF. Tokenize →
     two map-side-combined aggregations (term counts, document
@@ -1175,7 +1183,7 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        ROUND(AVG(LN(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
 FROM t2 JOIN vocab USING (term) CROSS JOIN tot
 GROUP BY doc_id
-""")
+""", cartesian_ok=True)
 def text_unigram_logprob_q(spark, sf_dir):
     """Mean unigram log-prob per document under the corpus's own
     unigram LM — the cheap perplexity proxy used for quality
@@ -1389,7 +1397,7 @@ def curate_chunk_documents_q(spark, sf_dir):
     return chunk_documents(docs, chunk_tokens=32, stride=24)
 
 
-@workload("text_bm25", """
+@workload("text_bm25", cartesian_ok=True, oracle="""
 WITH d AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
@@ -1520,7 +1528,7 @@ score AS (
 SELECT sc.doc_id, sc.source, sc.lp AS avg_logprob
 FROM sc JOIN med ON sc.source = med.source
 WHERE sc.lp > med.m
-""")
+""", cartesian_ok=True)
 def curate_quality_above_domain_median_q(spark, sf_dir):
     """CCNet-style per-domain quality thresholding: score every doc
     with the unigram-LM log-prob proxy, compute each source's MEDIAN
@@ -1583,7 +1591,7 @@ WITH t AS (
 )
 SELECT doc_id, source, n_tokens, bucket,
        CAST((ROW_NUMBER() OVER (PARTITION BY source, bucket
-                                ORDER BY doc_id) - 1) / 32 AS BIGINT)
+                                ORDER BY doc_id) - 1) // 32 AS BIGINT)
          AS batch_idx
 FROM b
 """)
@@ -1646,7 +1654,7 @@ JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= 0.45
-""")
+""", cartesian_ok=True)
 def dedup_embedding_cosine_q(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact method, fully oracled
     against DuckDB's all-pairs cosine (IDs only — dot products are
@@ -1774,7 +1782,7 @@ def embedding_norms_q(spark, sf_dir):
     return e.select("vec_id", F.round(embedding_norms(e), 6).alias("norm"))
 
 
-@workload("ann_cosine_topk", """
+@workload("ann_cosine_topk", cartesian_ok=True, oracle="""
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          ROW_NUMBER() OVER (
@@ -1863,7 +1871,7 @@ def ann_ivf_topk_q(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
-@workload("ann_pq_topk", None)
+@workload("ann_pq_topk", None, cartesian_ok=True)
 def ann_pq_topk_q(spark, sf_dir):
     """Product-quantization ANN with exact rerank (FAISS ADC serving
     shape; the compressed-corpus scale path) — approximate by nature →
@@ -1888,7 +1896,7 @@ def ann_ivfpq_topk_q(spark, sf_dir):
                    n_cells=16, n_probe=6)
 
 
-@workload("ann_lsh_topk", None)
+@workload("ann_lsh_topk", None, cartesian_ok=True)
 def ann_lsh_topk_q(spark, sf_dir):
     """Multi-table hyperplane-LSH ANN (the scale path) — approximate,
     rows-only."""
@@ -2227,7 +2235,8 @@ def cube_counts_q(spark, sf_dir):
 SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS ndv_orderkey,
        COUNT(DISTINCT l_partkey) AS ndv_partkey,
-       SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nulls_flag,
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS nulls_flag,
        ROUND(MIN(l_extendedprice), 2) AS min_price,
        ROUND(MAX(l_extendedprice), 2) AS max_price,
        MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship

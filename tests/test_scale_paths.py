@@ -148,3 +148,58 @@ def test_counting_fn_state_carries_across_batches():
     assert len(res) == 1
     assert res.iloc[0].emitted_at_count == 4
     assert res.iloc[0].s == 10.0  # 1+2+3+4
+
+
+def test_semantic_dedup_cells_population_bounded(spark):
+    """semantic_dedup(cells) must never do quadratic work in a hot
+    cell: a skew-adversarial corpus (one dense region holding most of
+    the data) must have every candidate join key's population bounded
+    by the LSH bucket guard, not by the cell size."""
+    import math
+    from octosql_spark.datapipe.cluster import _cell_candidate_keys
+
+    # one oversized cell whose members are SPREAD (2000 vectors over a
+    # 120° arc — the coarse-cell hazard where all-pairs is mostly
+    # wasted work; genuinely near-identical members sharing a bucket
+    # is fine, their pairs are all real) + a small well-sized cell
+    rows = [(i, [math.cos(math.radians(i * 0.06)),
+                 math.sin(math.radians(i * 0.06))]) for i in range(2000)]
+    rows += [(10_000 + j, [math.cos(math.radians(200 + j * 0.5)),
+                           math.sin(math.radians(200 + j * 0.5))])
+             for j in range(100)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = (e.select(F.col("vec_id").alias("_id"),
+                  F.col("embedding").alias("_nv"))
+         .withColumn("cell", F.when(F.col("_id") < 2000, 0).otherwise(1)))
+
+    cap = 256
+    keyed = _cell_candidate_keys(x, max_cell_population=cap,
+                                 lsh_tables=4, lsh_planes=6, seed=42)
+    sizes = (keyed.groupBy("cell", "table", "bucket")
+             .agg(F.count(F.lit(True)).alias("n")).collect())
+    hot = [r for r in sizes if r.cell == 0]
+    cold = [r for r in sizes if r.cell == 1]
+    # the skewed cell fanned out to LSH buckets (not the sentinel)...
+    assert all(r.table >= 0 for r in hot)
+    # ...and no single join key holds the whole hot cell
+    assert max(r.n for r in hot) < 2000
+    # the small cell kept paper-exact all-pairs (sentinel bucket)
+    assert [(r.table, r.bucket) for r in cold] == [(-1, 0)]
+    assert cold[0].n == 100
+
+
+def test_semantic_dedup_cells_autoscales_k(spark):
+    """n_cells is a floor: effective k grows with the corpus so the
+    expected cell population stays ~target_cell_size."""
+    import math
+    from octosql_spark.datapipe import semantic_dedup
+    rows = [(i, [math.cos(i * 0.01), math.sin(i * 0.01)])
+            for i in range(400)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(e, threshold=0.9999, method="cells", n_cells=2,
+                         target_cell_size=50)
+    # with k auto-scaled to ~8 cells of ~50, the run completes and
+    # every id appears exactly once
+    got = out.collect()
+    assert len(got) == 400
+    assert len({r.vec_id for r in got}) == 400

@@ -44,6 +44,21 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def dtype_mismatches(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Columns whose pandas dtype differs between engines.
+
+    The driver's gate hashes *typed* values, so a DuckDB HUGEINT/double
+    where Spark emits int64 is a hash mismatch even when every value is
+    equal. Surfacing these keeps every oracle exact-typed.
+    """
+    out = []
+    for c in sorted(set(spark_pdf.columns) & set(oracle_pdf.columns)):
+        sd, od = str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype)
+        if sd != od:
+            out.append(f"{c}: spark={sd} oracle={od}")
+    return out
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -107,6 +122,9 @@ def main() -> int:
         else:
             passed.append(name)
             print(f"ok    {name} ({len(spdf)} rows)")
+        types = dtype_mismatches(spdf, opdf)
+        if types:
+            print(f"TYPE  {name}: " + "; ".join(types))
 
     print(f"\n{len(passed)} ok, {len(failed)} failed, {len(rows_only)} rows-only")
     return 1 if failed else 0

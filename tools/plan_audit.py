@@ -18,30 +18,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# queries whose SEMANTICS are a cross product — cartesian is the plan
-CARTESIAN_OK = {"join_cross", "ann_cosine_topk", "ann_lsh_topk",
-                # broadcast query block vs compressed code table —
-                # the intended ADC scan
-                "ann_pq_topk",
-                "agg_global", "scalar_subquery",
-                # exact all-pairs verification variant by design (the
-                # scale path is dedup_embedding_cosine_lsh)
-                "dedup_embedding_cosine",
-                # broadcasts the 1-row corpus count N (scalar IDF
-                # denominator) — a 1×M BNLJ is the scalar-broadcast plan
-                "text_tfidf_topk",
-                # same shape: 1-row corpus token total broadcast as the
-                # unigram-LM denominator
-                "text_unigram_logprob",
-                # 1-row corpus stats (N, Σdl, per-term df) broadcast as
-                # the BM25 idf/avgdl inputs
-                "text_bm25"}
+# The intended-cartesian allowlist lives on the workload declarations
+# themselves (Workload.cartesian_ok in octosql_spark/workloads.py) —
+# a query whose semantics are a cross product, or that broadcasts a
+# 1-row scalar (corpus stats / IDF denominator) against the corpus,
+# declares it at the definition site so this audit can't drift.
 
 
-def audit(name: str, df) -> list[str]:
+def audit(name: str, df, cartesian_ok: bool = False) -> list[str]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     flags = []
-    if name not in CARTESIAN_OK and \
+    if not cartesian_ok and \
             ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan):
         flags.append("unintended cartesian/BNLJ")
     if "BatchEvalPython" in plan:
@@ -62,7 +49,7 @@ def main() -> int:
     for name, w in REGISTRY.items():
         try:
             df = w.build(spark, sf_dir)
-            flags = audit(name, df)
+            flags = audit(name, df, cartesian_ok=w.cartesian_ok)
         except Exception as ex:
             print(f"ERROR {name}: {ex}")
             bad += 1

@@ -18,7 +18,8 @@ like TPC-H at every SF). documents text is replicated verbatim, which
 also stress-tests the near-dup pipeline under a 90% exact-duplicate
 corpus - the realistic worst case for LSH bucket load.
 
-Run: python tools/scale_stress.py [sf_dir] [k]
+Run: python tools/scale_stress.py [sf_dir] [k] [extra,names]
+(extra: comma-separated non-headline registry names to also measure)
 Prints one JSON line; SCALE.md records the checked-in results.
 """
 
@@ -104,9 +105,10 @@ def main() -> int:
         split = min(max(biggest // (2 * cpus), 2 << 20), 256 << 20)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
+    extra = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
     out: dict[str, dict] = {}
     for name, w in REGISTRY.items():
-        if not w.headline:
+        if not w.headline and name not in extra:
             continue
         tune(src)
         base = timed(spark, lambda: w.build(spark, src))
