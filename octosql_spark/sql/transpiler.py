@@ -1084,6 +1084,9 @@ def _read_table_ref(spark: SparkSession, desc: str) -> DataFrame | None:
     if desc.startswith("docs."):
         from octosql_spark.sources.docs import docs_table
         return docs_table(spark, desc.split(".", 1)[1])
+    if desc.startswith("plugins."):
+        from octosql_spark.sources.plugins import plugins_table
+        return plugins_table(spark, desc.split(".", 1)[1])
     if "." in desc and not desc.startswith("stdin."):
         # configured database? `mydb.tablename` resolves through the
         # octosql.yml-style config (the reference's plugin databases,
@@ -1148,7 +1151,7 @@ def _rewrite_file_tables(spark: SparkSession, toks: list[Tok],
                     # accepts either order for the stdin pseudo-file)
                     target = (si, sj, f"stdin.{chain[0]}")
                     break
-                if chain[0] in ("stdin", "docs") and len(chain) >= 2:
+                if chain[0] in ("stdin", "docs", "plugins") and len(chain) >= 2:
                     target = (si, sj, text)
                     break
                 if chain == ["dual"]:

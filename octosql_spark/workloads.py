@@ -2687,6 +2687,39 @@ def docs_function_names_q(spark, sf_dir):
     return docs_table(spark, "functions").select("name").distinct()
 
 
+def _docs_plugins_oracle() -> str:
+    from octosql_spark.sources.plugins import _BUILTIN, CORE_REPO
+    vals = [f"('repositories', '{CORE_REPO}', '{CORE_REPO}')"]
+    for n in sorted(_BUILTIN):
+        vals.append(f"('available_plugins', '{n}', '{CORE_REPO}')")
+        vals.append(f"('available_versions', '{n}', '{CORE_REPO}')")
+    return ("SELECT * FROM (VALUES " + ", ".join(vals) +
+            ") AS t(table_name, name, repo_slug)")
+
+
+@workload("docs_plugins_tables", _docs_plugins_oracle())
+def docs_plugins_tables_q(spark, sf_dir):
+    """plugins.* introspection catalog (reference
+    datasources/plugins/database.go:31-184): the five plugin tables
+    re-derived from the JDBC connector world that replaces gRPC
+    plugins in this port. The gate pins one (table_name, name,
+    repo_slug) row per catalog entry across repositories /
+    available_plugins / available_versions (installed_* are
+    config-dependent, so empty here — their schemas are pytest-pinned)."""
+    from octosql_spark.sources.plugins import plugins_table
+    repos = plugins_table(spark, "repositories").select(
+        F.lit("repositories").alias("table_name"),
+        F.col("slug").alias("name"), F.col("slug").alias("repo_slug"))
+    avail = plugins_table(spark, "available_plugins").select(
+        F.lit("available_plugins").alias("table_name"), "name", "repo_slug")
+    vers = plugins_table(spark, "available_versions").select(
+        F.lit("available_versions").alias("table_name"),
+        F.col("plugin_name").alias("name"), "repo_slug")
+    inst = plugins_table(spark, "installed_plugins").select(
+        F.lit("installed_plugins").alias("table_name"), "name", "repo_slug")
+    return repos.unionAll(avail).unionAll(vers).unionAll(inst)
+
+
 @workload("ann_cosine_topk_gemm", """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

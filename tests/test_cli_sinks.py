@@ -52,6 +52,50 @@ def test_docs_tables(spark):
     assert {"count", "sum_distinct", "array_agg"} <= {r.name for r in aggs.collect()}
 
 
+def test_plugins_tables(spark, tmp_path, monkeypatch):
+    """plugins.* catalog (reference datasources/plugins/database.go:
+    31-184): five tables, reference column names/order, installed_*
+    driven by the octosql.yml config."""
+    from octosql_spark.sources.plugins import plugins_table
+    schemas = {
+        "repositories": ["slug", "name", "description"],
+        "available_plugins": ["name", "description", "file_extensions",
+                              "website", "contact_email", "license",
+                              "readme_url", "repo_slug"],
+        "available_versions": ["version", "prerelease", "plugin_name",
+                               "repo_slug"],
+        "installed_plugins": ["name", "repo_slug"],
+        "installed_versions": ["version", "prerelease", "plugin_name",
+                               "repo_slug"],
+    }
+    for t, cols in schemas.items():
+        assert plugins_table(spark, t).columns == cols
+    # SQL front door, like docs.*
+    repos = run_query(spark, "SELECT slug FROM plugins.repositories").df
+    assert [r.slug for r in repos.collect()] == ["core"]
+    avail = run_query(
+        spark, "SELECT name FROM plugins.available_plugins "
+               "WHERE name LIKE 'p%'").df
+    assert [r.name for r in avail.collect()] == ["postgres"]
+    # no config → nothing installed
+    monkeypatch.chdir(tmp_path)
+    assert plugins_table(spark, "installed_plugins").count() == 0
+    # configured databases surface as installed plugins
+    (tmp_path / "octosql.yml").write_text(
+        "databases:\n"
+        "  - name: mydb\n"
+        "    type: postgres\n"
+        "    config:\n"
+        "      host: localhost\n"
+        "      database: d\n")
+    inst = {(r.name, r.repo_slug)
+            for r in plugins_table(spark, "installed_plugins").collect()}
+    assert inst == {("postgres", "core")}
+    vers = plugins_table(spark, "installed_versions").collect()
+    assert [(r.plugin_name, r.prerelease) for r in vers] == \
+        [("postgres", False)]
+
+
 def test_cli_end_to_end(tmp_path):
     p = tmp_path / "people.csv"
     p.write_text("name,age\nalice,30\nbob,25\n")
