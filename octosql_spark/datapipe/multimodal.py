@@ -55,26 +55,105 @@ def _fake_decode(data: bytes) -> dict:
 DECODED_SCHEMA = ("width int, height int, n_frames int, duration_s double")
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _parse_image_header(data: bytes) -> dict | None:
+    """Pure-Python image header parse (no dependencies): PNG IHDR,
+    JPEG SOF, GIF logical screen descriptor, BMP info header. Returns
+    the DECODED_SCHEMA dict for recognized still images, None for
+    anything else (caller falls back)."""
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n":
+        return {"width": int.from_bytes(data[16:20], "big"),
+                "height": int.from_bytes(data[20:24], "big"),
+                "n_frames": 1, "duration_s": 0.0}
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        return {"width": int.from_bytes(data[6:8], "little"),
+                "height": int.from_bytes(data[8:10], "little"),
+                "n_frames": 1, "duration_s": 0.0}
+    if len(data) >= 26 and data[:2] == b"BM":
+        return {"width": int.from_bytes(data[18:22], "little", signed=True),
+                "height": abs(int.from_bytes(data[22:26], "little",
+                                             signed=True)),
+                "n_frames": 1, "duration_s": 0.0}
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return {"width": int.from_bytes(data[i + 7:i + 9], "big"),
+                        "height": int.from_bytes(data[i + 5:i + 7], "big"),
+                        "n_frames": 1, "duration_s": 0.0}
+            i += 2 + seg_len
+    return None
+
+
+def _pil_decode(data: bytes) -> dict | None:
+    import io
+    import PIL.Image
+    try:
+        with PIL.Image.open(io.BytesIO(data)) as img:
+            return {"width": int(img.width), "height": int(img.height),
+                    "n_frames": int(getattr(img, "n_frames", 1)),
+                    "duration_s": 0.0}
+    except Exception:
+        return None
+
+
 def decode_media(df: DataFrame, binary_col: str = "media",
-                 backend: str = "stub") -> DataFrame:
+                 backend: str = "auto") -> DataFrame:
     """Decode media headers to typed columns via mapInPandas.
 
-    ``backend="real"`` is the marked extension point (PIL for images,
-    ffprobe for av) — NotImplementedError here, by design."""
-    if backend == "real":
+    Backends:
+    - ``"auto"`` (default) — PIL when importable (probed on the
+      executor, per batch-iterator), else the dependency-free header
+      parser (PNG/JPEG/GIF/BMP); unrecognized blobs fall back to the
+      deterministic stub so the pipeline never throws mid-corpus.
+    - ``"headers"`` — force the pure-Python parser (+stub fallback).
+    - ``"stub"`` — deterministic fake only (fixture-friendly).
+    - ``"real"`` — require PIL; raises ImportError where absent, and
+      remains the marked extension point for av codecs (ffprobe)."""
+    if backend not in ("auto", "headers", "stub", "real"):
+        raise ValueError(backend)
+    if backend == "real" and not _pil_available():
         raise NotImplementedError(
-            "real decoders (PIL/ffmpeg) are not available in this "
-            "container; plug them in here on a real cluster")
+            "backend='real' requires PIL (and ffprobe for av) — not "
+            "available in this container; use backend='auto' for the "
+            "dependency-free header parser")
     passthrough = [c for c in df.columns if c != binary_col]
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in df.schema.fields if f.name != binary_col)
     out_schema = out_schema + ", " + DECODED_SCHEMA
 
+    def decode_one(data: bytes, use_pil: bool) -> dict:
+        if backend != "stub":
+            got = (_pil_decode(data) if use_pil
+                   else _parse_image_header(data))
+            if got is None and use_pil:
+                got = _parse_image_header(data)
+            if got is not None:
+                return got
+            if backend == "real":
+                raise ValueError("undecodable media row")
+        return _fake_decode(data)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = backend in ("auto", "real") and _pil_available()
         for pdf in batches:
             decoded = pd.DataFrame(
-                [_fake_decode(b if b is not None else b"")
+                [decode_one(b if b is not None else b"", use_pil)
                  for b in pdf[binary_col]])
             yield pd.concat(
                 [pdf[passthrough].reset_index(drop=True), decoded], axis=1)

@@ -1924,6 +1924,46 @@ def multimodal_metadata_q(spark, sf_dir):
                     F.col("media_meta.content_hash").alias("content_hash"))
 
 
+@workload("multimodal_decode_headers", """
+SELECT * FROM (VALUES (1, 320, 200, 'image'), (2, 640, 480, 'image'),
+                      (3, 13, 37, 'image'), (4, 800, 600, 'image'))
+AS t(media_id, width, height, kind)
+""")
+def multimodal_decode_headers_q(spark, sf_dir):
+    """Real header decoding at the gate: four byte-valid planted images
+    (PNG via zlib/struct, JPEG SOF0, GIF, BMP) run through
+    decode_media(backend='auto') — PIL when present, else the
+    dependency-free parser — distributed via mapInPandas; the oracle
+    pins the TRUE dimensions. A regression to the stub decoder (which
+    derives pseudo-dims from leading bytes) hash-mismatches here."""
+    import struct
+    import zlib
+    from octosql_spark.datapipe import decode_media
+
+    def png(w, h):
+        def chunk(typ, payload):
+            c = typ + payload
+            return (struct.pack(">I", len(payload)) + c +
+                    struct.pack(">I", zlib.crc32(c)))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + b"\x00" * (3 * w) for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+                chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    def jpeg(w, h):
+        sof = struct.pack(">BBHBHHB", 0xFF, 0xC0, 17, 8, h, w, 3)
+        return (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) +
+                b"JFIF\x00" + b"\x00" * 9 + sof + b"\xff\xd9")
+
+    rows = [(1, png(320, 200)), (2, jpeg(640, 480)),
+            (3, b"GIF89a" + struct.pack("<HH", 13, 37) + b"\x00" * 20),
+            (4, b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, 600)
+             + b"\x00" * 20)]
+    df = spark.createDataFrame(rows, "media_id int, media binary")
+    return (decode_media(df, "media", backend="auto")
+            .select("media_id", "width", "height", F.lit("image").alias("kind")))
+
+
 # ================================================== SQL-surface workloads
 # Entries routed through the dialect front-end (octosql_spark.sql) and
 # Spark SQL — proving the reference's SQL surface on the gate, not just

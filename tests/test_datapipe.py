@@ -143,6 +143,62 @@ def test_multimodal_plumbing(spark):
         dp.decode_media(meta, "media", backend="real")
 
 
+def test_decode_media_auto_parses_real_headers(spark):
+    """backend='auto' (PIL probed, absent here → dependency-free
+    header parser) must read TRUE dimensions from planted real image
+    bytes — PNG built byte-for-byte valid via zlib/struct, a JPEG with
+    an SOF0 frame, a GIF screen descriptor, a BMP info header — and
+    fall back to the deterministic stub for unrecognized blobs."""
+    import struct
+    import zlib
+
+    def png(w, h):
+        def chunk(typ, payload):
+            c = typ + payload
+            return (struct.pack(">I", len(payload)) + c +
+                    struct.pack(">I", zlib.crc32(c)))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + b"\x00" * (3 * w) for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+                chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    def jpeg(w, h):
+        sof = struct.pack(">BBHBHHB", 0xFF, 0xC0, 8 + 3 * 3, 8, h, w, 3)
+        return (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) +
+                b"JFIF\x00" + b"\x00" * 9 + sof + b"\xff\xd9")
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 20
+
+    def bmp(w, h):
+        return (b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) +
+                b"\x00" * 20)
+
+    rows = [Row(media_id=1, media=png(320, 200)),
+            Row(media_id=2, media=jpeg(640, 480)),
+            Row(media_id=3, media=gif(13, 37)),
+            Row(media_id=4, media=bmp(800, 600)),
+            Row(media_id=5, media=b"not an image at all")]
+    df = spark.createDataFrame(rows)
+    got = {r.media_id: r
+           for r in dp.decode_media(df, "media", backend="auto").collect()}
+    assert (got[1].width, got[1].height) == (320, 200)
+    assert (got[2].width, got[2].height) == (640, 480)
+    assert (got[3].width, got[3].height) == (13, 37)
+    assert (got[4].width, got[4].height) == (800, 600)
+    assert got[1].n_frames == 1 and got[1].duration_s == 0.0
+    # unrecognized → stub fallback, deterministic
+    stub = {r.media_id: r
+            for r in dp.decode_media(df, "media", backend="stub").collect()}
+    assert (got[5].width, got[5].height) == (stub[5].width, stub[5].height)
+    # forced header backend agrees with auto when PIL is absent
+    hdr = {r.media_id: r
+           for r in dp.decode_media(df, "media",
+                                    backend="headers").collect()}
+    assert all((hdr[i].width, hdr[i].height) ==
+               (got[i].width, got[i].height) for i in got)
+
+
 def test_cosine_topk_pandas_matches_expr(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
