@@ -21,6 +21,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["table", "batch_table", "live_table", "csv",
                              "json", "stream_native"])
     ap.add_argument("--describe", action="store_true")
+    ap.add_argument("--strict-assert", action="store_true",
+                    help="reference-exact :: semantics: runtime type "
+                         "assertion, no string conversion (DEVIATIONS 1)")
     ap.add_argument("--explain", type=int, default=0)
     ap.add_argument("--sf-dir", default=None,
                     help="register the testdata tables from this dir")
@@ -44,7 +47,8 @@ def main(argv: list[str] | None = None) -> int:
         register_views(spark, args.sf_dir)
 
     try:
-        res = run_query(spark, args.query)
+        res = run_query(spark, args.query,
+                        strict_assert=args.strict_assert)
         df = res.df
     except Exception as ex:
         # concise one-line errors like the reference's CLI (golden
@@ -178,7 +182,8 @@ def _run_poll(args, spark, first) -> int:
         if time.time() + interval > deadline:
             return 0
         time.sleep(interval)
-        res = run_query(spark, args.query)
+        res = run_query(spark, args.query,
+                        strict_assert=args.strict_assert)
 
 
 def _run_streaming(args, res, df) -> int:

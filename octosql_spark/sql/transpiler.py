@@ -177,7 +177,38 @@ def _rewrite_arrow(toks: list[Tok]) -> list[Tok]:
             for t in toks]
 
 
-def _rewrite_type_assert(toks: list[Tok]) -> list[Tok]:
+# runtime typeof() names that satisfy each assertion target — the
+# numeric widths collapse because the reference's Int is one type
+_STRICT_TYPEOF = {
+    "BIGINT": ("tinyint", "smallint", "int", "bigint"),
+    "DOUBLE": ("float", "double"),
+    "STRING": ("string",),
+    "BOOLEAN": ("boolean",),
+    "TIMESTAMP": ("timestamp", "timestamp_ntz"),
+}
+
+
+def _collect_variant_cols(spark: SparkSession, toks: list[Tok]) -> set[str]:
+    """Lowercased column names with Spark 4 VARIANT type across the
+    referenced tables/views (union carriers from JSON sources) — the
+    only expressions strict `::` needs the schema_of_variant guard
+    for (the guard is analysis-time illegal on non-variant input)."""
+    sig = _sig(toks)
+    out: set[str] = set()
+    for si in _table_positions(toks):
+        t = toks[sig[si]]
+        if t.kind not in ("IDENT", "QIDENT"):
+            continue
+        try:
+            dtypes = spark.table(t.text.strip('"`')).dtypes
+        except Exception:
+            continue
+        out |= {c.lower() for c, d in dtypes if d == "variant"}
+    return out
+
+
+def _rewrite_type_assert(toks: list[Tok], strict: bool = False,
+                         variant_cols: set[str] | None = None) -> list[Tok]:
     """``expr::Type`` → ``TRY_CAST(expr AS T)``. The reference's
     ``::`` is a runtime TypeAssertion (execution/expressions.go:91-102):
     keep the value if it already has the type, else NULL — never error.
@@ -186,7 +217,14 @@ def _rewrite_type_assert(toks: list[Tok]) -> list[Tok]:
     Residual deviation (documented): for a string carrier, TRY_CAST
     *converts* parsable values ('42'::Int → 42) where the reference's
     assertion yields NULL; union carriers read from JSON rely on the
-    convert behavior (types.py try_cast accessor policy)."""
+    convert behavior (types.py try_cast accessor policy).
+
+    ``strict=True`` closes that deviation (DEVIATIONS 1): the
+    assertion only passes values whose RUNTIME type already matches —
+    ``CASE WHEN typeof(e) IN (...) THEN CAST(e AS T)`` for plain
+    carriers, plus a ``schema_of_variant`` guard for Spark 4 VARIANT
+    union carriers — so ``'42'::Int`` is NULL, exactly the reference's
+    no-conversion TypeCast (execution/expressions.go:79-102)."""
     while True:
         sig = _sig(toks)
         hit = None
@@ -201,9 +239,27 @@ def _rewrite_type_assert(toks: list[Tok]) -> list[Tok]:
         tname = toks[type_i].text.lower()
         sqlt = _TYPE_MAP.get(tname, toks[type_i].text.upper())
         start = _primary_start(toks, sig[si - 1])
+        expr = toks[start:i]
+        if strict and sqlt in _STRICT_TYPEOF:
+            e = "".join(t.text for t in expr)
+            base = e.rsplit(".", 1)[-1].strip().strip('`"').lower()
+            if variant_cols and base in variant_cols:
+                # VARIANT union carrier: runtime type lives in the
+                # variant itself
+                guarded = (
+                    f"CASE WHEN schema_of_variant({e}) = '{sqlt}' "
+                    f"THEN try_variant_get({e}, '$', '{sqlt}') END")
+            else:
+                names = ", ".join(f"'{n}'" for n in _STRICT_TYPEOF[sqlt])
+                guarded = (
+                    f"CASE WHEN typeof({e}) IN ({names}) "
+                    f"THEN CAST({e} AS {sqlt}) END")
+            toks = (toks[:start] + [Tok("PUNCT", "(")] + tokenize(guarded)
+                    + [Tok("PUNCT", ")")] + toks[type_i + 1:])
+            continue
         toks = (toks[:start]
                 + [Tok("IDENT", "TRY_CAST"), Tok("PUNCT", "(")]
-                + toks[start:i]
+                + expr
                 + [Tok("WS", " "), Tok("IDENT", "AS"), Tok("WS", " "),
                    Tok("IDENT", sqlt), Tok("PUNCT", ")")]
                 + toks[type_i + 1:])
@@ -1300,7 +1356,8 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
 
 # -------------------------------------------------------------- driver
 
-def transpile(spark: SparkSession, sql: str) -> Transpiled:
+def transpile(spark: SparkSession, sql: str,
+              strict_assert: bool = False) -> Transpiled:
     out = Transpiled(sql="")
     toks = tokenize(sql)
     toks, out.triggers = _strip_trigger(toks)
@@ -1312,7 +1369,10 @@ def transpile(spark: SparkSession, sql: str) -> Transpiled:
     toks = _expand_star(spark, toks)
     toks = _alias_select_items(toks)
     types = _collect_column_types(spark, toks)
-    toks = _rewrite_type_assert(toks)
+    variant_cols = (_collect_variant_cols(spark, toks)
+                    if strict_assert else set())
+    toks = _rewrite_type_assert(toks, strict=strict_assert,
+                                variant_cols=variant_cols)
     toks = _rewrite_regex_ops(toks)
     toks = _rewrite_subscript(toks)
     toks = _rewrite_arith_overloads(toks, types)
@@ -1341,8 +1401,12 @@ class QueryResult:
     ordered: bool = False
 
 
-def run_query(spark: SparkSession, sql: str) -> QueryResult:
-    """Full front-end: OctoSQL dialect in, DataFrame out."""
-    t = transpile(spark, sql)
+def run_query(spark: SparkSession, sql: str,
+              strict_assert: bool = False) -> QueryResult:
+    """Full front-end: OctoSQL dialect in, DataFrame out.
+
+    ``strict_assert`` switches ``x::T`` from TRY_CAST conversion to
+    the reference's no-conversion runtime type assertion."""
+    t = transpile(spark, sql, strict_assert=strict_assert)
     return QueryResult(spark.sql(t.sql), t.triggers, t.sql, t.polls,
                        t.views, t.event_time, t.ordered)

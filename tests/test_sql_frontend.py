@@ -38,6 +38,49 @@ def test_type_assertion(spark, views):
     assert r.x == 43 and r.s == "3.5"
 
 
+def test_type_assertion_strict(spark, views):
+    """DEVIATIONS 1 closed under strict_assert: `::` is the
+    reference's runtime type assertion (execution/expressions.go:
+    48-102) — value passes only when it ALREADY has the type; a
+    parsable string does NOT convert."""
+    def sq(sql):
+        return run_query(spark, sql, strict_assert=True).df.collect()[0]
+
+    r = sq("SELECT '42'::Int AS a, 42::Int AS b, 42::String AS c, "
+           "3.5::Float AS d, 42::Float AS e, 'x'::Boolean AS f")
+    assert r.a is None          # string carrier does not convert
+    assert r.b == 42            # already Int → passes
+    assert r.c is None          # Int is not String
+    assert r.d == 3.5
+    assert r.e is None          # Int is not Float (distinct TypeIDs)
+    assert r.f is None
+    # the README coalesce idiom still works in strict mode via the
+    # explicit conversion function
+    r2 = sq("SELECT COALESCE('42'::Int, int('42'), 0) AS x")
+    assert r2.x == 42
+    # default (non-strict) keeps the documented TRY_CAST conversion
+    assert q(spark, "SELECT '42'::Int AS x").collect()[0].x == 42
+
+
+def test_type_assertion_strict_variant_carrier(spark, tmp_path):
+    """Strict `::` on a JSON union column (VARIANT carrier): passes
+    only values whose runtime type matches, without converting —
+    the reference's union-type assertion (README.md:271 idiom under
+    execution/expressions.go semantics)."""
+    p = tmp_path / "u.json"
+    p.write_text('{"v": 7}\n{"v": "7"}\n{"v": "x"}\n{"v": 2.5}\n')
+    df = run_query(spark, f"SELECT v::Int AS i, v::String AS s "
+                          f"FROM `{p}`", strict_assert=True).df
+    rows = df.collect()
+    if "variant" not in dict(run_query(
+            spark, f"SELECT * FROM `{p}`").df.dtypes).get("v", ""):
+        pytest.skip("json union column not carried as variant here")
+    ints = sorted((r.i for r in rows if r.i is not None))
+    strs = sorted((r.s for r in rows if r.s is not None))
+    assert ints == [7]            # only the true Int row
+    assert strs == ["7", "x"]     # only the true String rows
+
+
 def test_regex_operators(spark, views):
     df = q(spark, "SELECT r_name FROM region WHERE r_name ~ 'A$'")
     assert {r.r_name for r in df.collect()} == {"AFRICA", "AMERICA", "ASIA"}
