@@ -406,15 +406,18 @@ def assign_splits(docs: DataFrame, test_frac: float = 0.05,
     the CONTENT fingerprint (md5 prefix), not the document id, so
     exact duplicates always land in the same split — the hygiene rule
     that stops a train/test leak through copies of the same page.
-    Pass ``key_col`` (e.g. a dedup-cluster representative id rendered
-    as a string) to extend the guarantee to near-duplicate clusters.
+    Pass ``key_col`` (any expression — a dedup-cluster representative
+    id, a URL domain) to extend the guarantee to near-duplicate
+    clusters; it is md5-hashed internally, so short / low-entropy /
+    non-hex keys are safe and uniformly distributed.
 
     Deterministic and engine-reproducible: the first 8 md5 hex chars
     parse to a 32-bit integer, ``u = h / 2^32`` is an exact double in
     [0, 1), and split boundaries compare against the same literals
     everywhere. Map-only — a projection on the scan, zero shuffles.
     """
-    key = key_col if key_col is not None else F.md5(F.col(text_col))
+    raw = key_col if key_col is not None else F.col(text_col)
+    key = F.md5(raw.cast("string"))
     u = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
          / F.lit(4294967296.0))
     split = (F.when(u < test_frac, F.lit("test"))

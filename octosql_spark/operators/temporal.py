@@ -59,17 +59,26 @@ def asof_join(left: DataFrame, right: DataFrame,
     # right rows (side 0) sort before left rows at equal ts → inclusive
     w = (Window.partitionBy(*keys).orderBy("_ats", "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # each value column carries ITS OWN source timestamp: last(v,
+    # ignorenulls) skips NULL-valued right rows, so the tolerance
+    # check must compare against the timestamp of the row the value
+    # actually came from, not the latest right row seen (a newer
+    # NULL-valued snapshot must not launder a stale value past the
+    # tolerance window)
     filled = u.select(
         *lcols, "_ats", "_side",
         *[F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols],
-        F.last(F.when(F.col("_side") == 0, F.col("_ats")),
-               ignorenulls=True).over(w).alias("_rts"))
+        *[F.last(F.when((F.col("_side") == 0) & F.col(v).isNotNull(),
+                        F.col("_ats")),
+                 ignorenulls=True).over(w).alias(f"_rts_{v}")
+          for v in value_cols])
     out = filled.filter(F.col("_side") == 1)
     if tolerance is not None:
-        keep = F.col("_rts") >= F.col("_ats") - F.expr(f"INTERVAL {tolerance}")
+        tol = F.expr(f"INTERVAL {tolerance}")
         out = out.select(
             *lcols,
-            *[F.when(keep, F.col(v)).otherwise(F.lit(None)).alias(v)
+            *[F.when(F.col(f"_rts_{v}") >= F.col("_ats") - tol,
+                     F.col(v)).otherwise(F.lit(None)).alias(v)
               for v in value_cols])
     else:
         out = out.select(*lcols, *value_cols)

@@ -1639,10 +1639,11 @@ def curate_split_cluster_safe_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     pairs = minhash_lsh_pairs(d, "doc_id", "text")
     clusters = dedup_clusters(d, pairs, id_col="doc_id")
-    joined = d.join(clusters, "doc_id").withColumn(
-        "_key", F.md5(F.col("cluster_id").cast("string")))
+    joined = d.join(clusters, "doc_id")
+    # assign_splits md5-hashes the key internally, so the raw integer
+    # representative id is a safe, uniform key
     out = assign_splits(joined, test_frac=0.05, valid_frac=0.05,
-                        key_col=F.col("_key"))
+                        key_col=F.col("cluster_id"))
     return out.select("doc_id", "source", "split")
 
 

@@ -744,14 +744,18 @@ def test_cluster_safe_split_colocates_near_dups(spark):
     df = spark.read.schema("doc_id long, text string").json(path)
     pairs = dp.minhash_lsh_pairs(df)
     clusters = dp.dedup_clusters(df, pairs, id_col="doc_id")
-    joined = df.join(clusters, "doc_id").withColumn(
-        "_key", F.md5(F.col("cluster_id").cast("string")))
+    joined = df.join(clusters, "doc_id")
+    # raw integer key: assign_splits hashes internally, so short /
+    # non-hex keys distribute uniformly (pre-fix, key '7' parsed as a
+    # tiny hex prefix and collapsed everything into 'test')
     out = {r.doc_id: r.split for r in
            dp.assign_splits(joined, 0.3, 0.3,
-                            key_col=F.col("_key")).collect()}
+                            key_col=F.col("cluster_id")).collect()}
     # planted near-dup pairs (i, 100+i) must land in the same split
     for i in list(range(1, 9)) + list(range(51, 55)):
         assert out[i] == out[100 + i], f"pair ({i},{100+i}) split apart"
+    # small-int keys must not all collapse into one split
+    assert len(set(out.values())) > 1
 
 
 def test_ivfpq_topk_recall_and_full_probe(spark):

@@ -150,6 +150,31 @@ def test_asof_join_semantics(spark):
     assert tol[1] == 101.0
 
 
+def test_asof_join_tolerance_tracks_value_timestamp(spark):
+    """A newer NULL-valued right snapshot must not launder a stale
+    value past the tolerance: the tolerance compares against the
+    timestamp of the row each value actually came from."""
+    from datetime import datetime
+    from pyspark.sql import Row
+    from octosql_spark.operators.temporal import asof_join
+    T = datetime
+    trades = spark.createDataFrame([
+        Row(trade_id=1, sym="A", ts=T(2024, 1, 1, 12, 0, 0))])
+    quotes = spark.createDataFrame(
+        [("A", T(2024, 1, 1, 8, 0, 0), 100.0),     # stale value
+         ("A", T(2024, 1, 1, 11, 59, 0), None)],   # fresh, but NULL px
+        "sym string, ts timestamp, px double")
+    out = asof_join(trades, quotes, on="sym", value_cols=["px"],
+                    tolerance="1 hour").collect()
+    # pre-fix: _rts took the 11:59 row (inside tolerance) while px
+    # carried the 8:00 value — stale 100.0 leaked through
+    assert out[0].px is None
+    # without tolerance the carried-forward value is still the stale
+    # one (last non-null), unchanged semantics
+    out2 = asof_join(trades, quotes, on="sym", value_cols=["px"]).collect()
+    assert out2[0].px == 100.0
+
+
 def test_range_join_bin_boundaries(spark):
     from datetime import datetime
     from pyspark.sql import Row
