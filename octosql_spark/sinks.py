@@ -379,11 +379,15 @@ def stream_batch_writer(output: str, out: IO[str] | None = None):
       retractions — the refined row replaces the prior one for its
       key; documented deviation from the reference's ``-`` markers.
     - ``live_table``/``table``: repaint the current result per batch
-      (live_output.go:165-204's ≤4 Hz repaint, one frame per
-      micro-batch), rows sorted for a stable frame.
+      (live_output.go:165-204's ≤4 Hz repaint). On a real terminal the
+      frame clears the screen and repaints in place, capped at 4
+      frames/sec exactly like the reference's repaint timer; piped
+      output gets one ``-- batch N --`` banner per frame instead
+      (stable for logs/tests). Rows sorted for a stable frame.
     - ``csv``/``json``: eager append per batch (outputs/eager).
     """
     header_written = {"done": False}
+    paint = {"last": 0.0}
 
     def _write(batch_df: DataFrame, batch_id: int, out=out) -> None:
         if out is None:
@@ -391,7 +395,15 @@ def stream_batch_writer(output: str, out: IO[str] | None = None):
         if output == "stream_native":
             write_stream_native(batch_df, out)
         elif output in ("table", "batch_table", "live_table"):
-            out.write(f"-- batch {batch_id} --\n")
+            if getattr(out, "isatty", lambda: False)():
+                import time as _time
+                wait = 0.25 - (_time.monotonic() - paint["last"])
+                if wait > 0:   # ≤4 Hz (live_output.go:165-176)
+                    _time.sleep(wait)
+                paint["last"] = _time.monotonic()
+                out.write("\x1b[2J\x1b[H")  # clear + home: in-place
+            else:
+                out.write(f"-- batch {batch_id} --\n")
             write_table(batch_df.sort(batch_df.columns), out)
         elif output == "csv":
             import csv as _csv

@@ -23,13 +23,77 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _stage_growing_file(path: str, poll_s: float = 0.5,
+                        line_prefix: bytes = b"") -> str:
+    """Single-growing-file follow (execution/files/files.go:26-68):
+    a driver-side re-stat loop stages the file's current content and
+    every subsequently APPENDED byte range as new files in a temp
+    directory, which the Structured Streaming file source watches —
+    the reference's ``tail -f`` semantics expressed through Spark's
+    new-file discovery. Only complete lines are staged (a trailing
+    partial line waits for its newline, like the reference's
+    line-buffered reader). ``line_prefix`` (the CSV header) is
+    prepended to every staged chunk so per-file header parsing stays
+    consistent.
+
+    Driver-side cost is one stat per poll and one sequential read per
+    growth burst — no executor involvement until data actually
+    arrives; at scale a log-tailing workload would use a real message
+    bus, this exists for CLI parity."""
+    import threading
+    import time
+
+    d = tempfile.mkdtemp(prefix="octosql_tail_")
+    state = {"off": 0, "n": 0}
+
+    def stage() -> None:
+        with open(path, "rb") as f:
+            f.seek(state["off"])
+            chunk = f.read()
+        cut = chunk.rfind(b"\n") + 1
+        if cut:
+            name = os.path.join(d, f"part-{state['n']:08d}")
+            tmp = name + ".tmp"
+            with open(tmp, "wb") as out:
+                if state["n"] > 0 and line_prefix:
+                    out.write(line_prefix)
+                out.write(chunk[:cut])
+            os.rename(tmp, name)  # atomic: the stream never sees partials
+            state["off"] += cut
+            state["n"] += 1
+
+    stage()  # current contents = batch 0
+
+    def loop() -> None:
+        while True:
+            time.sleep(poll_s)
+            try:
+                if os.path.getsize(path) > state["off"]:
+                    stage()
+            except OSError:
+                pass  # file rotated/removed; keep watching
+
+    threading.Thread(target=loop, daemon=True,
+                     name=f"octosql-tail-{os.path.basename(path)}").start()
+    return d
+
+
 def _stream_reader(spark: SparkSession, path: str, fmt: str, schema,
                    **options) -> DataFrame:
     """``?tail=true`` → Structured Streaming file source
-    (execution/files/files.go:26-68 follows a growing file; the Spark
-    idiom is new-file discovery over a path/glob — appends land as new
-    files in the watched directory). Schema comes from a static read
-    of the current contents (streams need one up front)."""
+    (execution/files/files.go:26-68 follows a growing file). A
+    directory/glob works by Spark's native new-file discovery; a
+    SINGLE FILE is followed byte-wise via ``_stage_growing_file`` so
+    in-place appends (`tail -f` style growth) surface as new rows.
+    Schema comes from a static read of the current contents (streams
+    need one up front)."""
+    if "://" not in path and os.path.isfile(path):
+        prefix = b""
+        if fmt == "csv" and str(options.get("header", "")).lower() == "true":
+            with open(path, "rb") as f:
+                first = f.readline()
+            prefix = first if first.endswith(b"\n") else first + b"\n"
+        path = _stage_growing_file(path, line_prefix=prefix)
     reader = spark.readStream.format(fmt).schema(schema)
     for k, v in options.items():
         reader = reader.option(k, str(v))
@@ -113,6 +177,8 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
         # assigned over an unbounded stream — tail'ed lines carry NULL
         # numbers (documented deviation; the reference is single-file,
         # single-machine and can count).
+        if "://" not in path and os.path.isfile(path):
+            path = _stage_growing_file(path)
         return (spark.readStream.text(path)
                 .select(F.lit(None).cast("long").alias("number"),
                         F.col("value").alias("text")))

@@ -75,6 +75,52 @@ def test_cli_tail_follows_new_files(spark, tmp_path, capsys):
     assert "{+0001-01-01T00:00:00Z| 2 |}" in out
 
 
+def test_cli_tail_follows_single_file_appends(spark, tmp_path, capsys):
+    """DEVIATIONS 7 closed: a SINGLE file growing in place (`tail -f`
+    shape, execution/files/files.go:26-68) — appended bytes are staged
+    as new files by the driver-side re-stat loop and surface as rows."""
+    p = tmp_path / "grow.json"
+    p.write_text('{"n": 1}\n')
+
+    def append():
+        time.sleep(6)  # after batch 0
+        with open(p, "a") as f:
+            f.write('{"n": 2}\n{"n": 3}\n')
+
+    a = threading.Thread(target=append)
+    a.start()
+    rc = main([f"SELECT n FROM '{p}?tail=true'",
+               "--output", "stream_native", "--duration", "20"])
+    a.join()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "{+0001-01-01T00:00:00Z| 1 |}" in out
+    assert "{+0001-01-01T00:00:00Z| 2 |}" in out
+    assert "{+0001-01-01T00:00:00Z| 3 |}" in out
+
+
+def test_cli_tail_single_csv_header_preserved(spark, tmp_path, capsys):
+    """Appended CSV chunks are staged with the header re-prepended so
+    every staged file parses identically."""
+    p = tmp_path / "grow.csv"
+    p.write_text("name,age\nalice,3\n")
+
+    def append():
+        time.sleep(6)
+        with open(p, "a") as f:
+            f.write("bob,5\n")
+
+    a = threading.Thread(target=append)
+    a.start()
+    rc = main([f"SELECT name, age FROM '{p}?tail=true'",
+               "--output", "stream_native", "--duration", "20"])
+    a.join()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'alice', 3" in out
+    assert "'bob', 5" in out
+
+
 # ------------------------------------------- union scenario goldens
 
 import os
