@@ -93,8 +93,11 @@ def _sort_key_value(v):
     """Total-order sort key across all value types, mirroring the
     reference's ordering (octosql/values.go:97-155): compare by type
     ID first (Null < Int < Float < Boolean < String < Time < Duration
-    < List < Struct), NULL lowest, strings lowercase-first (swapcase
-    reproduces the reference's case flip)."""
+    < List < Struct), NULL lowest, strings in plain byte order — the
+    lowercase-first reversal at values.go:146-154 is unreachable (the
+    outer `left < right` on the raw strings decides every unequal
+    pair first), so the reference's observable collation is binary,
+    same as Spark's UTF8 ordering."""
     import datetime
     if v is None:
         return (0,)
@@ -105,7 +108,7 @@ def _sort_key_value(v):
     if isinstance(v, float):
         return (2, v)
     if isinstance(v, str):
-        return (4, v.swapcase())
+        return (4, v)
     if isinstance(v, datetime.datetime):
         return (5, v.isoformat())
     if isinstance(v, datetime.timedelta):

@@ -41,6 +41,21 @@ def test_describe(spark):
                     ("l", "[Int]"), ("o", "{f: Int}")}
 
 
+def test_table_value_sort_binary_collation(spark, capsys):
+    """The table sink's value-sort uses plain byte order, matching the
+    reference's Value.Compare (whose lowercase-first branch at
+    values.go:146-154 is unreachable): 'Alice' (A=0x41) sorts before
+    'bob' (b=0x62). A lowercase-first emulation would reverse them."""
+    from octosql_spark.sinks import write_table
+    df = spark.createDataFrame(
+        [("bob",), ("Alice",), ("ZED",), ("ann",)], "name string")
+    write_table(df)
+    out = capsys.readouterr().out
+    order = [ln for ln in out.splitlines() if "'" in ln]
+    names = [ln.strip("| ").strip().strip("'") for ln in order]
+    assert names == ["Alice", "ZED", "ann", "bob"]
+
+
 def test_docs_tables(spark):
     fns = run_query(spark, "SELECT name FROM docs.functions").df
     names = {r.name for r in fns.collect()}
