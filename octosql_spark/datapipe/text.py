@@ -256,6 +256,20 @@ _KNUTH32 = 2654435761  # floor(2^32/phi)
 _M32 = 4294967296
 
 
+def _word_bucket(w: Column, n_buckets: int) -> Column:
+    """Deterministic word → feature-bucket hash, exact in BIGINT and
+    reproducible cross-engine: position-weighted character sum pushed
+    through the Mersenne-31 LCG (shared by hashed_linear_score and
+    dsir_importance; the DuckDB oracles replicate it verbatim)."""
+    chars = F.split(w, "")
+    h = F.aggregate(
+        F.transform(chars, lambda c, i:
+                    F.ascii(c) * (((i + 1) * F.lit(_KNUTH32)) % _M32)),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    return F.pmod(F.pmod(h, F.lit(_HP)) * F.lit(_HA), F.lit(_HP)) \
+        % n_buckets
+
+
 def hashed_linear_score(df: DataFrame, n_buckets: int = 1024,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
@@ -282,13 +296,7 @@ def hashed_linear_score(df: DataFrame, n_buckets: int = 1024,
     words = _lower_words(F.col(text_col))
 
     def bucket(w: Column) -> Column:
-        chars = F.split(w, "")
-        h = F.aggregate(
-            F.transform(chars, lambda c, i:
-                        F.ascii(c) * (((i + 1) * F.lit(_KNUTH32)) % _M32)),
-            F.lit(0).cast("long"), lambda a, x: a + x)
-        return F.pmod(F.pmod(h, F.lit(_HP)) * F.lit(_HA), F.lit(_HP)) \
-            % n_buckets
+        return _word_bucket(w, n_buckets)
 
     def weight_int(bkt: Column) -> Column:
         return F.pmod((bkt + 1) * F.lit(_HA), F.lit(_HP)) - F.lit(_HALF)
@@ -342,3 +350,86 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
     return (df.filter(n > 0)
             .select(F.col(id_col), n.cast("long").alias("n_chars"),
                     F.round(h, 6).alias("char_entropy")))
+
+
+def dsir_importance(docs: DataFrame, target: DataFrame,
+                    n_buckets: int = 1024, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much more likely its tokens are under a TARGET
+    distribution (e.g. curated wiki/books) than under the raw corpus
+    itself —  avg_b [ log p_target(b) - log p_raw(b) ]  over hashed
+    unigram feature buckets with Laplace smoothing. High scores =
+    target-like documents; resampling proportional to the weight is
+    the paper's selection rule (``dsir_select`` below).
+
+    Returns (id, n_words, log_ratio) with log_ratio the
+    length-normalized log importance weight, rounded to 6 (a mean of
+    floats is order-dependent in any distributed engine).
+
+    Scale shape: the two bucket LMs are map-side-combined aggregations
+    that collapse to ``n_buckets`` rows each (fixed, tiny); scoring is
+    one corpus scan joining tokens to the broadcast bucket table and
+    one per-doc mean. No driver materialization, nothing quadratic —
+    exactly the paper's hashed-n-gram recipe, which exists so that
+    100 TB corpora can be scored with a constant-size model.
+    """
+    def toks(df: DataFrame) -> DataFrame:
+        return (df.select(F.col(id_col).alias("_id"),
+                          F.explode(F.split(F.lower(F.col(text_col)),
+                                            r"[^a-z]+")).alias("_w"))
+                .filter(F.col("_w") != "")
+                .select("_id", _word_bucket(F.col("_w"), n_buckets)
+                        .alias("_b")))
+
+    raw_t = toks(docs)
+    raw_lm = raw_t.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tgt_lm = (toks(target).groupBy("_b")
+              .agg(F.count(F.lit(1)).alias("_ct")))
+    # n_buckets rows: totals via an unpartitioned window are a single
+    # task over a fixed-size table, not a data-dependent stage
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    lm = (raw_lm.join(tgt_lm, "_b", "left")
+          .withColumn("_ct", F.coalesce("_ct", F.lit(0)))
+          .withColumn("_tr", F.sum("_cr").over(w))
+          .withColumn("_tt", F.sum("_ct").over(w))
+          .withColumn(
+              "_lr",
+              F.log((F.col("_ct") + 1) / (F.col("_tt") + F.lit(n_buckets)))
+              - F.log((F.col("_cr") + 1)
+                      / (F.col("_tr") + F.lit(n_buckets))))
+          .select("_b", "_lr"))
+    return (raw_t.join(F.broadcast(lm), "_b")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.round(F.avg("_lr"), 6).alias("log_ratio"))
+            .select(F.col("_id").alias(id_col), "n_words", "log_ratio"))
+
+
+def dsir_select(docs: DataFrame, target: DataFrame, frac: float = 0.25,
+                temperature: float = 1.0, n_buckets: int = 1024,
+                id_col: str = "doc_id", text_col: str = "text",
+                seed: int = 42) -> DataFrame:
+    """DSIR selection: keep ~``frac`` of the corpus, sampled
+    proportionally to exp(log_ratio / temperature) — the paper's
+    importance resampling, made deterministic with the Gumbel-top-k
+    trick: key = log w / T + Gumbel(doc-hash uniform), take the top
+    fraction by key. Reproducible across runs/engines (the Gumbel
+    noise derives from md5(id), not an RNG); one corpus scan + the
+    dsir_importance plan + one top-fraction threshold computed from a
+    percentile over the (id, key) table."""
+    scored = dsir_importance(docs, target, n_buckets, id_col, text_col)
+    u = (F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                           F.lit(f"#{seed}"))), 1, 8),
+                16, 10).cast("long") + 1) / F.lit(4294967297.0)
+    key = (F.col("log_ratio") / temperature
+           - F.log(-F.log(u))).alias("_gumbel_key")
+    keyed = scored.select(id_col, "n_words", "log_ratio", key)
+    thresh = keyed.agg(
+        F.expr(f"percentile_approx(_gumbel_key, {1.0 - frac}, 10000)")
+    ).first()[0]
+    return (keyed.filter(F.col("_gumbel_key") >= F.lit(thresh))
+            .select(id_col, "n_words", "log_ratio"))

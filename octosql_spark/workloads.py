@@ -1507,6 +1507,60 @@ def text_bpe_pieces_q(spark, sf_dir):
             .orderBy(F.col("n").desc(), "piece").limit(30))
 
 
+@workload("text_dsir_importance", """
+WITH tok AS (
+  SELECT doc_id,
+         ((((list_sum(list_transform(string_split(w, ''), (c, i) ->
+               ascii(c) * ((i * 2654435761) % 4294967296)))
+             % 2147483647) * 1103515245) % 2147483647) % 1024) AS b
+  FROM (SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z]+'),
+                 x -> x <> '')) AS w
+        FROM documents)
+), raw_lm AS (
+  SELECT b, COUNT(*) AS cr FROM tok GROUP BY b
+), tgt_lm AS (
+  SELECT b, COUNT(*) AS ct FROM tok
+  WHERE doc_id IN (SELECT doc_id FROM documents
+                   WHERE source IN ('src0', 'src1'))
+  GROUP BY b
+), lm AS (
+  SELECT r.b,
+         ln((COALESCE(t.ct, 0) + 1)
+            / (SUM(COALESCE(t.ct, 0)) OVER () + 1024.0))
+         - ln((r.cr + 1) / (SUM(r.cr) OVER () + 1024.0)) AS lr
+  FROM raw_lm r LEFT JOIN tgt_lm t ON r.b = t.b
+)
+SELECT doc_id, COUNT(*) AS n_words, ROUND(AVG(lr), 6) AS log_ratio
+FROM tok JOIN lm USING (b)
+GROUP BY doc_id
+""")
+def text_dsir_importance_q(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    Laplace-smoothed LMs for a target slice (sources src0/src1) vs the
+    raw corpus; per-doc mean log ratio. The bucket hash is the shared
+    cross-engine Mersenne-31 chain, so the oracle replays the whole
+    computation exactly."""
+    from octosql_spark.datapipe import dsir_importance
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    return dsir_importance(d.select("doc_id", "text"),
+                           target.select("doc_id", "text"))
+
+
+@workload("curate_dsir_select", None)
+def curate_dsir_select_q(spark, sf_dir):
+    """DSIR selection: Gumbel-top-k resampling proportional to
+    exp(log_ratio/T). The percentile threshold is approximate
+    (percentile_approx) → rows-only; determinism + skew-toward-target
+    are pytest-pinned (test_datapipe.py::test_dsir_select_*)."""
+    from octosql_spark.datapipe import dsir_select
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    return dsir_select(d.select("doc_id", "text"),
+                       target.select("doc_id", "text"), frac=0.25)
+
+
 @workload("curate_quality_above_domain_median", """
 WITH toks AS (
   SELECT doc_id,

@@ -793,3 +793,43 @@ def test_char_entropy(spark):
     assert abs(out[3].char_entropy - math.log(4)) < 1e-6
     assert out[3].n_chars == 4
     assert 4 not in out
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """Documents resembling the target slice must get higher log
+    importance ratios than off-distribution documents."""
+    target = spark.createDataFrame(
+        [(100 + i, "the theory of relativity and quantum mechanics")
+         for i in range(4)], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "quantum mechanics and the theory of fields"),
+         (2, "buy cheap pills online casino bonus click here"),
+         (3, "theory of relativity explained simply"),
+         (4, "casino casino bonus click subscribe now")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.log_ratio
+           for r in dp.dsir_importance(raw, target).collect()}
+    assert got[1] > got[2] and got[3] > got[4]
+    assert got[1] > got[4] and got[3] > got[2]
+    # deterministic
+    again = {r.doc_id: r.log_ratio
+             for r in dp.dsir_importance(raw, target).collect()}
+    assert got == again
+
+
+def test_dsir_select_deterministic_fraction(spark):
+    docs = spark.createDataFrame(
+        [(i, ("science theory physics" if i % 2 == 0
+              else "casino bonus click")) for i in range(200)],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(9999, "physics theory of science")], "doc_id long, text string")
+    sel = dp.dsir_select(docs, target, frac=0.25, temperature=0.2)
+    ids = {r.doc_id for r in sel.collect()}
+    assert 30 <= len(ids) <= 70            # ~25% of 200, approx percentile
+    # selection skews toward target-like (even ids)
+    evens = sum(1 for i in ids if i % 2 == 0)
+    assert evens / len(ids) > 0.8
+    again = {r.doc_id for r in dp.dsir_select(
+        docs, target, frac=0.25, temperature=0.2).collect()}
+    assert ids == again
