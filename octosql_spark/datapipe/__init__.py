@@ -9,7 +9,7 @@ the genuinely imperative parts like multimodal decode).
 from octosql_spark.datapipe.dedup import (  # noqa: F401
     exact_dedup, minhash_signatures, minhash_lsh_pairs, simhash,
     simhash_near_dup_pairs, ngram_jaccard_pairs, embedding_near_dup_pairs,
-    duplicated_spans,
+    duplicated_spans, remove_duplicated_spans,
 )
 from octosql_spark.datapipe.similarity import (  # noqa: F401
     cosine_topk_bruteforce, lsh_bucketed_topk, embedding_norms,
@@ -22,9 +22,11 @@ from octosql_spark.datapipe.text import (  # noqa: F401
 )
 from octosql_spark.datapipe.cluster import (  # noqa: F401
     connected_components, dedup_clusters, semantic_dedup,
+    cluster_representatives,
 )
 from octosql_spark.datapipe.curate import (  # noqa: F401
-    decontaminate, sample_stratified, sample_hash_bucket, pack_sequences,
+    decontaminate, semantic_decontaminate, sample_stratified,
+    sample_hash_bucket, pack_sequences,
     repetition_metrics, mixture_sample, shard_shuffle, chunk_documents,
     length_buckets, assign_splits,
 )

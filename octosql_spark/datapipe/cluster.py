@@ -82,6 +82,34 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
                     .alias("cluster_id")))
 
 
+def cluster_representatives(df: DataFrame, pairs: DataFrame,
+                            id_col: str = "doc_id",
+                            score_col: str = "score") -> DataFrame:
+    """Quality-aware cluster collapse: one representative per dup
+    cluster — the member with the highest ``score_col`` (ties broken
+    by min id), instead of ``dedup_clusters``'s blind min-id policy.
+    The standard refinement when near-dup clusters mix a clean page
+    with boilerplate-laden copies: keep the best-quality duplicate.
+
+    Returns (id_col, cluster_id, representative, keep); filtering on
+    ``keep`` yields the deduplicated corpus.
+
+    Scale shape: ``connected_components`` label propagation plus ONE
+    additional window shuffle keyed by cluster id (cluster populations
+    are small by construction — dup clusters, not arbitrary groups).
+    """
+    from pyspark.sql.window import Window
+    clustered = dedup_clusters(df, pairs, id_col)
+    scored = clustered.join(df.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (scored
+            .withColumn("representative", F.first(id_col).over(w))
+            .select(id_col, "cluster_id", "representative",
+                    (F.col(id_col) == F.col("representative"))
+                    .alias("keep")))
+
+
 def _cell_candidate_keys(x: DataFrame, max_cell_population: int,
                          lsh_tables: int, lsh_planes: int,
                          seed: int) -> DataFrame:

@@ -57,6 +57,55 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
             .distinct())
 
 
+def semantic_decontaminate(corpus: DataFrame, eval_df: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.9,
+                           max_eval: int = 8192) -> DataFrame:
+    """Embedding-level decontamination: flag corpus rows whose cosine
+    similarity to ANY eval-set embedding reaches ``threshold`` —
+    catches paraphrased benchmark leakage that n-gram
+    ``decontaminate`` misses.
+
+    Scale shape: eval sets are tiny against a 100 TB corpus, so the
+    (normalized) eval matrix ships to every task as ONE
+    runtime-indexed nested literal (same codegen-size rationale as
+    ``similarity.pq_topk``'s codebooks) and the corpus is scored in a
+    single map-only scan — no join, no shuffle. ``max_eval`` enforces
+    the boundedness; for genuinely large eval sets use
+    ``dedup.embedding_near_dup_pairs`` (hyperplane-LSH buckets)
+    between corpus and eval instead.
+
+    Returns (id_col, max_eval_cosine) for contaminated rows only.
+    """
+    from octosql_spark.datapipe.similarity import _dot
+
+    def _normed(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return df.select(F.col(id_col),
+                         F.transform(v, lambda x: x / n).alias("_nv"))
+
+    ev = _normed(eval_df).select("_nv").collect()
+    if len(ev) > max_eval:
+        raise ValueError(
+            f"eval set has {len(ev)} rows > max_eval={max_eval}; "
+            "use embedding_near_dup_pairs(method='lsh') for large "
+            "eval sets")
+    c = _normed(corpus)
+    if not ev:
+        return (c.select(id_col, F.lit(0.0).alias("max_eval_cosine"))
+                .filter(F.lit(False)))
+    evlit = F.array(*[F.array(*[F.lit(float(x)) for x in r["_nv"]])
+                      for r in ev])
+    sims = F.transform(
+        F.sequence(F.lit(0), F.lit(len(ev) - 1)),
+        lambda j: _dot(F.col("_nv"), F.element_at(evlit, j + 1)))
+    return (c.withColumn("max_eval_cosine", F.array_max(sims))
+            .filter(F.col("max_eval_cosine") >= threshold)
+            .select(id_col, "max_eval_cosine"))
+
+
 # Knuth multiplicative hash constant (2654435761 = floor(2^32/phi)) —
 # chosen over xxhash64/md5 because BOTH Spark and any SQL oracle can
 # compute it exactly in BIGINT arithmetic, keeping the sample

@@ -310,6 +310,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def _dup_span_frames(df: DataFrame, id_col: str, text_col: str,
+                     min_len: int, min_dup_docs: int):
+    """Shared span-detection core for ``duplicated_spans`` /
+    ``remove_duplicated_spans``: returns ``(toks, spans)`` where
+    ``toks`` is (id, n_tokens, _ws words array) and ``spans`` is the
+    merged maximal duplicated spans (id, s, e) in 1-based inclusive
+    token positions. See ``duplicated_spans`` for the topology."""
+    from pyspark.sql.window import Window
+    k = min_len
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(id_col, words.alias("_ws"))
+    toks = base.select(id_col, F.size("_ws").alias("n_tokens"), "_ws")
+    grams = (toks.filter(F.col("n_tokens") >= k)
+             .select(id_col, F.posexplode(
+                 F.transform(
+                     F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                     lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_ws", i, k)))
+                 )).alias("_p0", "h"))
+             .select(id_col, (F.col("_p0") + 1).alias("pos"), "h"))
+    dup = (grams.groupBy("h")
+           .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+           .filter(F.col("_nd") >= min_dup_docs)
+           .select("h"))
+    hits = grams.join(dup, "h").select(id_col, "pos")
+    by_pos = Window.partitionBy(id_col).orderBy("pos")
+    isl = (hits.withColumn("_prev", F.lag("pos").over(by_pos))
+           .withColumn("_new", F.when(
+               F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + k),
+               1).otherwise(0))
+           .withColumn("_isl", F.sum("_new").over(
+               by_pos.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = (isl.groupBy(id_col, "_isl")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + (k - 1)).alias("e"))
+             .select(id_col, "s", "e"))
+    return toks, spans
+
+
 def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", min_len: int = 8,
                      min_dup_docs: int = 2) -> DataFrame:
@@ -340,33 +378,8 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     AQE can re-plan; span merging is a per-document window — parallel
     across documents, never global. No all-pairs stage anywhere.
     """
-    from pyspark.sql.window import Window
-    k = min_len
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(id_col, words.alias("_ws"))
-    toks = base.select(id_col, F.size("_ws").alias("n_tokens"), "_ws")
-    grams = (toks.filter(F.col("n_tokens") >= k)
-             .select(id_col, F.posexplode(
-                 F.transform(
-                     F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                     lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_ws", i, k)))
-                 )).alias("_p0", "h"))
-             .select(id_col, (F.col("_p0") + 1).alias("pos"), "h"))
-    dup = (grams.groupBy("h")
-           .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-           .filter(F.col("_nd") >= min_dup_docs)
-           .select("h"))
-    hits = grams.join(dup, "h").select(id_col, "pos")
-    by_pos = Window.partitionBy(id_col).orderBy("pos")
-    isl = (hits.withColumn("_prev", F.lag("pos").over(by_pos))
-           .withColumn("_new", F.when(
-               F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + k),
-               1).otherwise(0))
-           .withColumn("_isl", F.sum("_new").over(
-               by_pos.rowsBetween(Window.unboundedPreceding, 0))))
-    spans = (isl.groupBy(id_col, "_isl")
-             .agg(F.min("pos").alias("s"),
-                  (F.max("pos") + (k - 1)).alias("e")))
+    toks, spans = _dup_span_frames(df, id_col, text_col, min_len,
+                                   min_dup_docs)
     per_doc = (spans.groupBy(id_col).agg(
         F.count(F.lit(True)).alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
@@ -383,3 +396,40 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                            6).alias("dup_token_frac"),
                    F.coalesce("spans", F.lit("")).alias("spans")))
     return out
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", min_len: int = 8,
+                            min_dup_docs: int = 2) -> DataFrame:
+    """Apply ExactSubstr dedup (Lee et al. 2021 §4.1, the reference's
+    policy of dropping the duplicated text rather than the document):
+    delete every token covered by a duplicated span (as detected by
+    ``duplicated_spans``) and reassemble the remaining tokens in
+    order. Returns one row per input document: ``n_tokens``,
+    ``kept_tokens`` and ``text_clean``.
+
+    Scale shape: identical to ``duplicated_spans`` (gram-hash count
+    shuffle + equi-join + per-document window) plus one per-doc
+    span-list aggregation; the rewrite itself is a within-row
+    higher-order ``filter`` over the words array against the (few)
+    merged spans — no extra corpus shuffle, no Python in the row path.
+    """
+    toks, spans = _dup_span_frames(df, id_col, text_col, min_len,
+                                   min_dup_docs)
+    span_arr = (spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("s").cast("long").alias("s"),
+                     F.col("e").cast("long").alias("e")))).alias("_spans")))
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    joined = (toks.join(span_arr, id_col, "left")
+              .withColumn("_spans", F.coalesce("_spans", empty)))
+    kept = F.filter(
+        F.col("_ws"),
+        lambda w, i: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"])))
+    return joined.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.concat_ws(" ", kept).alias("text_clean"))

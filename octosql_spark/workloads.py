@@ -984,6 +984,45 @@ def dedup_substring_spans_q(spark, sf_dir):
                       "dup_token_frac", "spans")
 
 
+@workload("dedup_remove_spans", """
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents),
+t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM d),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')
+               AS gram
+      FROM t, UNNEST(range(1, n_tokens - 8 + 2)) AS r(i)
+      WHERE n_tokens >= 8),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+cov AS (SELECT DISTINCT p.doc_id, p.pos + CAST(j AS BIGINT) AS idx
+        FROM p, UNNEST(range(0, 8)) AS u(j)),
+tok AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, ws[CAST(i AS INT)] AS w
+        FROM t, UNNEST(range(1, n_tokens + 1)) AS r(i)),
+kept AS (SELECT tok.doc_id, tok.idx, tok.w
+         FROM tok LEFT JOIN cov
+           ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+         WHERE cov.doc_id IS NULL),
+ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+              string_agg(w, ' ' ORDER BY idx) AS text_clean
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(ka.text_clean, '') AS text_clean
+FROM t LEFT JOIN ka USING (doc_id)
+""")
+def dedup_remove_spans_q(spark, sf_dir):
+    """ExactSubstr *applied* (Lee et al. 2021 §4.1 drop-the-span
+    policy): tokens covered by any >= 8-token span duplicated across
+    >= 2 docs are deleted and the document reassembled. Same topology
+    as dedup_substring_spans plus a within-row higher-order filter —
+    the rewrite adds no corpus shuffle."""
+    from octosql_spark.datapipe import remove_duplicated_spans
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicated_spans(d, min_len=8)
+
+
 @workload("dedup_ngram_jaccard", None)
 def dedup_ngram_jaccard_q(spark, sf_dir):
     """Exact n-gram Jaccard pairs over an inverted-index candidate join."""
@@ -1090,6 +1129,43 @@ def cluster_connected_components_q(spark, sf_dir):
     from octosql_spark.datapipe import connected_components
     edges = spark.createDataFrame(_CC_EDGES, "id_a long, id_b long")
     return connected_components(edges)
+
+
+def _cc_best_expect():
+    """Expected cluster_representatives output on the CC fixture +
+    one singleton: per component the max-(score, -id) member wins,
+    with score(n) = (n * 7) % 13."""
+    from collections import defaultdict
+    comp = defaultdict(list)
+    for n, c in _CC_EXPECT:
+        comp[c].append(n)
+    comp[99].append(99)  # singleton: no edge, represents itself
+    rows = []
+    for c, nodes in comp.items():
+        rep = sorted(nodes, key=lambda n: (-((n * 7) % 13), n))[0]
+        rows.extend((n, c, rep, n == rep) for n in nodes)
+    return sorted(rows)
+
+
+@workload("cluster_best_representative",
+          "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+          "CAST(cluster_id AS BIGINT) AS cluster_id, "
+          "CAST(representative AS BIGINT) AS representative, keep "
+          "FROM (VALUES "
+          + ", ".join(f"({n}, {c}, {r}, {str(k).upper()})"
+                      for n, c, r, k in _cc_best_expect())
+          + ") AS t(doc_id, cluster_id, representative, keep)")
+def cluster_best_representative_q(spark, sf_dir):
+    """Quality-aware cluster collapse on the CC fixture (+1
+    singleton): each dup cluster keeps its highest-score member (ties
+    -> min id) instead of the blind min-id representative. Components
+    via label propagation, then ONE window shuffle keyed by cluster."""
+    from octosql_spark.datapipe import cluster_representatives
+    node_ids = sorted({n for n, _ in _CC_EXPECT} | {99})
+    nodes = spark.createDataFrame(
+        [(n, (n * 7) % 13) for n in node_ids], "doc_id long, score long")
+    edges = spark.createDataFrame(_CC_EDGES, "id_a long, id_b long")
+    return cluster_representatives(nodes, edges, score_col="score")
 
 
 _CLUSTER_EXPECT = (
@@ -1272,6 +1348,34 @@ def curate_decontaminate_q(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(train, bench, n=4)
+
+
+@workload("curate_semantic_decontaminate", """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+n AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      FROM v),
+ev AS (SELECT nv FROM n WHERE vec_id % 23 = 0),
+mx AS (SELECT n.vec_id, MAX(list_dot_product(n.nv, ev.nv)) AS mc
+       FROM n CROSS JOIN ev
+       WHERE n.vec_id % 23 <> 0
+       GROUP BY n.vec_id)
+SELECT vec_id FROM mx WHERE mc >= 0.35
+""")
+def curate_semantic_decontaminate_q(spark, sf_dir):
+    """Embedding-level decontamination: corpus rows with cosine >=
+    0.35 to ANY eval embedding (vec_id % 23 = 0 plays the eval set).
+    The normalized eval matrix ships as ONE runtime-indexed literal;
+    the corpus is scored in a single map-only scan — no join, no
+    shuffle (IDs only: dot products are IEEE-identical but emitting
+    floats invites ROUND drift)."""
+    from octosql_spark.datapipe import semantic_decontaminate
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 23 == 0)
+    corpus = e.filter(F.col("vec_id") % 23 != 0)
+    return (semantic_decontaminate(corpus, ev, threshold=0.35)
+            .select("vec_id"))
 
 
 @workload("curate_sample_stratified", """

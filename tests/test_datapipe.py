@@ -833,3 +833,65 @@ def test_dsir_select_deterministic_fraction(spark):
     again = {r.doc_id for r in dp.dsir_select(
         docs, target, frac=0.25, temperature=0.2).collect()}
     assert ids == again
+
+
+def test_remove_duplicated_spans_rewrites_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m"),   # shares a..h with doc 2
+         (2, "z z a b c d e f g h q r s"),
+         (3, "totally different words here only"),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.asDict()
+           for r in dp.remove_duplicated_spans(docs, min_len=4).collect()}
+    assert got[1]["text_clean"] == "i j k l m"
+    assert got[1]["kept_tokens"] == 5 and got[1]["n_tokens"] == 13
+    assert got[2]["text_clean"] == "z z q r s"
+    # untouched doc round-trips verbatim
+    assert got[3]["text_clean"] == "totally different words here only"
+    assert got[3]["kept_tokens"] == got[3]["n_tokens"] == 5
+    assert got[4]["kept_tokens"] == got[4]["n_tokens"]  # empty doc survives
+
+
+def test_remove_duplicated_spans_full_removal(spark):
+    # fully-duplicated docs collapse to empty text, not a dropped row
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string")
+    got = {r.doc_id: r.asDict()
+           for r in dp.remove_duplicated_spans(docs, min_len=4).collect()}
+    assert got[1]["text_clean"] == "" and got[1]["kept_tokens"] == 0
+    assert got[2]["text_clean"] == "" and len(got) == 2
+
+
+def test_cluster_representatives_quality_and_ties(spark):
+    nodes = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1),   # cluster {1,2,3}: tie 2 vs 3
+         (9, 7)],                          # singleton
+        "doc_id long, score long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r.doc_id: r.asDict()
+           for r in dp.cluster_representatives(nodes, edges).collect()}
+    assert got[1]["representative"] == 2       # max score, tie -> min id
+    assert got[2]["keep"] and not got[1]["keep"] and not got[3]["keep"]
+    assert got[4]["representative"] == 4 and got[4]["keep"]  # singleton
+    assert got[9]["representative"] == 9 and got[9]["keep"]
+    assert {got[n]["cluster_id"] for n in (1, 2, 3)} == {1}
+
+
+def test_semantic_decontaminate_flags_cosine_hits(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]),       # identical to eval vec
+         (2, [0.9, 0.1, 0.0]),       # near
+         (3, [0.0, 0.0, 2.0])],      # orthogonal
+        "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame([(100, [2.0, 0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.max_eval_cosine
+           for r in dp.semantic_decontaminate(corpus, ev,
+                                              threshold=0.9).collect()}
+    assert set(got) == {1, 2} and got[1] == pytest.approx(1.0)
+    # empty eval set -> nothing contaminated, schema intact
+    empty = ev.filter(F.lit(False))
+    assert dp.semantic_decontaminate(corpus, empty).count() == 0
+    with pytest.raises(ValueError):
+        dp.semantic_decontaminate(corpus, ev, max_eval=0)
