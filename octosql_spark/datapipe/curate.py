@@ -165,6 +165,54 @@ def pack_sequences(docs: DataFrame, max_tokens: int = 512,
     )
 
 
+def pack_bins_ffd(docs: DataFrame, max_tokens: int = 512,
+                  shard_col: str = "source", id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Whole-document bin packing via first-fit-decreasing (FFD):
+    every document goes intact into one bin of capacity
+    ``max_tokens`` (the batching step for SFT-style examples that
+    must not be split, complementing ``pack_sequences``' concat-and-
+    split stream packing). FFD is the classic 11/9-OPT approximation:
+    sort by token count descending (ties by id), place each doc in
+    the first bin with room, open a new bin otherwise. Documents
+    longer than ``max_tokens`` get a bin of their own.
+
+    Returns (id_col, shard_col, n_tokens, bin_id) with ``bin_id``
+    numbered per shard in FFD-creation order.
+
+    Scale shape: packing is inherently sequential, so it runs per
+    ``shard_col`` group as ONE Arrow-batched ``applyInPandas`` after
+    a single shuffle on the shard key — parallelism = number of
+    shards, each group bounded by shard size (the same contract real
+    pipelines use: pack within a shard/file, never globally). The
+    per-group loop is pure pandas/Python over (n_tokens, id) pairs —
+    text never enters the Python worker.
+    """
+    slim = docs.select(F.col(id_col), F.col(shard_col),
+                       token_count(F.col(text_col)).alias("n_tokens"))
+
+    def _ffd(pdf):
+        pdf = pdf.sort_values(["n_tokens", id_col],
+                              ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        remaining: list[int] = []
+        placed: list[int] = []
+        for nt in pdf["n_tokens"]:
+            dest = next((j for j, rem in enumerate(remaining)
+                         if nt <= rem), None)
+            if dest is None:
+                remaining.append(max_tokens)
+                dest = len(remaining) - 1
+            remaining[dest] -= int(nt)
+            placed.append(dest)
+        pdf["bin_id"] = placed
+        return pdf
+
+    schema = ", ".join([f"{id_col} long", f"{shard_col} string",
+                        "n_tokens long", "bin_id long"])
+    return slim.groupBy(shard_col).applyInPandas(_ffd, schema)
+
+
 def _dup_run_stats(arr: Column) -> Column:
     """Duplicate-run statistics of a string array, computed entirely
     inside the row: sort the array so equal units become adjacent

@@ -59,7 +59,7 @@ def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
               .withColumn("cosine", sim))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
@@ -105,7 +105,7 @@ def _cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int,
               .filter(F.col("query_id") != F.col("neighbor_id")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
@@ -181,7 +181,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = cand.withColumn("cosine", _dot(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
@@ -220,7 +220,7 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = cand.withColumn("cosine", _dot(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
@@ -390,6 +390,6 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                 .withColumn("cosine", _dot(F.col("_qv"), F.col("_cv"))))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
-    return (rescored.withColumn("rank", F.row_number().over(w))
+    return (rescored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))

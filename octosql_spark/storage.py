@@ -91,6 +91,29 @@ def salted_join(left: DataFrame, right: DataFrame,
     return out.drop("_salt")
 
 
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew diagnostics: the numbers that decide whether a
+    key needs ``salted_join`` / AQE skew splitting before a shuffle.
+    Returns ONE row: distinct keys, total rows, max/avg rows per key,
+    exact p50/p99 per-key counts (type-7, cross-engine comparable),
+    and ``skew_ratio`` = max/avg (>> 1 means one hot key dominates a
+    shuffle partition).
+
+    Scale shape: a map-side-combined count per key (the same shuffle
+    the join itself would do, but carrying only (key, count)) plus a
+    1-row reduce. Run it on a sample for quick checks; exact on the
+    full table is still one narrow pass."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(True)).alias("cnt"))
+    return counts.agg(
+        F.count(F.lit(True)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_per_key"),
+        F.round(F.avg("cnt"), 6).alias("avg_per_key"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_per_key"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_per_key"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"))
+
+
 def compact_parquet(spark: SparkSession, src: str, dst: str,
                     target_mb: int = 256,
                     sort_within_by: Sequence[str] | None = None) -> int:

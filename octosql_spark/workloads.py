@@ -257,6 +257,137 @@ def join_multiway_revenue(spark, sf_dir):
             .agg(F.round(F.sum(rev), 2).alias("revenue")))
 
 
+@workload("tpch_q3_shipping_priority", """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def tpch_q3_q(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): segment-filtered 3-table join,
+    grouped revenue, top-10. Plan: customer dim broadcast after the
+    segment filter, orders<->lineitem hash join, partial agg, then
+    TakeOrderedAndProject — the top-k never materializes a global
+    sort. Tie-broken by l_orderkey so LIMIT is deterministic."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-03-15")
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.col("revenue").desc(), "l_orderkey")
+            .limit(10))
+
+
+@workload("tpch_q10_returned_items", """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def tpch_q10_q(spark, sf_dir):
+    """TPC-H Q10 (returned items): quarter of returned lineitems
+    attributed back to customers, top-20 by lost revenue. lineitem is
+    the only big side; orders (date-filtered), customer and nation
+    broadcast; top-k via TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+@workload("tpch_q14_promo_revenue", """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+""")
+def tpch_q14_q(spark, sf_dir):
+    """TPC-H Q14 (promo revenue): conditional-aggregate ratio over a
+    month of lineitems joined to part (testdata's p_type domain is the
+    single word, so the classic LIKE 'PROMO%' is an equality here).
+    part broadcasts; one scan, one 1-row reduce."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1997-04-01"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+                 .alias("promo_revenue")))
+
+
+@workload("tpch_q19_disjunctive", """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def tpch_q19_q(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive join predicates): three OR'd
+    brand/size/quantity brackets across the join. Catalyst keeps
+    l_partkey = p_partkey as the hash key and evaluates the
+    disjunction as a post-join filter, while the brand/size
+    disjunction (references only part) is pushed to the part scan —
+    the rewrite the reference would need a by-hand rule for."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    br = (lambda b, smax, qlo, qhi:
+          (F.col("p_brand") == b) & F.col("p_size").between(1, smax)
+          & F.col("l_quantity").between(qlo, qhi))
+    cond = (br("Brand#12", 15, 1, 11) | br("Brand#23", 25, 10, 20)
+            | br("Brand#34", 35, 20, 30))
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2).alias("revenue"))
+
+
 @workload("join_theta", """
 SELECT c_nationkey AS nationkey, COUNT(*) AS n
 FROM supplier JOIN customer
@@ -1470,6 +1601,46 @@ def curate_pack_sequences_q(spark, sf_dir):
     return pack_sequences(docs, max_tokens=512)
 
 
+# FFD fixture: capacity 512; shard "a" packs {300,200} + {250,120,100,30},
+# shard "b" exercises the oversize-doc (600 > cap) and new-bin paths.
+_FFD_FIXTURE = [(1, "a", 300), (2, "a", 250), (3, "a", 200), (4, "a", 120),
+                (5, "a", 100), (6, "a", 30),
+                (11, "b", 600), (12, "b", 500), (13, "b", 20)]
+_FFD_EXPECT = [(1, "a", 300, 0), (2, "a", 250, 1), (3, "a", 200, 0),
+               (4, "a", 120, 1), (5, "a", 100, 1), (6, "a", 30, 1),
+               (11, "b", 600, 0), (12, "b", 500, 1), (13, "b", 20, 2)]
+
+
+@workload("curate_pack_bins_planted",
+          "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, "
+          "CAST(n_tokens AS BIGINT) AS n_tokens, "
+          "CAST(bin_id AS BIGINT) AS bin_id FROM (VALUES "
+          + ", ".join(f"({i}, '{s}', {n}, {b})"
+                      for i, s, n, b in _FFD_EXPECT)
+          + ") AS t(doc_id, source, n_tokens, bin_id)")
+def curate_pack_bins_planted_q(spark, sf_dir):
+    """Whole-document FFD bin packing on a hand-computed fixture:
+    first-fit-decreasing placement, per-shard bins, oversize docs get
+    their own bin. One shuffle on the shard key, Arrow-batched
+    per-group packing loop (text never enters Python)."""
+    from octosql_spark.datapipe import pack_bins_ffd
+    docs = spark.createDataFrame(
+        [(i, s, " ".join(["w"] * n)) for i, s, n in _FFD_FIXTURE],
+        "doc_id long, source string, text string")
+    return pack_bins_ffd(docs, max_tokens=512)
+
+
+@workload("curate_pack_bins", None)
+def curate_pack_bins_q(spark, sf_dir):
+    """FFD bin packing over the real corpus (128-token bins per source
+    shard). No SQL oracle — FFD is inherently sequential per shard —
+    so the gate records rows-only; exactness is pinned by the planted
+    VALUES entry and invariants tests."""
+    from octosql_spark.datapipe import pack_bins_ffd
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return pack_bins_ffd(docs, max_tokens=128)
+
+
 @workload("curate_chunk_documents", """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
@@ -2480,6 +2651,29 @@ def grouping_sets_counts_q(spark, sf_dir):
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
+
+
+@workload("profile_key_skew", """
+WITH c AS (SELECT l_orderkey, COUNT(*) AS cnt
+           FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+       ROUND(AVG(cnt), 6) AS avg_per_key,
+       ROUND(quantile_cont(cnt, 0.5), 6) AS p50_per_key,
+       ROUND(quantile_cont(cnt, 0.99), 6) AS p99_per_key,
+       ROUND(MAX(cnt) * 1.0 / AVG(cnt), 6) AS skew_ratio
+FROM c
+""")
+def profile_key_skew_q(spark, sf_dir):
+    """Join-key skew diagnostics on lineitem.l_orderkey: the
+    pre-shuffle sizing pass (distinct keys, per-key count quantiles,
+    max/avg skew ratio) that decides between a plain hash join,
+    AQE skew splitting, or storage.salted_join. One narrow
+    map-side-combined count shuffle + a 1-row reduce."""
+    from octosql_spark.storage import key_skew_profile
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_orderkey")
 
 
 @workload("percentile_stats", """

@@ -130,3 +130,14 @@ def test_compact_parquet(spark, tmp_path):
     bad = (chk.withColumn("prev", SF.lag("k").over(w))
            .filter(SF.col("prev") > SF.col("k")).count())
     assert bad == 0
+
+
+def test_key_skew_profile_values(spark):
+    from pyspark.sql import functions as F
+    from octosql_spark.storage import key_skew_profile
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 8 + [2] * 2 + [3] * 2], "k long")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r.n_keys == 3 and r.n_rows == 12 and r.max_per_key == 8
+    assert r.avg_per_key == 4.0 and r.skew_ratio == 2.0
+    assert r.p50_per_key == 2.0  # counts [2,2,8] -> median 2
