@@ -220,10 +220,14 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
         # see a 2-parameter lambda and pass (element, index) instead
         return lambda w: w == F.lit(term)
 
+    # persisted: the stats aggregation AND the scoring pass both
+    # consume the slim (id, dl, tf_*) table — without it the corpus
+    # text is re-read and re-tokenized twice. A handful of longs per
+    # row, so the cache is ~1% of the text it replaces.
     d = df.select(
         F.col(id_col), F.size(words).alias("dl"),
         *[F.size(F.filter(words, _eq(t))).cast("long").alias(f"tf_{i}")
-          for i, t in enumerate(query_terms)])
+          for i, t in enumerate(query_terms)]).persist()
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"),
         *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
