@@ -86,6 +86,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, sig).drop("_base")
 
 
+def _band_table(sigs: DataFrame, id_col: str, num_hashes: int,
+                bands: int) -> DataFrame:
+    """LSH band table (id, band_id, band_hash) from a signature table
+    (id, minhash): one 8-byte hash per band — the join key for both
+    self-join (within-corpus pairs) and probe-join (ingest) shapes."""
+    rows_per_band = num_hashes // bands
+    band_arr = F.array(*[
+        F.xxhash64(F.lit(b), *[F.col("minhash")[b * rows_per_band + r]
+                               for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
+    return (sigs
+            .withColumn("_band", F.explode(
+                F.transform(band_arr, lambda h, i: F.struct(
+                    i.alias("band_id"), h.alias("band_hash")))))
+            .select(id_col,
+                    F.col("_band.band_id").alias("band_id"),
+                    F.col("_band.band_hash").alias("band_hash")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 64,
                       bands: int = 16, shingle: int = 3,
@@ -94,7 +114,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """Near-duplicate pairs via banded MinHash-LSH, verified with
     exact shingle Jaccard. Returns (id_a, id_b, jaccard) with
     id_a < id_b."""
-    rows_per_band = num_hashes // bands
     # slim signature table (id, minhash) — persisted: the banding, the
     # bucket-count cap and the a/b self-join all reuse it; without the
     # persist each branch would recompute every signature from the raw
@@ -103,18 +122,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     sigs = minhash_signatures(df.select(id_col, text_col), text_col,
                               num_hashes, shingle).select(id_col, "minhash")
     sigs = sigs.persist()
-    band_arr = F.array(*[
-        F.xxhash64(F.lit(b), *[F.col("minhash")[b * rows_per_band + r]
-                               for r in range(rows_per_band)])
-        for b in range(bands)
-    ])
-    banded = (sigs
-              .withColumn("_band", F.explode(
-                  F.transform(band_arr, lambda h, i: F.struct(
-                      i.alias("band_id"), h.alias("band_hash")))))
-              .select(id_col,
-                      F.col("_band.band_id").alias("band_id"),
-                      F.col("_band.band_hash").alias("band_hash")))
+    banded = _band_table(sigs, id_col, num_hashes, bands)
     # ONE shuffle for candidate generation: group each bucket's ids,
     # cap pathological buckets (constant/empty docs — the n² hazard)
     # by array size, and emit ordered pairs with array HOFs inside the
@@ -149,6 +157,57 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     return (pairs.withColumn("jaccard", inter / union)
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_ingest_near_dups(batch: DataFrame, corpus: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             num_hashes: int = 64, bands: int = 16,
+                             shingle: int = 3,
+                             jaccard_threshold: float = 0.5,
+                             max_bucket: int = 1000) -> DataFrame:
+    """Near-duplicate matches of a NEW ingest batch against an
+    EXISTING corpus — the LSH twin of exact incremental-ingest dedup
+    (each crawl increment is checked for *near* copies of what the
+    corpus already holds, not just byte-identical ones). Returns
+    (batch_id, corpus_id, jaccard); anti-joining the batch on
+    batch_id yields the documents safe to append.
+
+    Scale shape: at 100 TB the corpus band table (id, band_id,
+    band_hash — 24 bytes/band/doc) is a persisted bucketed index that
+    is built ONCE and probed by every increment; the batch (small by
+    definition) computes its own signatures and meets the index in a
+    single equi-join on (band_id, band_hash). Hot corpus buckets
+    (empty/boilerplate docs) are capped at ``max_bucket`` before the
+    probe; candidate pairs are verified with exact shingle Jaccard.
+    """
+    cs = minhash_signatures(corpus.select(id_col, text_col), text_col,
+                            num_hashes, shingle).select(id_col, "minhash")
+    bs = minhash_signatures(batch.select(id_col, text_col), text_col,
+                            num_hashes, shingle).select(id_col, "minhash")
+    cb = (_band_table(cs, id_col, num_hashes, bands)
+          .withColumnRenamed(id_col, "corpus_id"))
+    bb = (_band_table(bs, id_col, num_hashes, bands)
+          .withColumnRenamed(id_col, "batch_id"))
+    sizes = (cb.groupBy("band_id", "band_hash")
+             .agg(F.count(F.lit(True)).alias("_n"))
+             .filter(F.col("_n") <= max_bucket).drop("_n"))
+    cb = cb.join(sizes, ["band_id", "band_hash"])
+    cand = (bb.join(cb, ["band_id", "band_hash"])
+            .select("batch_id", "corpus_id")
+            .dropDuplicates(["batch_id", "corpus_id"]))
+    bsh = batch.select(F.col(id_col).alias("batch_id"),
+                       _word_shingles(F.col(text_col), shingle)
+                       .alias("_sh_a"))
+    csh = corpus.select(F.col(id_col).alias("corpus_id"),
+                        _word_shingles(F.col(text_col), shingle)
+                        .alias("_sh_b"))
+    pairs = cand.join(bsh, "batch_id").join(csh, "corpus_id")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (pairs.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("batch_id", "corpus_id", "jaccard"))
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,

@@ -1217,6 +1217,30 @@ def dedup_minhash_planted_q(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+@workload("dedup_ingest_near_planted",
+          "SELECT CAST(batch_id AS BIGINT) AS batch_id, "
+          "CAST(corpus_id AS BIGINT) AS corpus_id FROM (VALUES "
+          + ", ".join(f"({100 + i}, {i})" for i, _ in sorted(
+              _PLANTED_NEAR + _PLANTED_EXACT))
+          + ") AS t(batch_id, corpus_id)")
+def dedup_ingest_near_planted_q(spark, sf_dir):
+    """Near-dup incremental ingest on the planted fixture: the 'new
+    batch' (ids 101-154 + unique docs 211-220) probed against the
+    'existing corpus' (ids 1-54 + uniques 201-210) via the LSH band
+    index. Every planted near/exact variant must match its corpus
+    original; unique docs must pass clean."""
+    from octosql_spark.datapipe import minhash_ingest_near_dups
+    docs = _planted_docs(spark)
+    batch = docs.filter(
+        ((F.col("doc_id") > 100) & (F.col("doc_id") < 200))
+        | (F.col("doc_id") >= 211))
+    corpus = docs.filter(
+        (F.col("doc_id") < 100)
+        | ((F.col("doc_id") >= 201) & (F.col("doc_id") <= 210)))
+    return (minhash_ingest_near_dups(batch, corpus)
+            .select("batch_id", "corpus_id"))
+
+
 @workload("dedup_simhash_planted", _pairs_values_sql(_PLANTED_SIMHASH))
 def dedup_simhash_planted_q(spark, sf_dir):
     """SimHash (Hamming ≤ 3) on the planted fixture: all exact pairs

@@ -927,3 +927,22 @@ def test_pack_bins_ffd_oversize_own_bin(spark):
     got = {r.doc_id: r.bin_id
            for r in dp.pack_bins_ffd(docs, max_tokens=512).collect()}
     assert got[1] == 0 and got[2] == 1  # oversize doc never shares its bin
+
+
+def test_minhash_ingest_near_dups(spark):
+    corpus = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+        (2, "completely unrelated corpus text about distributed query engines"),
+    ], "doc_id long, text string")
+    batch = spark.createDataFrame([
+        (11, "the quick brown fox jumps over the lazy cat and runs far away home"),
+        (12, "a fresh document with entirely new vocabulary nothing shared"),
+        (13, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    ], "doc_id long, text string")
+    got = {(r.batch_id, r.corpus_id): r.jaccard
+           for r in dp.minhash_ingest_near_dups(
+               batch, corpus, jaccard_threshold=0.4).collect()}
+    assert (13, 1) in got and got[(13, 1)] == 1.0     # exact re-crawl
+    assert (11, 1) in got                             # one-word edit
+    assert not any(b == 12 for b, _ in got)           # fresh doc clean
+    assert not any(c == 2 for _, c in got)            # unrelated corpus doc
