@@ -17,7 +17,8 @@ from octosql_spark.datapipe.similarity import (  # noqa: F401
 )
 from octosql_spark.datapipe.text import (  # noqa: F401
     token_count, quality_metrics, language_id, fingerprint,
-    redact_pii, tf_idf_top_terms, unigram_logprob, bm25_scores,
+    redact_pii, tf_idf_top_terms, unigram_logprob, bigram_logprob,
+    bm25_scores,
     hashed_linear_score, char_entropy, dsir_importance, dsir_select,
 )
 from octosql_spark.datapipe.cluster import (  # noqa: F401

@@ -171,6 +171,46 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  .alias("avg_logprob")))
 
 
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: float = 0.5) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-k-smoothed bigram LM — one step up from ``unigram_logprob``
+    toward a KenLM-style perplexity filter: word-salad documents whose
+    unigrams are common but whose *transitions* are improbable score
+    low. ``logP(cur|prev) = ln((c(prev,cur)+k) / (c(prev)+k·V))`` with
+    V = distinct successor vocabulary. Returns (id, n_bigrams,
+    avg_logprob rounded to 6); documents with < 2 tokens are dropped
+    (no bigrams to score).
+
+    Scale shape: like the unigram LM plus one more Zipf-small count
+    table — bigram counts and context counts are two map-side-combined
+    aggregations, V is a 1-row broadcast, and scoring is a
+    tokens↔counts equi-join that AQE broadcasts when the vocab fits.
+    Nothing touches the driver.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                     lambda w: w != "")
+    base = (df.select(id_col, words.alias("_ws"))
+            .filter(F.size("_ws") >= 2))
+    pairs = F.arrays_zip(
+        F.slice("_ws", 1, F.size("_ws") - 1).alias("prev"),
+        F.slice("_ws", 2, F.size("_ws") - 1).alias("cur"))
+    bg = (base.select(id_col, F.explode(pairs).alias("_b"))
+          .select(id_col, F.col("_b.prev").alias("prev"),
+                  F.col("_b.cur").alias("cur")))
+    bc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bcnt"))
+    cc = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("ccnt"))
+    v = bg.agg(F.count_distinct("cur").alias("vsize"))
+    return (bg.join(bc, ["prev", "cur"]).join(cc, ["prev"])
+            .crossJoin(F.broadcast(v))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.round(F.avg(F.log(
+                     (F.col("bcnt") + F.lit(k))
+                     / (F.col("ccnt") + F.lit(k) * F.col("vsize")))), 6)
+                 .alias("avg_logprob")))
+
+
 def fingerprint(text: Column, mode: str = "md5") -> Column:
     """Document fingerprint over whitespace-normalized, lowercased
     text. ``md5`` = content hash; ``rolling`` = min of rolling window

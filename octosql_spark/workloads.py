@@ -1425,6 +1425,37 @@ def text_unigram_logprob_q(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+@workload("text_bigram_logprob", """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS prev,
+         ws[CAST(i + 1 AS INT)] AS cur
+  FROM w, UNNEST(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2
+), bc AS (SELECT prev, cur, COUNT(*) AS bcnt FROM bg GROUP BY prev, cur),
+cc AS (SELECT prev, COUNT(*) AS ccnt FROM bg GROUP BY prev),
+v AS (SELECT COUNT(DISTINCT cur) AS vsize FROM bg)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LN((bcnt + 0.5) / (ccnt + 0.5 * vsize))), 6)
+         AS avg_logprob
+FROM bg JOIN bc USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v
+GROUP BY doc_id
+""", cartesian_ok=True)
+def text_bigram_logprob_q(spark, sf_dir):
+    """Mean add-½-smoothed bigram log-prob per document under the
+    corpus's own bigram LM — the transition-aware perplexity proxy
+    (word salad with common unigrams but improbable transitions
+    scores low). Two Zipf-small count shuffles + one tokens↔counts
+    join; V is a 1-row broadcast."""
+    from octosql_spark.datapipe import bigram_logprob
+    return bigram_logprob(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 @workload("text_repetition_gopher", """
 WITH d AS (SELECT doc_id, text, LENGTH(text) AS n_chars FROM documents),
 l0 AS (SELECT doc_id, TRIM(x) AS unit

@@ -946,3 +946,21 @@ def test_minhash_ingest_near_dups(spark):
     assert (11, 1) in got                             # one-word edit
     assert not any(b == 12 for b, _ in got)           # fresh doc clean
     assert not any(c == 2 for _, c in got)            # unrelated corpus doc
+
+
+def test_bigram_logprob_transition_sensitivity(spark):
+    # doc 3 reuses common words in UNSEEN orders -> transitions are
+    # improbable even though its unigrams are frequent
+    rows = [(i, "the cat sat on the mat and the dog ran") for i in range(10)]
+    rows.append((100, "mat the on dog sat ran cat and the the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_logprob
+           for r in dp.bigram_logprob(docs).collect()}
+    assert got[100] < got[0]
+    assert all(got[i] == got[0] for i in range(10))  # identical docs tie
+    # one-token docs are dropped (no bigram to score)
+    one = spark.createDataFrame([(1, "word"), (2, "two words")],
+                                "doc_id long, text string")
+    out = dp.bigram_logprob(one).collect()
+    assert {r.doc_id for r in out} == {2}
+    assert out[0].n_bigrams == 1
