@@ -456,7 +456,8 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
 def dsir_select(docs: DataFrame, target: DataFrame, frac: float = 0.25,
                 temperature: float = 1.0, n_buckets: int = 1024,
                 id_col: str = "doc_id", text_col: str = "text",
-                seed: int = 42) -> DataFrame:
+                seed: int = 42,
+                threshold_method: str = "approx") -> DataFrame:
     """DSIR selection: keep ~``frac`` of the corpus, sampled
     proportionally to exp(log_ratio / temperature) — the paper's
     importance resampling, made deterministic with the Gumbel-top-k
@@ -464,7 +465,11 @@ def dsir_select(docs: DataFrame, target: DataFrame, frac: float = 0.25,
     fraction by key. Reproducible across runs/engines (the Gumbel
     noise derives from md5(id), not an RNG); one corpus scan + the
     dsir_importance plan + one top-fraction threshold computed from a
-    percentile over the (id, key) table."""
+    percentile over the (id, key) table.
+
+    ``threshold_method``: "approx" (default — percentile_approx, the
+    mergeable-sketch scale path) or "exact" (type-7 percentile,
+    bit-reproducible in any engine — what the oracle gate uses)."""
     scored = dsir_importance(docs, target, n_buckets, id_col, text_col)
     u = (F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
                                            F.lit(f"#{seed}"))), 1, 8),
@@ -472,8 +477,11 @@ def dsir_select(docs: DataFrame, target: DataFrame, frac: float = 0.25,
     key = (F.col("log_ratio") / temperature
            - F.log(-F.log(u))).alias("_gumbel_key")
     keyed = scored.select(id_col, "n_words", "log_ratio", key)
+    pfun = ("percentile" if threshold_method == "exact"
+            else "percentile_approx")
+    extra = "" if threshold_method == "exact" else ", 10000"
     thresh = keyed.agg(
-        F.expr(f"percentile_approx(_gumbel_key, {1.0 - frac}, 10000)")
+        F.expr(f"{pfun}(_gumbel_key, {1.0 - frac}{extra})")
     ).first()[0]
     return (keyed.filter(F.col("_gumbel_key") >= F.lit(thresh))
             .select(id_col, "n_words", "log_ratio"))

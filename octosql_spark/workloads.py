@@ -1878,17 +1878,57 @@ def text_dsir_importance_q(spark, sf_dir):
                            target.select("doc_id", "text"))
 
 
-@workload("curate_dsir_select", None)
+@workload("curate_dsir_select", """
+WITH tok AS (
+  SELECT doc_id,
+         ((((list_sum(list_transform(string_split(w, ''), (c, i) ->
+               ascii(c) * ((i * 2654435761) % 4294967296)))
+             % 2147483647) * 1103515245) % 2147483647) % 1024) AS b
+  FROM (SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z]+'),
+                 x -> x <> '')) AS w
+        FROM documents)
+), raw_lm AS (
+  SELECT b, COUNT(*) AS cr FROM tok GROUP BY b
+), tgt_lm AS (
+  SELECT b, COUNT(*) AS ct FROM tok
+  WHERE doc_id IN (SELECT doc_id FROM documents
+                   WHERE source IN ('src0', 'src1'))
+  GROUP BY b
+), lm AS (
+  SELECT r.b,
+         ln((COALESCE(t.ct, 0) + 1)
+            / (SUM(COALESCE(t.ct, 0)) OVER () + 1024.0))
+         - ln((r.cr + 1) / (SUM(r.cr) OVER () + 1024.0)) AS lr
+  FROM raw_lm r LEFT JOIN tgt_lm t ON r.b = t.b
+), keyed AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         ROUND(AVG(lr), 6) AS log_ratio
+  FROM tok JOIN lm USING (b)
+  GROUP BY doc_id
+), g AS (
+  SELECT doc_id, n_words, log_ratio,
+         log_ratio - LN(-LN(
+           (CAST(('0x' || substring(md5(doc_id || '#42'), 1, 8)) AS BIGINT)
+            + 1) / 4294967297.0)) AS gk
+  FROM keyed
+), th AS (SELECT quantile_cont(gk, 0.75) AS t FROM g)
+SELECT doc_id, n_words, log_ratio
+FROM g CROSS JOIN th WHERE gk >= t
+""")
 def curate_dsir_select_q(spark, sf_dir):
     """DSIR selection: Gumbel-top-k resampling proportional to
-    exp(log_ratio/T). The percentile threshold is approximate
-    (percentile_approx) → rows-only; determinism + skew-toward-target
-    are pytest-pinned (test_datapipe.py::test_dsir_select_*)."""
+    exp(log_ratio/T), fully oracled — the Gumbel noise derives from
+    md5(id) and the top-25% threshold uses the EXACT type-7 percentile
+    (matching DuckDB quantile_cont), so the oracle replays the whole
+    selection. Production default stays percentile_approx (mergeable
+    sketch); determinism + skew-toward-target also pytest-pinned."""
     from octosql_spark.datapipe import dsir_select
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     target = d.filter(F.col("source").isin("src0", "src1"))
     return dsir_select(d.select("doc_id", "text"),
-                       target.select("doc_id", "text"), frac=0.25)
+                       target.select("doc_id", "text"), frac=0.25,
+                       threshold_method="exact")
 
 
 @workload("curate_quality_above_domain_median", """
