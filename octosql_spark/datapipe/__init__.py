@@ -27,7 +27,7 @@ from octosql_spark.datapipe.cluster import (  # noqa: F401
 )
 from octosql_spark.datapipe.curate import (  # noqa: F401
     decontaminate, semantic_decontaminate, sample_stratified,
-    sample_hash_bucket, pack_sequences, pack_bins_ffd,
+    sample_hash_bucket, pack_sequences, pack_bins_bfd,
     repetition_metrics, mixture_sample, shard_shuffle, chunk_documents,
     length_buckets, assign_splits,
 )

@@ -1656,12 +1656,12 @@ def curate_pack_sequences_q(spark, sf_dir):
     return pack_sequences(docs, max_tokens=512)
 
 
-# FFD fixture: capacity 512; shard "a" packs {300,200} + {250,120,100,30},
+# BFD fixture: capacity 512; shard "a" packs {300,200} + {250,120,100,30},
 # shard "b" exercises the oversize-doc (600 > cap) and new-bin paths.
-_FFD_FIXTURE = [(1, "a", 300), (2, "a", 250), (3, "a", 200), (4, "a", 120),
+_BFD_FIXTURE = [(1, "a", 300), (2, "a", 250), (3, "a", 200), (4, "a", 120),
                 (5, "a", 100), (6, "a", 30),
                 (11, "b", 600), (12, "b", 500), (13, "b", 20)]
-_FFD_EXPECT = [(1, "a", 300, 0), (2, "a", 250, 1), (3, "a", 200, 0),
+_BFD_EXPECT = [(1, "a", 300, 0), (2, "a", 250, 1), (3, "a", 200, 0),
                (4, "a", 120, 1), (5, "a", 100, 1), (6, "a", 30, 1),
                (11, "b", 600, 0), (12, "b", 500, 1), (13, "b", 20, 2)]
 
@@ -1671,29 +1671,30 @@ _FFD_EXPECT = [(1, "a", 300, 0), (2, "a", 250, 1), (3, "a", 200, 0),
           "CAST(n_tokens AS BIGINT) AS n_tokens, "
           "CAST(bin_id AS BIGINT) AS bin_id FROM (VALUES "
           + ", ".join(f"({i}, '{s}', {n}, {b})"
-                      for i, s, n, b in _FFD_EXPECT)
+                      for i, s, n, b in _BFD_EXPECT)
           + ") AS t(doc_id, source, n_tokens, bin_id)")
 def curate_pack_bins_planted_q(spark, sf_dir):
-    """Whole-document FFD bin packing on a hand-computed fixture:
-    first-fit-decreasing placement, per-shard bins, oversize docs get
-    their own bin. One shuffle on the shard key, Arrow-batched
-    per-group packing loop (text never enters Python)."""
-    from octosql_spark.datapipe import pack_bins_ffd
+    """Whole-document BFD bin packing on a hand-computed fixture:
+    best-fit-decreasing placement (tightest bin with room, ties ->
+    lowest id), per-shard bins, oversize docs get their own bin. One
+    shuffle on the shard key, Arrow-batched per-group packing loop
+    (text never enters Python)."""
+    from octosql_spark.datapipe import pack_bins_bfd
     docs = spark.createDataFrame(
-        [(i, s, " ".join(["w"] * n)) for i, s, n in _FFD_FIXTURE],
+        [(i, s, " ".join(["w"] * n)) for i, s, n in _BFD_FIXTURE],
         "doc_id long, source string, text string")
-    return pack_bins_ffd(docs, max_tokens=512)
+    return pack_bins_bfd(docs, max_tokens=512)
 
 
 @workload("curate_pack_bins", None)
 def curate_pack_bins_q(spark, sf_dir):
-    """FFD bin packing over the real corpus (128-token bins per source
-    shard). No SQL oracle — FFD is inherently sequential per shard —
-    so the gate records rows-only; exactness is pinned by the planted
-    VALUES entry and invariants tests."""
-    from octosql_spark.datapipe import pack_bins_ffd
+    """BFD bin packing over the real corpus (128-token bins per source
+    shard). No SQL oracle — bin packing is inherently sequential per
+    shard — so the gate records rows-only; exactness is pinned by the
+    planted VALUES entry and invariants tests."""
+    from octosql_spark.datapipe import pack_bins_bfd
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    return pack_bins_ffd(docs, max_tokens=128)
+    return pack_bins_bfd(docs, max_tokens=128)
 
 
 @workload("curate_chunk_documents", """

@@ -897,35 +897,35 @@ def test_semantic_decontaminate_flags_cosine_hits(spark):
         dp.semantic_decontaminate(corpus, ev, max_eval=0)
 
 
-def test_pack_bins_ffd_invariants(spark):
+def test_pack_bins_bfd_invariants(spark):
     import math, random
     rng = random.Random(7)
     rows = [(i, f"s{i % 3}", " ".join(["w"] * rng.randrange(1, 200)))
             for i in range(120)]
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    out = dp.pack_bins_ffd(docs, max_tokens=256).collect()
+    out = dp.pack_bins_bfd(docs, max_tokens=256).collect()
     assert len(out) == 120
     # capacity respected per (shard, bin) — oversize docs impossible here
     fill: dict[tuple, int] = {}
     for r in out:
         fill[(r.source, r.bin_id)] = fill.get((r.source, r.bin_id), 0) + r.n_tokens
     assert all(v <= 256 for v in fill.values())
-    # FFD stays within 2x the volume lower bound per shard
+    # BFD stays within 2x the volume lower bound per shard
     for s in ("s0", "s1", "s2"):
         total = sum(r.n_tokens for r in out if r.source == s)
         bins = len({r.bin_id for r in out if r.source == s})
         assert bins <= 2 * math.ceil(total / 256) + 1
     # deterministic across runs
-    again = dp.pack_bins_ffd(docs, max_tokens=256).collect()
+    again = dp.pack_bins_bfd(docs, max_tokens=256).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
-def test_pack_bins_ffd_oversize_own_bin(spark):
+def test_pack_bins_bfd_oversize_own_bin(spark):
     docs = spark.createDataFrame(
         [(1, "x", " ".join(["w"] * 600)), (2, "x", " ".join(["w"] * 10))],
         "doc_id long, source string, text string")
     got = {r.doc_id: r.bin_id
-           for r in dp.pack_bins_ffd(docs, max_tokens=512).collect()}
+           for r in dp.pack_bins_bfd(docs, max_tokens=512).collect()}
     assert got[1] == 0 and got[2] == 1  # oversize doc never shares its bin
 
 
