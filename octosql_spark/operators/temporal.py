@@ -125,3 +125,53 @@ def range_join(intervals: DataFrame, points: DataFrame,
             .filter((F.col(point_col) >= F.col(start_col))
                     & (F.col(point_col) <= F.col(end_col)))
             .drop("_bin"))
+
+
+def funnel(events: DataFrame, steps: Sequence[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           max_span: str | None = None) -> DataFrame:
+    """Ordered-conversion funnel (the MATCH_RECOGNIZE-style sequence
+    operator Spark lacks): for steps [A, B, C], a user reaches step k
+    when an event of type ``steps[k]`` occurs STRICTLY AFTER the
+    user's completion time of step k-1 (earliest-completion
+    semantics: each step's completion time is the MIN qualifying
+    timestamp, so a user's funnel is deterministic). With
+    ``max_span`` (an INTERVAL string, e.g. "7 days"), every step must
+    land within that span of the user's first step-1 event.
+
+    Returns one row per step: (step_index 1-based, step, users).
+
+    Scale shape: step k is a type-filtered scan joined to the step
+    k-1 per-user frontier on the user key — len(steps) hash
+    aggregations/joins on ``user_col``, each carrying one row per
+    surviving user (monotonically shrinking). No window over the full
+    event stream, no per-user collect_list; the type filter pushes to
+    the scan of a type-partitioned event store.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    counts = []
+    frontier: DataFrame | None = None
+    for i, step in enumerate(steps):
+        e = (events.filter(F.col(type_col) == step)
+             .select(F.col(user_col).alias("_u"),
+                     F.col(ts_col).alias("_t")))
+        if frontier is None:
+            frontier = (e.groupBy("_u").agg(F.min("_t").alias("_tk"))
+                        .withColumn("_t0", F.col("_tk")))
+        else:
+            j = e.join(frontier, "_u").filter(F.col("_t") > F.col("_tk"))
+            if max_span is not None:
+                j = j.filter(F.col("_t") <=
+                             F.col("_t0") + F.expr(f"INTERVAL {max_span}"))
+            frontier = (j.groupBy("_u", "_t0")
+                        .agg(F.min("_t").alias("_tk")))
+        counts.append(frontier.agg(
+            F.lit(i + 1).cast("long").alias("step_index"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("users")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

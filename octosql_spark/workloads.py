@@ -3004,6 +3004,42 @@ def range_join_sessions_q(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_contained")))
 
 
+@workload("funnel_conversion", """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS tk FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS tk FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.tk
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS tk FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.tk
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step,
+       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click',
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase',
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+""")
+def funnel_conversion_q(spark, sf_dir):
+    """Ordered-conversion funnel view→click→purchase over the events
+    stream (the MATCH_RECOGNIZE-style sequence operator Spark lacks):
+    a user reaches step k only via an event strictly after their
+    step-(k-1) completion, earliest-completion semantics. Three
+    type-filtered scans joined to a monotonically-shrinking per-user
+    frontier — no full-stream window, no collect_list."""
+    from octosql_spark.operators.temporal import funnel
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 @workload("sessionize_events", """
 WITH o AS (
   SELECT user_id, event_id, ts,

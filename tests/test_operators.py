@@ -199,3 +199,33 @@ def test_range_join_bin_boundaries(spark):
     assert got == {(1, 1), (1, 2), (1, 4), (3, 5)}
     # exactly one row per matched pair (no bin-straddle duplicates)
     assert out.count() == len(got)
+
+
+def test_funnel_ordering_and_span(spark):
+    from datetime import datetime
+    from octosql_spark.operators.temporal import funnel
+    T = datetime
+    rows = [
+        # user 1: full ordered funnel
+        (1, T(2024, 1, 1, 10), "view"), (1, T(2024, 1, 1, 11), "click"),
+        (1, T(2024, 1, 1, 12), "purchase"),
+        # user 2: purchase BEFORE click -> stops at click
+        (2, T(2024, 1, 2, 10), "view"), (2, T(2024, 1, 2, 9), "purchase"),
+        (2, T(2024, 1, 2, 11), "click"),
+        # user 3: view only
+        (3, T(2024, 1, 3, 10), "view"),
+        # user 4: click with no prior view -> never enters
+        (4, T(2024, 1, 4, 10), "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows],
+        "user_id long, ts timestamp, event_type string")
+    got = {r.step: r.users
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+    # max_span: user 1's purchase is 2h after first view; a 1 hour cap
+    # keeps the click (1h) but drops the purchase
+    got2 = {r.step: r.users
+            for r in funnel(ev, ["view", "click", "purchase"],
+                            max_span="1 hour").collect()}
+    assert got2 == {"view": 3, "click": 2, "purchase": 0}
