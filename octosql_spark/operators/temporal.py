@@ -175,3 +175,35 @@ def funnel(events: DataFrame, steps: Sequence[str],
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      signup_type: str = "signup",
+                      max_weeks: int = 8) -> DataFrame:
+    """Cohort retention: users are grouped into cohorts by the week
+    (Monday-truncated) of their FIRST ``signup_type`` event; for each
+    week offset 0..``max_weeks`` the count of cohort users with ANY
+    event in that week. Returns (cohort_week, week_offset,
+    active_users) — the standard retention triangle.
+
+    Scale shape: one per-user min over the signup slice, one
+    broadcast-or-shuffle equi-join of the (user, week) activity
+    projection against that per-user cohort table, one
+    count-distinct aggregation on (cohort, offset) — bounded output
+    (weeks × offsets), no window over the stream.
+    """
+    first = (events.filter(F.col(type_col) == signup_type)
+             .groupBy(F.col(user_col).alias("_u"))
+             .agg(F.min(F.date_trunc("week", F.col(ts_col)))
+                  .alias("cohort_week")))
+    act = events.select(F.col(user_col).alias("_u"),
+                        F.date_trunc("week", F.col(ts_col)).alias("_w"))
+    j = (act.join(first, "_u")
+         .withColumn("week_offset",
+                     (F.datediff(F.col("_w"), F.col("cohort_week")) / 7)
+                     .cast("long"))
+         .filter((F.col("week_offset") >= 0)
+                 & (F.col("week_offset") <= max_weeks)))
+    return (j.groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct("_u").alias("active_users")))

@@ -3040,6 +3040,29 @@ def funnel_conversion_q(spark, sf_dir):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+@workload("retention_cohorts", """
+WITH first_signup AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), act AS (
+  SELECT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM act a JOIN first_signup f ON a.user_id = f.user_id
+WHERE date_diff('day', f.cohort_week, a.w) // 7 BETWEEN 0 AND 8
+GROUP BY f.cohort_week, week_offset
+""")
+def retention_cohorts_q(spark, sf_dir):
+    """Cohort retention triangle: signup-week cohorts × weekly
+    activity offsets 0..8. One per-user min, one activity↔cohort
+    equi-join, one bounded count-distinct — no stream-wide window."""
+    from octosql_spark.operators.temporal import retention_cohorts
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 @workload("sessionize_events", """
 WITH o AS (
   SELECT user_id, event_id, ts,

@@ -229,3 +229,26 @@ def test_funnel_ordering_and_span(spark):
             for r in funnel(ev, ["view", "click", "purchase"],
                             max_span="1 hour").collect()}
     assert got2 == {"view": 3, "click": 2, "purchase": 0}
+
+
+def test_retention_cohorts_offsets(spark):
+    from datetime import datetime
+    from octosql_spark.operators.temporal import retention_cohorts
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1, 9), "signup"),    # Mon wk0 cohort
+        (1, T(2024, 1, 10, 9), "view"),     # wk1
+        (1, T(2024, 1, 16, 9), "click"),    # wk2
+        (2, T(2024, 1, 3, 9), "signup"),    # same cohort week
+        (2, T(2024, 1, 4, 9), "view"),      # wk0
+        (3, T(2023, 12, 30, 9), "view"),    # never signs up -> excluded
+    ]
+    ev = spark.createDataFrame(rows,
+                               "user_id long, ts timestamp, event_type string")
+    got = {(r.cohort_week.date().isoformat(), r.week_offset): r.active_users
+           for r in retention_cohorts(ev).collect()}
+    # both users' signup events land in the Mon 2024-01-01 week
+    assert got[("2024-01-01", 0)] == 2   # signup events themselves count
+    assert got[("2024-01-01", 1)] == 1   # user 1 active in week 1
+    assert got[("2024-01-01", 2)] == 1
+    assert all(k[0] == "2024-01-01" for k in got)
