@@ -265,7 +265,7 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     # text is re-read and re-tokenized twice. A handful of longs per
     # row, so the cache is ~1% of the text it replaces.
     d = df.select(
-        F.col(id_col), F.size(words).alias("dl"),
+        F.col(id_col), F.size(words).cast("long").alias("dl"),
         *[F.size(F.filter(words, _eq(t))).cast("long").alias(f"tf_{i}")
           for i, t in enumerate(query_terms)]).persist()
     stats = d.agg(
@@ -350,7 +350,7 @@ def hashed_linear_score(df: DataFrame, n_buckets: int = 1024,
     n = F.size(words)
     logit = wsum.cast("double") / n / float(_HALF)
     prob = 1.0 / (1.0 + F.exp(-logit))
-    return (df.select(F.col(id_col), n.alias("n_words"),
+    return (df.select(F.col(id_col), n.cast("long").alias("n_words"),
                       F.round(logit, 6).alias("quality_logit"),
                       F.round(prob, 6).alias("quality_prob"))
             .filter(F.col("n_words") > 0))

@@ -654,7 +654,7 @@ def string_functions(spark, sf_dir):
         F.lower("p_brand").alias("lbrand"),
         F.substring("p_type", 1, 4).alias("type4"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("underscored"),
-        F.instr("p_name", "e").alias("pos_e"),
+        F.instr("p_name", "e").cast("long").alias("pos_e"),
         F.length("p_name").alias("name_len"),
         F.reverse("p_brand").alias("rbrand"),
         F.col("p_name").like("%red%").alias("is_red"),
@@ -828,8 +828,8 @@ def window_analytics_q(spark, sf_dir):
         F.lag("o_orderkey").over(w).alias("prev_order"),
         F.lead("o_orderkey").over(w).alias("next_order"),
         F.first("o_orderkey").over(w).alias("first_order"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
         F.percent_rank().over(w).alias("prank"),
         F.cume_dist().over(w).alias("cdist"))
 
