@@ -61,22 +61,32 @@ def semantic_decontaminate(corpus: DataFrame, eval_df: DataFrame,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.9,
-                           max_eval: int = 8192) -> DataFrame:
+                           literal_max: int = 64,
+                           max_eval: int = 100_000) -> DataFrame:
     """Embedding-level decontamination: flag corpus rows whose cosine
     similarity to ANY eval-set embedding reaches ``threshold`` —
     catches paraphrased benchmark leakage that n-gram
     ``decontaminate`` misses.
 
-    Scale shape: eval sets are tiny against a 100 TB corpus, so the
-    (normalized) eval matrix ships to every task as ONE
-    runtime-indexed nested literal (same codegen-size rationale as
-    ``similarity.pq_topk``'s codebooks) and the corpus is scored in a
-    single map-only scan — no join, no shuffle. ``max_eval`` enforces
-    the boundedness; for genuinely large eval sets use
-    ``dedup.embedding_near_dup_pairs`` (hyperplane-LSH buckets)
-    between corpus and eval instead.
-
     Returns (id_col, max_eval_cosine) for contaminated rows only.
+
+    Scale shape, two regimes by eval size:
+    - ``<= literal_max`` (default 64) vectors: the normalized eval
+      matrix ships as ONE runtime-indexed nested literal and the
+      corpus is scored in a map-only scan — no join, no shuffle, no
+      Python. The cutoff is a codegen bound, not a memory bound: the
+      10x scale stress showed a ~2k-vector literal (~140k expression
+      nodes) falls out of whole-stage codegen into minutes of
+      single-task interpretation.
+    - larger (up to ``max_eval``): the eval matrix broadcasts as one
+      numpy array and each corpus batch scores against it with a
+      single BLAS matmul inside Arrow-batched ``mapInPandas`` (the
+      ``similarity.cosine_topk_bruteforce(impl="pandas")`` shape) —
+      map-only, no shuffle; a Catalyst pair-join was measured ~100×
+      slower here because each pair's zip_with dot allocates an
+      intermediate array. For eval sets too big to broadcast, use
+      ``dedup.embedding_near_dup_pairs`` (hyperplane-LSH buckets)
+      between corpus and eval instead.
     """
     from octosql_spark.datapipe.similarity import _dot
 
@@ -86,24 +96,48 @@ def semantic_decontaminate(corpus: DataFrame, eval_df: DataFrame,
         return df.select(F.col(id_col),
                          F.transform(v, lambda x: x / n).alias("_nv"))
 
-    ev = _normed(eval_df).select("_nv").collect()
-    if len(ev) > max_eval:
-        raise ValueError(
-            f"eval set has {len(ev)} rows > max_eval={max_eval}; "
-            "use embedding_near_dup_pairs(method='lsh') for large "
-            "eval sets")
     c = _normed(corpus)
+    evn = _normed(eval_df)
+    ev = evn.limit(literal_max + 1).select("_nv").collect()
     if not ev:
         return (c.select(id_col, F.lit(0.0).alias("max_eval_cosine"))
                 .filter(F.lit(False)))
-    evlit = F.array(*[F.array(*[F.lit(float(x)) for x in r["_nv"]])
-                      for r in ev])
-    sims = F.transform(
-        F.sequence(F.lit(0), F.lit(len(ev) - 1)),
-        lambda j: _dot(F.col("_nv"), F.element_at(evlit, j + 1)))
-    return (c.withColumn("max_eval_cosine", F.array_max(sims))
-            .filter(F.col("max_eval_cosine") >= threshold)
-            .select(id_col, "max_eval_cosine"))
+    if len(ev) <= literal_max:
+        evlit = F.array(*[F.array(*[F.lit(float(x)) for x in r["_nv"]])
+                          for r in ev])
+        sims = F.transform(
+            F.sequence(F.lit(0), F.lit(len(ev) - 1)),
+            lambda j: _dot(F.col("_nv"), F.element_at(evlit, j + 1)))
+        return (c.withColumn("max_eval_cosine", F.array_max(sims))
+                .filter(F.col("max_eval_cosine") >= threshold)
+                .select(id_col, "max_eval_cosine"))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rows = evn.limit(max_eval + 1).select("_nv").collect()
+    if len(rows) > max_eval:
+        raise ValueError(
+            f"eval set exceeds max_eval={max_eval}; use "
+            "embedding_near_dup_pairs(method='lsh') between corpus "
+            "and eval for eval sets this large")
+    q = np.array([r["_nv"] for r in rows], dtype="float64")
+    bq = corpus.sparkSession.sparkContext.broadcast(q)
+
+    def score(batches):
+        Q = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["_nv"].tolist(), dtype="float64")
+            mx = (C @ Q.T).max(axis=1)
+            keep = mx >= threshold
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[keep],
+                                "max_eval_cosine": mx[keep]})
+
+    out_schema = StructType([c.schema[id_col],
+                             StructField("max_eval_cosine", DoubleType())])
+    return c.mapInPandas(score, out_schema)
 
 
 # Knuth multiplicative hash constant (2654435761 = floor(2^32/phi)) —

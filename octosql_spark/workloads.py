@@ -1548,7 +1548,7 @@ mx AS (SELECT n.vec_id, MAX(list_dot_product(n.nv, ev.nv)) AS mc
        WHERE n.vec_id % 23 <> 0
        GROUP BY n.vec_id)
 SELECT vec_id FROM mx WHERE mc >= 0.35
-""")
+""", cartesian_ok=True)
 def curate_semantic_decontaminate_q(spark, sf_dir):
     """Embedding-level decontamination: corpus rows with cosine >=
     0.35 to ANY eval embedding (vec_id % 23 = 0 plays the eval set).

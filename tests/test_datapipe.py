@@ -893,8 +893,16 @@ def test_semantic_decontaminate_flags_cosine_hits(spark):
     # empty eval set -> nothing contaminated, schema intact
     empty = ev.filter(F.lit(False))
     assert dp.semantic_decontaminate(corpus, empty).count() == 0
+    # GEMM path (forced via literal_max=0) agrees with the literal
+    # map-only path (BLAS sum order may differ in the last ulp)
+    jp = {r.vec_id: r.max_eval_cosine
+          for r in dp.semantic_decontaminate(corpus, ev, threshold=0.9,
+                                             literal_max=0).collect()}
+    assert set(jp) == set(got)
+    for k in got:
+        assert jp[k] == pytest.approx(got[k], abs=1e-12)
     with pytest.raises(ValueError):
-        dp.semantic_decontaminate(corpus, ev, max_eval=0)
+        dp.semantic_decontaminate(corpus, ev, literal_max=0, max_eval=0)
 
 
 def test_pack_bins_bfd_invariants(spark):
