@@ -44,6 +44,7 @@ KEYED = {
     "supplier": ["s_suppkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
 }
 COPY_AS_IS = ["region", "nation"]
 OFFSET = 100_000_000
@@ -53,9 +54,15 @@ def build_scaled(spark, src: str, dst: str, k: int) -> None:
     from octosql_spark.catalog import load_table
     os.makedirs(dst, exist_ok=True)
     for t in COPY_AS_IS:
+        if os.path.exists(os.path.join(dst, f"{t}.parquet")):
+            continue
         shutil.copy(os.path.join(src, f"{t}.parquet"),
                     os.path.join(dst, f"{t}.parquet"))
     for t, keys in KEYED.items():
+        # incremental: tables added to KEYED later are built into an
+        # existing replica dir without redoing the rest
+        if os.path.exists(os.path.join(dst, f"{t}.parquet")):
+            continue
         df = load_table(spark, src, t)
         rep = df.withColumn(
             "_r", F.explode(F.array(*[F.lit(i) for i in range(k)])))
@@ -89,8 +96,7 @@ def main() -> int:
     spark = get_spark("scale-stress")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    if not os.path.exists(os.path.join(dst, "lineitem.parquet")):
-        build_scaled(spark, src, dst, k)
+    build_scaled(spark, src, dst, k)
 
     # size-derived tuning, same policy as bench.py, per directory
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
