@@ -388,6 +388,516 @@ def tpch_q19_q(spark, sf_dir):
                       * (1 - F.col("l_discount"))), 2).alias("revenue"))
 
 
+@workload("tpch_q4_priority_check", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def tpch_q4_q(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), lateness adapted to the
+    testdata schema: commit/receipt dates aren't generated, so "late"
+    is l_shipdate > o_orderdate + 60 days (same correlated-EXISTS
+    shape). Plan: left-semi hash join orders<->lineitem on orderkey
+    with the date comparison as a join-side predicate, then a tiny
+    5-group aggregate. The semi join dedups matches before the agg —
+    no row explosion however many lineitems are late."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = ((F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")))
+    return (o.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@workload("tpch_q5_local_supplier", """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+def tpch_q5_q(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): 6-table join where the
+    customer and supplier must share a nation inside one region.
+    Plan shape for 100 TB: lineitem is the single probe side; orders
+    (date-filtered), customer, supplier, nation⋈region all broadcast
+    (each far under the 64 MB gate even at SF10k for nation/region;
+    supplier/customer prune first). The c_nationkey = s_nationkey
+    equality rides the supplier join as an extra key, so no post-join
+    filter explosion."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(s),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+@workload("tpch_q6_forecast_revenue", """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6_q(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-reduce,
+    the canonical pushdown benchmark. All three predicates reach the
+    parquet reader as PushedFilters; only 4 columns are read; the
+    aggregate is a map-side partial + 1-row final. The fastest shape
+    Spark has — whole-stage codegen end to end."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & F.col("l_discount").between(0.05, 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 2).alias("revenue")))
+
+
+@workload("tpch_q7_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1997-12-31') AS shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def tpch_q7_q(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): trade volume between a nation pair
+    by year — the two-role self-join of nation (supplier's vs
+    customer's). The pair disjunction can't prune either nation scan
+    alone, so it stays a post-join filter on the combined row; both
+    nation copies broadcast, lineitem probes once. EXTRACT year cast
+    to BIGINT on both engines (DuckDB years are BIGINT, Spark's INT)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1k"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
+            .filter(pair)
+            .select("supp_nation", "cust_nation",
+                    F.year("l_shipdate").cast("long").alias("l_year"),
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).alias("volume"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@workload("tpch_q8_market_share", """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                            AND TIMESTAMP '1997-12-31'
+        AND p_type = 'ECONOMY') AS all_nations
+GROUP BY o_year
+ORDER BY o_year
+""")
+def tpch_q8_q(spark, sf_dir):
+    """TPC-H Q8 (national market share): one nation's share of a
+    region's revenue in one part segment, by order year — an 8-table
+    join reduced to a conditional-aggregate ratio. Every dimension
+    broadcasts (part pruned by type first, customer-side nation
+    pruned through region); lineitem is the only shuffled input and
+    it's probed exactly once. The share is computed from the same
+    joined row set with when/otherwise — no second pass."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31 00:00:00"))
+    c = _t(spark, sf_dir, "customer")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = (_t(spark, sf_dir, "nation")
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select(F.col("n_nationkey").alias("_n1k")))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_n1k"))
+            .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_n2k"))
+            .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                    vol.alias("volume"), "nation")
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3",
+                             F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume"), 4).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@workload("tpch_q12_late_priority", """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('R', 'A')
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+def tpch_q12_q(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode priority) adapted to the testdata
+    schema: l_shipmode/commitdate/receiptdate aren't generated, so
+    the mode dimension is l_returnflag and "late" is shipdate >
+    orderdate + 30 days — identical shape (join + cross-table date
+    predicate + pivoted CASE counts). The IN filter and date range
+    push to the lineitem scan; the cross-table lateness predicate
+    evaluates on the joined row. CASE sums cast to BIGINT on the
+    oracle (DuckDB widens to HUGEINT)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+@workload("tpch_q13_customer_distribution", """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey) AS c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def tpch_q13_q(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    zero-order customers survive with c_count 0, COUNT(col) null
+    semantics doing the work (the o_comment NOT LIKE filter becomes a
+    priority filter — o_comment isn't generated). Two aggregations:
+    per-customer count (shuffle on custkey), then the tiny
+    distribution-of-counts rollup. The join-side filter lives in the
+    ON clause — filtering WHERE would turn LEFT into INNER."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@workload("tpch_q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY s_suppkey
+""")
+def tpch_q15_q(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly per-supplier revenue, keep
+    the max. The view is computed ONCE and reused for both the rows
+    and the MAX (persist marks the reuse; at 100 TB this is one
+    lineitem scan + a 1-row broadcast back). Revenue is summed in
+    integer cents — per-term rounding makes the max comparison exact
+    and engine-independent where a double sum's order-dependent last
+    ulp could disagree about ties."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01"))
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(cents).alias("total_cents")).persist())
+    mx = rev.agg(F.max("total_cents").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx), F.col("total_cents") == F.col("_mx"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+            .select("s_suppkey", "s_name", "total_cents")
+            .orderBy("s_suppkey"))
+
+
+@workload("tpch_q16_supplier_counts", """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def tpch_q16_q(spark, sf_dir):
+    """TPC-H Q16 (supplier counts by part attributes), adapted: no
+    partsupp table is generated, so the part<->supplier relation is
+    derived from lineitem — same shape (NOT-IN anti-join against a
+    filtered supplier list + count-distinct per part attribute). The
+    anti side is tiny and broadcasts; NOT IN's NULL trap doesn't
+    apply (s_suppkey is a key) so a left-anti join is exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li.join(F.broadcast(bad),
+                    F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(),
+                     "p_brand", "p_type", "p_size"))
+
+
+@workload("tpch_q17_small_quantity", """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""")
+def tpch_q17_q(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    subquery — each lineitem compares against ITS part's average
+    quantity. Decorrelated the way Catalyst/DuckDB both do it: a
+    per-part AVG aggregate joined back on partkey (the per-part
+    thresholds are ~#parts rows → broadcast). l_quantity is integral,
+    so the AVG is an exact-integer sum / count — bit-identical in
+    both engines, no threshold flicker. p_container isn't generated;
+    the brand+type filter plays its role."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+    avg_q = (li.groupBy(F.col("l_partkey").alias("_apk"))
+             .agg((F.lit(0.2) * F.avg("l_quantity")).alias("_thresh")))
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("_apk"))
+            .filter(F.col("l_quantity") < F.col("_thresh"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+@workload("tpch_q18_large_volume", """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""")
+def tpch_q18_q(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds a threshold, with customer attribution. The
+    classic plan pre-aggregates lineitem by orderkey BEFORE joining
+    (the HAVING survivor set is tiny), then broadcasts customer; the
+    IN-subquery formulation collapses to this same aggregate-then-
+    semi shape. Quantities are integral doubles — summed as BIGINT
+    so the threshold and hash are exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "total_qty")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(20))
+
+
+@workload("tpch_q21_waiting_supplier", """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+), per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nsupp
+  FROM lineitem GROUP BY l_orderkey
+), late_per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nlate
+  FROM late GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late
+JOIN per_order      USING (l_orderkey)
+JOIN late_per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE nsupp > 1 AND nlate = 1 AND n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""")
+def tpch_q21_q(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS /
+    NOT-EXISTS pair ("another supplier on the order" / "no OTHER
+    late supplier") decorrelated into two per-order aggregates —
+    a late lineitem counts iff its order has >1 distinct supplier
+    and exactly 1 distinct LATE supplier (necessarily this one).
+    Lateness adapted to shipdate > orderdate + 60d (no receipt/
+    commit dates in the testdata). Scale shape: two hash aggregates
+    keyed on orderkey and one re-join — never a per-row correlated
+    probe; supplier/nation broadcast."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+            .select("l_orderkey", "l_suppkey"))
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("nsupp")))
+    late_per_order = (late.groupBy(F.col("l_orderkey").alias("_lok"))
+                      .agg(F.count_distinct("l_suppkey").alias("nlate")))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (late.join(per_order, "l_orderkey")
+            .join(late_per_order, F.col("l_orderkey") == F.col("_lok"))
+            .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(10))
+
+
+@workload("tpch_q22_sales_opportunity", """
+WITH pool AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+FROM pool
+WHERE bal_cents > (SELECT AVG(bal_cents) FROM pool WHERE bal_cents > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+""", cartesian_ok=True)
+def tpch_q22_q(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no recent orders, counted per country. Adapted:
+    c_phone isn't generated so the country code is c_nationkey, and
+    every sf0.01 customer has SOME order so "no orders" becomes "no
+    orders since 1999" (same anti-join shape, non-empty result).
+    Balances compare in integer cents: the uncorrelated AVG is an
+    exact integer sum / count (bit-identical across engines), the
+    threshold a 1-row broadcast, the NOT EXISTS a left-anti hash
+    join on custkey."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9))
+    pool = c.select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"))
+    thresh = (pool.filter(F.col("bal_cents") > 0)
+              .agg(F.avg("bal_cents").alias("_avg")))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01").select("o_custkey")
+    return (pool.join(F.broadcast(thresh), F.col("bal_cents") > F.col("_avg"))
+            .join(recent, F.col("o_custkey") == F.col("c_custkey"),
+                  "left_anti")
+            .groupBy("cntrycode")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum("bal_cents").alias("total_cents"))
+            .orderBy("cntrycode"))
+
+
 @workload("join_theta", """
 SELECT c_nationkey AS nationkey, COUNT(*) AS n
 FROM supplier JOIN customer

@@ -33,7 +33,10 @@ def audit(name: str, df, cartesian_ok: bool = False) -> list[str]:
         flags.append("unintended cartesian/BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("row-at-a-time Python UDF in plan")
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)", plan):
+    # stop at end-of-line: executedPlan toString TRUNCATES long scan
+    # lines ("...tim..." with no closing '>'), and a multi-line match
+    # would count the tree-drawing ':' characters of following lines
+    for m in re.finditer(r"ReadSchema: struct<([^>\n]*)", plan):
         ncols = m.group(1).count(":")
         if ncols > 15:
             flags.append(f"wide scan ({ncols} cols)")
