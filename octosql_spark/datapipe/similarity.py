@@ -393,3 +393,62 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     return (rescored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def matryoshka_truncate(vec: Column, dim: int) -> Column:
+    """First-``dim`` prefix of an embedding, L2-renormalized — the
+    Matryoshka (MRL) trick: models trained with matryoshka losses pack
+    a usable coarse embedding into every prefix, so retrieval can scan
+    dim/D of the bytes. Pure expressions (slice → sequential
+    sum-of-squares → per-element divide), bit-reproducible in any
+    engine that folds left-to-right."""
+    tr = F.slice(vec.cast("array<double>"), 1, dim)
+    nrm = F.sqrt(F.aggregate(tr, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(tr, lambda x: x / nrm)
+
+
+def matryoshka_funnel_topk(queries: DataFrame, corpus: DataFrame,
+                           k: int = 5, coarse_dim: int = 16,
+                           overfetch: int = 4, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Funnel retrieval over Matryoshka embeddings: a coarse top-
+    (k*overfetch) pass on the truncated+renormalized prefix, then an
+    exact full-dimension rerank of only those candidates. Returns
+    (query_id, neighbor_id, rank) — the standard two-stage ANN
+    serving shape with ~dim/D of the memory traffic in the scan stage.
+
+    Scale shape: the coarse pass is the brute-force scan with
+    coarse_dim-wide vectors (broadcast query block, ONE corpus scan,
+    per-partition top-k); the rerank joins the tiny candidate set
+    (|Q|*k*overfetch rows) back to the corpus by id — a broadcast
+    hash join probing the corpus once more, never an all-pairs.
+    Deterministic across engines: prefix slice, sequential
+    accumulation, ties broken by neighbor id."""
+    kk = k * overfetch
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       matryoshka_truncate(F.col(vec_col), coarse_dim)
+                       .alias("_qt"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      matryoshka_truncate(F.col(vec_col), coarse_dim)
+                      .alias("_ct"))
+    coarse = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("_csim", _dot(F.col("_qt"), F.col("_ct"))))
+    wc = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(),
+                                                F.col("neighbor_id"))
+    cand = (coarse.withColumn("_cr", F.row_number().over(wc))
+            .filter(F.col("_cr") <= kk)
+            .select("query_id", "neighbor_id"))
+    full = lambda alias: corpus.select(
+        F.col(id_col).alias(alias),
+        F.col(vec_col).cast("array<double>").alias(f"_{alias}_v"))
+    rescored = (cand
+                .join(F.broadcast(full("qid")),
+                      F.col("query_id") == F.col("qid"))
+                .join(full("nid"), F.col("neighbor_id") == F.col("nid"))
+                .withColumn("_sim", _dot(F.col("_qid_v"), F.col("_nid_v"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(),
+                                               F.col("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))

@@ -3800,3 +3800,43 @@ def ann_cosine_topk_gemm_q(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 20)
     return cosine_topk_bruteforce(q, e, k=5, impl="pandas").select(
         "query_id", "neighbor_id", "rank")
+
+
+@workload("ann_matryoshka_funnel", cartesian_ok=True, oracle="""
+WITH nq AS (
+  SELECT vec_id, list_transform(tr, x -> x / nrm) AS tv
+  FROM (SELECT vec_id,
+               list_transform(embedding[1:16],
+                              x -> CAST(x AS DOUBLE)) AS tr,
+               sqrt(list_sum(list_transform(embedding[1:16],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings)
+), coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.tv, c.tv) DESC, c.vec_id) AS crank
+  FROM nq q JOIN nq c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 20
+), cand AS (SELECT query_id, neighbor_id FROM coarse WHERE crank <= 20)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY cand.query_id
+           ORDER BY list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+                                     CAST(ce.embedding AS DOUBLE[])) DESC,
+                    cand.neighbor_id) AS rank
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+) WHERE rank <= 5
+""")
+def ann_matryoshka_funnel_q(spark, sf_dir):
+    """Matryoshka funnel retrieval: coarse top-20 on the renormalized
+    16-dim prefix, exact 64-dim rerank to top-5 — two-stage ANN with
+    4x less memory traffic in the scan stage. Both stages are pure
+    sequential-fold expressions, so the DuckDB oracle reproduces the
+    funnel bit-for-bit (including which candidates the coarse stage
+    misses)."""
+    from octosql_spark.datapipe.similarity import matryoshka_funnel_topk
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return matryoshka_funnel_topk(q, e, k=5, coarse_dim=16, overfetch=4)
