@@ -472,7 +472,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
-""")
+""", headline=True)
 def tpch_q6_q(spark, sf_dir):
     """TPC-H Q6 (forecasting revenue change): pure scan-filter-reduce,
     the canonical pushdown benchmark. All three predicates reach the
@@ -774,7 +774,7 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20
-""")
+""", headline=True)
 def tpch_q18_q(spark, sf_dir):
     """TPC-H Q18 (large-volume customers): orders whose total lineitem
     quantity exceeds a threshold, with customer attribution. The
@@ -3706,10 +3706,21 @@ def tuple_in_subquery_q(spark, sf_dir):
     """)
 
 
-@workload("docs_functions", None)
+def _docs_signatures_oracle() -> str:
+    from octosql_spark.functions.registry import FUNCTIONS
+    rows = sorted((f.name, sig) for f in FUNCTIONS.values()
+                  for sig in f.signatures)
+    esc = lambda s: s.replace("'", "''")
+    vals = ", ".join(f"('{esc(n)}', '{esc(s)}')" for n, s in rows)
+    return (f"SELECT * FROM (VALUES {vals}) AS t(name, signature)")
+
+
+@workload("docs_functions", _docs_signatures_oracle())
 def docs_functions_q(spark, sf_dir):
-    """docs.* introspection tables (datasources/docs/) — rows-only
-    (the oracle's DuckDB session has no registry views)."""
+    """docs.function_signatures with a VALUES oracle — pins every
+    (name, signature) overload row of the §2.7 catalog at the gate
+    (datasources/docs/database.go:20-120); a dropped or retyped
+    overload hash-mismatches here."""
     from octosql_spark.sources.docs import docs_table
     return docs_table(spark, "function_signatures")
 

@@ -76,19 +76,46 @@ def _strs(depth: int) -> st.SearchStrategy:
                        f"substr({p[0][1]}, {p[1]} + 1)")),
         _ints(depth - 1).map(
             lambda i: (f"string({i[0]})", f"CAST({i[1]} AS VARCHAR)")),
+        sub.map(lambda s: (f"lower({s[0]})", f"lower({s[1]})")),
+        st.tuples(sub, st.sampled_from(["a", "l", "x"]),
+                  st.sampled_from(["", "z", "qq"])).map(
+            lambda p: (f"replace({p[0][0]}, '{p[1]}', '{p[2]}')",
+                       f"replace({p[0][1]}, '{p[1]}', '{p[2]}')")),
     )
 
 
-def _exprs() -> st.SearchStrategy:
-    return st.one_of(
-        _ints(2),
-        _strs(2),
+def _bools(depth: int) -> st.SearchStrategy:
+    atoms = st.one_of(
         st.tuples(_ints(1), _ints(1)).map(
             lambda p: (f"({p[0][0]} >= {p[1][0]})",
                        f"({p[0][1]} >= {p[1][1]})")),
         st.tuples(_strs(1), _strs(1)).map(
             lambda p: (f"({p[0][0]} = {p[1][0]})", f"({p[0][1]} = {p[1][1]})")),
+        # LIKE and the reference's `~` regex-match operator
+        st.tuples(_strs(1), st.sampled_from(["N%", "%1%", "%"])).map(
+            lambda p: (f"({p[0][0]} LIKE '{p[1]}')",
+                       f"({p[0][1]} LIKE '{p[1]}')")),
+        st.tuples(_strs(1), st.sampled_from(["N", "[0-9]", "ION"])).map(
+            lambda p: (f"({p[0][0]} ~ '{p[1]}')",
+                       f"regexp_matches({p[0][1]}, '{p[1]}')")),
     )
+    if depth == 0:
+        return atoms
+    sub = _bools(depth - 1)
+    return st.one_of(
+        atoms,
+        st.tuples(sub, sub).map(
+            lambda p: (f"({p[0][0]} AND {p[1][0]})",
+                       f"({p[0][1]} AND {p[1][1]})")),
+        st.tuples(sub, sub).map(
+            lambda p: (f"({p[0][0]} OR {p[1][0]})",
+                       f"({p[0][1]} OR {p[1][1]})")),
+        sub.map(lambda b: (f"(NOT {b[0]})", f"(NOT {b[1]})")),
+    )
+
+
+def _exprs() -> st.SearchStrategy:
+    return st.one_of(_ints(2), _strs(2), _bools(2))
 
 
 @settings(max_examples=40, deadline=None,
