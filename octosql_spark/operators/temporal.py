@@ -207,3 +207,52 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
                  & (F.col("week_offset") <= max_weeks)))
     return (j.groupBy("cohort_week", "week_offset")
             .agg(F.count_distinct("_u").alias("active_users")))
+
+
+def interval_concurrency(intervals: DataFrame, start_col: str = "start",
+                         end_col: str = "end",
+                         bucket: str = "hour") -> DataFrame:
+    """Sweep-line concurrency: how many intervals are active at each
+    event instant, reported as the peak per time ``bucket`` — the
+    "peak concurrent sessions per hour" operator. Intervals are
+    CLOSED on both ends (a zero-length interval counts 1 at its
+    instant).
+
+    Not a self-join (intervals x instants collapses at scale) and not
+    one global sort: the classic +1/-1 sweep is decomposed into
+    (1) a per-instant collapse — one hash shuffle keyed on the
+    timestamp, producing net and start counts per distinct instant;
+    (2) a per-bucket prefix table — |buckets| rows (bounded: hours in
+    the data's time span), cumulated with one unpartitioned window
+    over that tiny table only, exactly the mixture-sample domain-table
+    pattern; (3) a within-bucket running sum — windows partitioned by
+    bucket. Peak at an instant applies starts before ends (closed
+    ends): peak(t) = prefix_before(t) + starts(t); the carried
+    running value uses net(t).
+    """
+    s = intervals.select(F.col(start_col).alias("_ts"),
+                         F.lit(1).alias("_d"))
+    e = intervals.select(F.col(end_col).alias("_ts"),
+                         F.lit(-1).alias("_d"))
+    per_ts = (s.unionByName(e)
+              .groupBy("_ts")
+              .agg(F.sum("_d").alias("_net"),
+                   F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+                   .alias("_starts"))
+              .withColumn("_bucket", F.date_trunc(bucket, F.col("_ts"))))
+    # tiny per-bucket prefix: exclusive cumulative net before the bucket
+    wb = (Window.partitionBy().orderBy("_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bucket_prefix = (per_ts.groupBy("_bucket")
+                     .agg(F.sum("_net").alias("_bnet"))
+                     .select("_bucket",
+                             F.coalesce(F.sum("_bnet").over(wb), F.lit(0))
+                             .alias("_prefix")))
+    wt = (Window.partitionBy("_bucket").orderBy("_ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prof = (per_ts.join(F.broadcast(bucket_prefix), "_bucket")
+            .withColumn("_cum", F.col("_prefix") + F.sum("_net").over(wt))
+            .withColumn("_peak_at",
+                        F.col("_cum") - F.col("_net") + F.col("_starts")))
+    return (prof.groupBy(F.col("_bucket").alias("bucket"))
+            .agg(F.max("_peak_at").cast("long").alias("peak")))

@@ -3851,3 +3851,70 @@ def ann_matryoshka_funnel_q(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     return matryoshka_funnel_topk(q, e, k=5, coarse_dim=16, overfetch=4)
+
+
+@workload("concurrency_peak_hourly", """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+), m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR ts > prev_ts + INTERVAL '30 minutes' THEN 1
+              ELSE 0 END AS is_new
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m
+), sess AS (
+  SELECT user_id, session_seq,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s GROUP BY user_id, session_seq
+), deltas AS (
+  SELECT session_start AS ts, 1 AS d FROM sess
+  UNION ALL
+  SELECT session_end AS ts, -1 AS d FROM sess
+), net AS (
+  SELECT ts, SUM(d) AS nd,
+         SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS st
+  FROM deltas GROUP BY ts
+), run AS (
+  SELECT ts, nd, st,
+         SUM(nd) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS cum
+  FROM net
+)
+SELECT date_trunc('hour', ts) AS bucket,
+       CAST(MAX(cum - nd + st) AS BIGINT) AS peak
+FROM run GROUP BY 1
+""", cartesian_ok=True)
+def concurrency_peak_hourly_q(spark, sf_dir):
+    """Peak concurrent sessions per hour: sessionize (30-min gap),
+    then the sweep-line concurrency operator. The oracle runs the
+    naive single-window global sweep; the Spark side runs the
+    decomposed two-level prefix-sum (per-instant collapse -> tiny
+    per-bucket prefix table -> within-bucket windows) — same answer,
+    but the distributed shape never sorts the full stream in one
+    partition. cartesian_ok: the |buckets|-row prefix table
+    broadcast is the intended 1-small-side join."""
+    from octosql_spark.operators.temporal import interval_concurrency
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id", "event_id", "ts",
+        F.when(prev.isNull()
+               | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+               1).otherwise(0).alias("is_new"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (flagged
+            .select("user_id", "ts",
+                    F.sum("is_new").over(wc).alias("session_seq"))
+            .groupBy("user_id", "session_seq")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+    return interval_concurrency(sess, "session_start", "session_end",
+                                bucket="hour")

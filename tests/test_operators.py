@@ -252,3 +252,26 @@ def test_retention_cohorts_offsets(spark):
     assert got[("2024-01-01", 1)] == 1   # user 1 active in week 1
     assert got[("2024-01-01", 2)] == 1
     assert all(k[0] == "2024-01-01" for k in got)
+
+
+def test_interval_concurrency_closed_semantics(spark):
+    """Hand-computed sweep: closed intervals, starts apply before ends
+    at a tied instant, zero-length intervals count 1 at their
+    instant, concurrency carries across bucket boundaries."""
+    from datetime import datetime
+    from octosql_spark.operators.temporal import interval_concurrency
+    iv = spark.createDataFrame([
+        # two overlapping in hour 0
+        (datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 40)),
+        (datetime(2024, 1, 1, 0, 30), datetime(2024, 1, 1, 1, 20)),
+        # zero-length at 00:30 — counts at its instant (peak 3 there)
+        (datetime(2024, 1, 1, 0, 30), datetime(2024, 1, 1, 0, 30)),
+        # overlaps interval 2 across the hour-1/hour-2 boundary
+        (datetime(2024, 1, 1, 1, 10), datetime(2024, 1, 1, 2, 5)),
+    ], "start timestamp, end timestamp")
+    got = {r.bucket.hour: r.peak
+           for r in interval_concurrency(iv, "start", "end").collect()}
+    # hour 0: at 00:30 three starts are live before any end applies
+    # hour 1: intervals 2 and 4 overlap at 01:10..01:20 -> 2
+    # hour 2: interval 4 carried in, its end instant alone -> 1
+    assert got == {0: 3, 1: 2, 2: 1}
