@@ -99,6 +99,56 @@ def _parse_image_header(data: bytes) -> dict | None:
     return None
 
 
+def _parse_av_header(data: bytes) -> dict | None:
+    """Pure-Python audio/video header parse (no dependencies): WAV
+    (RIFF fmt/data chunks → sample-rate-exact duration) and MP4/ISO
+    BMFF (moov/mvhd timescale+duration). Width/height stay 0 for
+    audio; MP4 reports container duration without decoding frames."""
+    # WAV: RIFF....WAVE then chunk walk
+    if len(data) >= 44 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        i, byte_rate, data_size = 12, 0, 0
+        while i + 8 <= len(data):
+            cid = data[i:i + 4]
+            clen = int.from_bytes(data[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 16 + 8 <= len(data):
+                byte_rate = int.from_bytes(data[i + 16:i + 20], "little")
+            elif cid == b"data":
+                data_size = clen
+            i += 8 + clen + (clen & 1)
+        if byte_rate > 0:
+            return {"width": 0, "height": 0, "n_frames": 1,
+                    "duration_s": round(data_size / byte_rate, 3)}
+    # MP4 / ISO BMFF: top-level box walk to moov → mvhd
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        i = 0
+        while i + 8 <= len(data):
+            blen = int.from_bytes(data[i:i + 4], "big")
+            btyp = data[i + 4:i + 8]
+            if blen < 8:
+                break
+            if btyp == b"moov":
+                j = i + 8
+                while j + 8 <= min(i + blen, len(data)):
+                    slen = int.from_bytes(data[j:j + 4], "big")
+                    styp = data[j + 4:j + 8]
+                    if styp == b"mvhd" and j + 8 + 20 <= len(data):
+                        ver = data[j + 8]
+                        if ver == 1:
+                            ts = int.from_bytes(data[j + 28:j + 32], "big")
+                            dur = int.from_bytes(data[j + 32:j + 40], "big")
+                        else:
+                            ts = int.from_bytes(data[j + 20:j + 24], "big")
+                            dur = int.from_bytes(data[j + 24:j + 28], "big")
+                        if ts > 0:
+                            return {"width": 0, "height": 0, "n_frames": 1,
+                                    "duration_s": round(dur / ts, 3)}
+                    if slen < 8:
+                        break
+                    j += slen
+            i += blen
+    return None
+
+
 def _pil_decode(data: bytes) -> dict | None:
     import io
     import PIL.Image
@@ -143,6 +193,8 @@ def decode_media(df: DataFrame, binary_col: str = "media",
                    else _parse_image_header(data))
             if got is None and use_pil:
                 got = _parse_image_header(data)
+            if got is None:
+                got = _parse_av_header(data)
             if got is not None:
                 return got
             if backend == "real":

@@ -1008,3 +1008,41 @@ def test_matryoshka_funnel_recall_at_small_overfetch(spark, sf_dir):
     exact = {(r.query_id, r.neighbor_id)
              for r in cosine_topk_bruteforce(q, emb, k=3).collect()}
     assert len(funnel & exact) / len(exact) >= 0.5
+
+
+def test_decode_media_av_headers(spark):
+    """Planted WAV (RIFF fmt/data) and MP4 (ftyp + moov/mvhd) bytes:
+    the dependency-free AV parser must report sample-rate-exact /
+    timescale-exact durations; truncated boxes fall back to the
+    stub instead of raising mid-corpus."""
+    import struct
+
+    def wav(sample_rate, channels, bits, seconds):
+        byte_rate = sample_rate * channels * bits // 8
+        data = b"\x00" * (byte_rate * seconds)
+        fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                          byte_rate, channels * bits // 8, bits)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt +
+                b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+    def mp4(timescale, duration):
+        mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8 +
+                struct.pack(">II", timescale, duration) + b"\x00" * 80)
+        mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+        moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+        ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+        return ftyp + moov
+
+    rows = [Row(media_id=1, media=wav(16000, 1, 16, 3)),
+            Row(media_id=2, media=mp4(1000, 12500)),
+            Row(media_id=3, media=b"RIFF\x00\x00\x00\x00AVI LIST")]
+    df = spark.createDataFrame(rows)
+    got = {r.media_id: r
+           for r in dp.decode_media(df, "media", backend="headers").collect()}
+    assert got[1].duration_s == 3.0 and got[1].width == 0
+    assert got[2].duration_s == 12.5
+    # non-WAVE RIFF → stub fallback, deterministic
+    stub = {r.media_id: r
+            for r in dp.decode_media(df, "media", backend="stub").collect()}
+    assert (got[3].width, got[3].height) == (stub[3].width, stub[3].height)
