@@ -485,3 +485,35 @@ def dsir_select(docs: DataFrame, target: DataFrame, frac: float = 0.25,
     ).first()[0]
     return (keyed.filter(F.col("_gumbel_key") >= F.lit(thresh))
             .select(id_col, "n_words", "log_ratio"))
+
+
+def vocab_oov_rate(docs: DataFrame, vocab_size: int = 100,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` word vocabulary — the tokenizer-coverage
+    diagnostic run before vocab induction (how much of the corpus
+    does a frequency-cutoff vocab explain?). Returns (id, n_tokens,
+    oov_rate).
+
+    Scale shape: one token-count aggregation (map-side combined), a
+    top-k on the (small) distinct-word table, then a broadcast
+    LEFT-ANTI join of the token stream against the vocab and a
+    per-doc aggregation — two corpus-keyed shuffles, no driver-side
+    vocab materialization. Ties at the frequency cutoff break by
+    word, so the vocab is deterministic in any engine."""
+    toks = (docs
+            .filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col),
+                    F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+")).alias("_w")))
+    vocab = (toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+             .orderBy(F.col("_c").desc(), "_w").limit(vocab_size)
+             .select("_w"))
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    oov = (toks.join(F.broadcast(vocab), "_w", "left_anti")
+           .groupBy(id_col).agg(F.count(F.lit(1)).alias("_oov")))
+    return (per_doc.join(oov, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.round(F.coalesce(F.col("_oov"), F.lit(0))
+                            / F.col("n_tokens"), 6).alias("oov_rate")))

@@ -28,6 +28,11 @@ _SCALE_CONFS = {
     "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Serve bare MIN/MAX/COUNT from parquet footer statistics instead
+    # of scanning row groups — at 100 TB a COUNT(*) or MIN(ship_date)
+    # over a table becomes a metadata read. Only fires for unfiltered
+    # scans, so no correctness surface.
+    "spark.sql.parquet.aggregatePushdown": "true",
     # Parquet timestamps in the testdata are TIMESTAMP_NTZ; keep
     # inference consistent so oracle comparisons are tz-stable.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",

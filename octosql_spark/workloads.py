@@ -3918,3 +3918,55 @@ def concurrency_peak_hourly_q(spark, sf_dir):
                  F.max("ts").alias("session_end")))
     return interval_concurrency(sess, "session_start", "session_end",
                                 bucket="hour")
+
+
+@workload("profile_price_histogram", """
+SELECT CAST(LEAST(FLOOR(o_totalprice / 30000), 19) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1 ORDER BY bin
+""")
+def profile_price_histogram_q(spark, sf_dir):
+    """Fixed-width histogram profiling (20 bins over order totals,
+    top bin open) — the data-distribution report that sizes skew
+    guards and bucket counts before a big job. Explicit floor
+    arithmetic rather than width_bucket so the binning is
+    bit-identical in any engine; single map-side-combined
+    aggregation, 20-row output."""
+    o = _t(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 30000),
+                   F.lit(19)).cast("long")
+    return (o.groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi"))
+            .orderBy("bin"))
+
+
+@workload("text_vocab_oov", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE len(trim(text)) > 0
+), vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+                 ORDER BY c DESC, w LIMIT 100) AS t
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS oov
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(oov * 1.0 / n_tokens, 6) AS oov_rate
+FROM per_doc
+""")
+def text_vocab_oov_q(spark, sf_dir):
+    """Tokenizer-coverage diagnostic: per-document OOV rate against
+    the corpus's own top-100 word vocabulary (frequency cutoff, ties
+    broken by word). Vocabulary induction + coverage in one pass —
+    see datapipe.text.vocab_oov_rate for the shuffle budget."""
+    from octosql_spark.datapipe.text import vocab_oov_rate
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_oov_rate(d, vocab_size=100)
