@@ -255,3 +255,55 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
                    (F.col("_rk") == 1).alias("keep")))
     x.unpersist()
     return out
+
+
+def graph_metrics(edges: DataFrame, a_col: str = "id_a",
+                  b_col: str = "id_b") -> DataFrame:
+    """Structure metrics of the near-dup graph in one row:
+    (n_nodes, n_edges, n_triangles, transitivity) — the health check
+    that tells a dedup pipeline whether its pair set is sparse
+    matches or dense clique blow-up (transitivity = 3*triangles /
+    wedges; near 1 means the pairs are really cliques and
+    cluster-level dedup will collapse them).
+
+    Triangle counting uses degree orientation — every edge points
+    from its lower-(degree, id) endpoint to the higher — so each
+    wedge is enumerated at exactly one apex and the join fan-out per
+    node is bounded by sqrt(2*|E|) regardless of skew (the hub node
+    that would explode a naive wedge join has maximal degree, so it
+    SOURCES almost nothing). Three hash joins on node ids; no
+    all-pairs anywhere. Wedge totals come from the degree table
+    alone."""
+    e = (edges.select(F.least(F.col(a_col), F.col(b_col)).alias("a"),
+                      F.greatest(F.col(a_col), F.col(b_col)).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct().persist())
+    deg = (e.select(F.col("a").alias("n"))
+           .unionAll(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    # orient: src = endpoint with the smaller (deg, id) tuple
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_db"))
+    ed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("_da") < F.col("_db")) | \
+          ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"))
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedge = o1.join(o2, "src").filter(F.col("v") < F.col("w"))
+    closed = wedge.join(
+        e, (F.least(F.col("v"), F.col("w")) == F.col("a"))
+        & (F.greatest(F.col("v"), F.col("w")) == F.col("b")))
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = (deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long")
+        .alias("_wedges")))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = (stats.crossJoin(n_edges).crossJoin(tri)
+           .select("n_nodes", "n_edges", "n_triangles",
+                   F.round(3.0 * F.col("n_triangles")
+                           / F.when(F.col("_wedges") > 0, F.col("_wedges")),
+                           6).alias("transitivity")))
+    return out

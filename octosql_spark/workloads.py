@@ -3970,3 +3970,37 @@ def text_vocab_oov_q(spark, sf_dir):
     from octosql_spark.datapipe.text import vocab_oov_rate
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return vocab_oov_rate(d, vocab_size=100)
+
+
+@workload("cluster_graph_metrics", """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+e AS (SELECT a.vec_id AS a, b.vec_id AS b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+deg AS (SELECT n, COUNT(*) AS d
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) t
+        GROUP BY n),
+tri AS (SELECT COUNT(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       ROUND(3.0 * (SELECT n_triangles FROM tri)
+             / (SELECT SUM(d * (d - 1)) / 2 FROM deg), 6) AS transitivity
+""", cartesian_ok=True)
+def cluster_graph_metrics_q(spark, sf_dir):
+    """Near-dup graph structure metrics (triangles via degree
+    orientation, global transitivity) over the deterministic
+    cosine>=0.3 edge set. The oracle counts triangles with the naive
+    ordered 3-way join (a<b<c); the Spark side's degree-oriented
+    enumeration must produce the identical count."""
+    from octosql_spark.datapipe import embedding_near_dup_pairs
+    from octosql_spark.datapipe.cluster import graph_metrics
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = (embedding_near_dup_pairs(e, threshold=0.3, method="exact")
+             .select("id_a", "id_b"))
+    return graph_metrics(pairs)

@@ -1046,3 +1046,16 @@ def test_decode_media_av_headers(spark):
     stub = {r.media_id: r
             for r in dp.decode_media(df, "media", backend="stub").collect()}
     assert (got[3].width, got[3].height) == (stub[3].width, stub[3].height)
+
+
+def test_graph_metrics_planted(spark):
+    """Triangle 1-2-3 plus pendant edge 3-4 (duplicate/reversed input
+    edges must canonicalize away): 4 nodes, 4 edges, 1 triangle,
+    wedges = 1+1+3 = 5, transitivity = 3/5."""
+    from octosql_spark.datapipe.cluster import graph_metrics
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1), (4, 3)],
+        "id_a long, id_b long")
+    r = graph_metrics(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 4, 1)
+    assert abs(r.transitivity - 0.6) < 1e-9
