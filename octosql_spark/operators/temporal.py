@@ -256,3 +256,42 @@ def interval_concurrency(intervals: DataFrame, start_col: str = "start",
                         F.col("_cum") - F.col("_net") + F.col("_starts")))
     return (prof.groupBy(F.col("_bucket").alias("bucket"))
             .agg(F.max("_peak_at").cast("long").alias("peak")))
+
+
+def rolling_zscore(counts: DataFrame, ts_col: str = "bucket",
+                   value_col: str = "n", trailing: int = 24,
+                   keys: Sequence[str] = ()) -> DataFrame:
+    """Trailing-window anomaly score: each bucket's value against the
+    mean/std of the ``trailing`` PRECEDING buckets (the bucket itself
+    excluded — an anomaly must not mask itself). Appends
+    (trail_mean, trail_std, zscore); buckets with fewer than 2
+    trailing points get NULL scores.
+
+    Determinism contract: the moments come from exact integer window
+    sums — SUM(x) and SUM(x^2) over a BIGINT value — so mean and
+    variance are ratios of exact integers and the z-score is
+    bit-identical in any engine (a naive windowed STDDEV accumulates
+    doubles in engine-dependent order). Variance uses the n-1 form
+    ``(sumsq - sum^2/n) / (n-1)``.
+
+    Scale shape: one window per key over time-ordered buckets —
+    hash-partitioned by key; with no keys the bucket table is already
+    tiny (one row per hour of history), never the raw event stream.
+    """
+    ks = list(keys)
+    w = (Window.partitionBy(*ks).orderBy(ts_col)
+         .rowsBetween(-trailing, -1)) if ks else \
+        (Window.partitionBy().orderBy(ts_col).rowsBetween(-trailing, -1))
+    x = F.col(value_col).cast("long")
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    cnt = F.count(x).over(w)
+    mean = s1 / cnt
+    var = (s2 - (s1 * s1) / cnt) / (cnt - 1)
+    std = F.sqrt(var)
+    return counts.select(
+        *ks, ts_col, value_col,
+        F.when(cnt >= 2, F.round(mean, 6)).alias("trail_mean"),
+        F.when(cnt >= 2, F.round(std, 6)).alias("trail_std"),
+        F.when((cnt >= 2) & (std > 0),
+               F.round((x - mean) / std, 6)).alias("zscore"))

@@ -4004,3 +4004,41 @@ def cluster_graph_metrics_q(spark, sf_dir):
     pairs = (embedding_near_dup_pairs(e, threshold=0.3, method="exact")
              .select("id_a", "id_b"))
     return graph_metrics(pairs)
+
+
+@workload("events_hourly_anomaly", """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+  FROM events GROUP BY 1
+), z AS (
+  SELECT bucket, n,
+         SUM(n)     OVER w AS s1,
+         SUM(n * n) OVER w AS s2,
+         COUNT(n)   OVER w AS c
+  FROM hourly
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket, CAST(n AS BIGINT) AS n,
+       CASE WHEN c >= 2 THEN ROUND(s1 * 1.0 / c, 6) END AS trail_mean,
+       CASE WHEN c >= 2
+            THEN ROUND(sqrt((s2 - s1 * 1.0 * s1 / c) / (c - 1)), 6)
+       END AS trail_std,
+       CASE WHEN c >= 2 AND (s2 - s1 * 1.0 * s1 / c) > 0
+            THEN ROUND((n - s1 * 1.0 / c)
+                       / sqrt((s2 - s1 * 1.0 * s1 / c) / (c - 1)), 6)
+       END AS zscore
+FROM z
+""", cartesian_ok=True)
+def events_hourly_anomaly_q(spark, sf_dir):
+    """Hourly event-count anomaly detection: each hour scored against
+    the trailing 24 hours' mean/std (self-excluded). Moments from
+    exact integer window sums so the z-score is engine-identical —
+    see operators.temporal.rolling_zscore. The hourly rollup is one
+    map-side-combined aggregation; the window runs over the tiny
+    bucket table (cartesian_ok covers its |buckets|-row global
+    window)."""
+    from octosql_spark.operators.temporal import rolling_zscore
+    e = _t(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    return rolling_zscore(hourly, "bucket", "n", trailing=24)
