@@ -275,3 +275,63 @@ def test_interval_concurrency_closed_semantics(spark):
     # hour 1: intervals 2 and 4 overlap at 01:10..01:20 -> 2
     # hour 2: interval 4 carried in, its end instant alone -> 1
     assert got == {0: 3, 1: 2, 2: 1}
+
+
+def test_interval_concurrency_matches_bruteforce_random(spark):
+    """Randomized cross-check: the decomposed two-level prefix-sum
+    must equal the closed-interval definition (active(t) =
+    #{s <= t <= e}, peak per hour = max over event instants) computed
+    brute-force in Python."""
+    import random
+    from datetime import datetime, timedelta
+    from octosql_spark.operators.temporal import interval_concurrency
+    rng = random.Random(7)
+    base = datetime(2024, 3, 1)
+    for trial in range(5):
+        iv = [(rng.randrange(0, 300), rng.randrange(0, 120))
+              for _ in range(rng.randrange(1, 12))]
+        rows = [(base + timedelta(minutes=s),
+                 base + timedelta(minutes=s + d)) for s, d in iv]
+        expected: dict = {}
+        instants = sorted({t for r in rows for t in r})
+        for t in instants:
+            active = sum(1 for s, e in rows if s <= t <= e)
+            hour = t.replace(minute=0, second=0, microsecond=0)
+            expected[hour] = max(expected.get(hour, 0), active)
+        df = spark.createDataFrame(rows, "start timestamp, end timestamp")
+        got = {r.bucket: r.peak
+               for r in interval_concurrency(df, "start", "end").collect()}
+        assert got == expected, f"trial {trial}: {iv}"
+
+
+def test_rolling_zscore_matches_bruteforce_random(spark):
+    """Randomized cross-check of the exact-integer-moment z-score
+    against plain Python arithmetic (same formula, same rounding)."""
+    import random
+    from datetime import datetime, timedelta
+    from octosql_spark.operators.temporal import rolling_zscore
+    rng = random.Random(11)
+    base = datetime(2024, 3, 1)
+    for trial in range(4):
+        vals = [rng.randrange(0, 30) for _ in range(rng.randrange(4, 16))]
+        rows = [(base + timedelta(hours=i), v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "bucket timestamp, n long")
+        got = {r.bucket: (r.trail_mean, r.trail_std, r.zscore)
+               for r in rolling_zscore(df, "bucket", "n",
+                                       trailing=5).collect()}
+        for i, v in enumerate(vals):
+            window = vals[max(0, i - 5):i]
+            t = rows[i][0]
+            if len(window) < 2:
+                assert got[t] == (None, None, None)
+                continue
+            s1, s2, c = sum(window), sum(x * x for x in window), len(window)
+            mean = s1 / c
+            var = (s2 - s1 * s1 / c) / (c - 1)
+            std = var ** 0.5
+            assert abs(got[t][0] - round(mean, 6)) < 1e-9
+            assert abs(got[t][1] - round(std, 6)) < 1e-9
+            if var > 0:
+                assert abs(got[t][2] - round((v - mean) / std, 6)) < 1e-9
+            else:
+                assert got[t][2] is None
