@@ -4042,3 +4042,207 @@ def events_hourly_anomaly_q(spark, sf_dir):
     hourly = (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
               .agg(F.count(F.lit(1)).alias("n")))
     return rolling_zscore(hourly, "bucket", "n", trailing=24)
+
+
+# -------- TPC-H q2/q9/q11/q20 via a DERIVED partsupp relation --------
+# The testdata generates no partsupp table; these four queries derive
+# a deterministic stand-in inside the query itself — reproducible
+# identically in the oracle CTE — so the queries' characteristic plan
+# shapes (min-cost correlated subquery, profit join, value-threshold
+# HAVING, nested correlated IN) are exercised end-to-end:
+#   ps_availqty       = COUNT(*) of the pair's lineitems
+#   ps_supplycost_cents = min unit price over the pair, integer cents
+
+_PARTSUPP_SQL = """partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         COUNT(*) AS ps_availqty,
+         CAST(ROUND(MIN(l_extendedprice / l_quantity) * 100) AS BIGINT)
+           AS ps_supplycost_cents
+  FROM lineitem GROUP BY 1, 2)"""
+
+
+def _partsupp(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                       F.col("l_suppkey").alias("ps_suppkey"))
+            .agg(F.count(F.lit(1)).alias("ps_availqty"),
+                 F.round(F.min(F.col("l_extendedprice")
+                               / F.col("l_quantity")) * 100)
+                 .cast("long").alias("ps_supplycost_cents")))
+
+
+@workload("tpch_q2_min_cost_supplier", f"""
+WITH {_PARTSUPP_SQL}
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost_cents
+FROM part, partsupp, supplier, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost_cents = (
+    SELECT MIN(ps2.ps_supplycost_cents)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 10
+""")
+def tpch_q2_q(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier): the correlated min-cost
+    subquery decorrelated to a per-part MIN aggregate over the
+    region's suppliers, equality-joined back — integer-cents cost
+    makes the min compare exact. Region-filtered supplier set
+    broadcasts; partsupp derives once from lineitem."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (s.join(F.broadcast(
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey")))
+    eu_ps = ps.join(F.broadcast(eu_supp.select("s_suppkey", "s_acctbal",
+                                               "s_name", "n_name")),
+                    F.col("ps_suppkey") == F.col("s_suppkey"))
+    min_cost = (eu_ps.groupBy(F.col("ps_partkey").alias("_mpk"))
+                .agg(F.min("ps_supplycost_cents").alias("_mc")))
+    return (eu_ps.join(F.broadcast(min_cost),
+                       (F.col("ps_partkey") == F.col("_mpk"))
+                       & (F.col("ps_supplycost_cents") == F.col("_mc")))
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "ps_supplycost_cents")
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(10))
+
+
+@workload("tpch_q9_product_profit", f"""
+WITH {_PARTSUPP_SQL}
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - (ps_supplycost_cents / 100.0) * l_quantity AS amount
+      FROM part, supplier, lineitem, partsupp, orders, nation
+      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_type = 'STANDARD') AS profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""")
+def tpch_q9_q(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): revenue minus supply cost per
+    nation and year. partsupp joins lineitem on the COMPOSITE
+    (partkey, suppkey) key — the one join in the suite with a
+    two-column fact-fact key; part filters first and broadcasts,
+    orders supplies the year."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - (F.col("ps_supplycost_cents") / 100.0) * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(ps, (F.col("ps_suppkey") == F.col("l_suppkey"))
+                  & (F.col("ps_partkey") == F.col("l_partkey")))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").cast("long").alias("o_year"),
+                    amount.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+@workload("tpch_q11_important_stock", f"""
+WITH {_PARTSUPP_SQL}
+SELECT ps_partkey,
+       CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT)
+         AS value_cents
+FROM partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_1'
+GROUP BY ps_partkey
+HAVING SUM(ps_supplycost_cents * ps_availqty) > (
+  SELECT SUM(ps_supplycost_cents * ps_availqty) * 0.001
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_1')
+ORDER BY value_cents DESC, ps_partkey
+""", cartesian_ok=True)
+def tpch_q11_q(spark, sf_dir):
+    """TPC-H Q11 (important stock): per-part inventory value above a
+    fraction of the nation's total — the uncorrelated scalar
+    threshold computed ONCE from the same filtered set (persist marks
+    the reuse) and broadcast against the per-part aggregate. Integer
+    cents keep both the values and the threshold compare exact."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat_ps = (ps.join(F.broadcast(
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .withColumn("_v", F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+        .persist())
+    thresh = nat_ps.agg((F.sum("_v") * 0.001).alias("_t"))
+    return (nat_ps.groupBy("ps_partkey")
+            .agg(F.sum("_v").alias("value_cents"))
+            .join(F.broadcast(thresh), F.col("value_cents") > F.col("_t"))
+            .select("ps_partkey", "value_cents")
+            .orderBy(F.col("value_cents").desc(), "ps_partkey"))
+
+
+@workload("tpch_q20_excess_stock", f"""
+WITH {_PARTSUPP_SQL}
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_type = 'PROMO')
+      AND ps_availqty > 2 * (
+        SELECT COUNT(*) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01')
+    )
+ORDER BY s_name
+""")
+def tpch_q20_q(spark, sf_dir):
+    """TPC-H Q20 (excess stock): suppliers whose stock of promo parts
+    exceeds 2x what they shipped in the year — nested IN with a
+    correlated per-pair COUNT, decorrelated to a year-filtered
+    (partkey, suppkey) aggregate LEFT-joined under the threshold
+    (absent year rows count 0). The surviving supplier set reaches
+    the supplier table as a semi join."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    year_cnt = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                          & (F.col("l_shipdate") < "1997-01-01"))
+                .groupBy(F.col("l_partkey").alias("_ypk"),
+                         F.col("l_suppkey").alias("_ysk"))
+                .agg(F.count(F.lit(1)).alias("_yc")))
+    excess = (ps.join(F.broadcast(p),
+                      F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+              .join(year_cnt, (F.col("ps_partkey") == F.col("_ypk"))
+                    & (F.col("ps_suppkey") == F.col("_ysk")), "left")
+              .filter(F.col("ps_availqty")
+                      > 2 * F.coalesce(F.col("_yc"), F.lit(0)))
+              .select("ps_suppkey"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"),
+                  "left_semi")
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))
