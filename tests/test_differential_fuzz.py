@@ -134,3 +134,47 @@ def test_dialect_matches_duckdb(spark, duck, nation_view, expr):
     want = [r[0] for r in duck.execute(
         f"SELECT {ducksql} AS v FROM nation ORDER BY n_nationkey").fetchall()]
     assert got == want, f"dialect={dialect!r} duck={ducksql!r}"
+
+
+# ---------------- query-level fuzz: WHERE / GROUP BY / aggregates ----
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(_exprs(), _bools(1))
+def test_dialect_where_matches_duckdb(spark, duck, nation_view, expr, cond):
+    """Random projection + random WHERE: multiset-compare (no ORDER
+    BY dependence)."""
+    from octosql_spark.sql import run_query
+    (de, oe), (dc, oc) = expr, cond
+    ours = run_query(
+        spark, f"SELECT {de} AS v FROM nation WHERE {dc}").df
+    got = sorted(str(r.v) for r in ours.collect())
+    want = sorted(str(r[0]) for r in duck.execute(
+        f"SELECT {oe} AS v FROM nation WHERE {oc}").fetchall())
+    assert got == want, f"dialect={de} WHERE {dc}"
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(_ints(1), st.booleans())
+def test_dialect_group_by_matches_duckdb(spark, duck, nation_view,
+                                         expr, with_where):
+    """Random integer expression aggregated per region: COUNT/SUM/
+    MIN/MAX must agree row-for-row (grouped rows sorted by key)."""
+    from octosql_spark.sql import run_query
+    de, oe = expr
+    where_d = " WHERE n_nationkey >= 5" if with_where else ""
+    ours = run_query(
+        spark, f"SELECT n_regionkey, COUNT(*) AS c, SUM({de}) AS s, "
+               f"MIN({de}) AS mn, MAX({de}) AS mx "
+               f"FROM nation{where_d} GROUP BY n_regionkey").df
+    got = sorted((r.n_regionkey, r.c, r.s, r.mn, r.mx)
+                 for r in ours.collect())
+    want = sorted(tuple(r) for r in duck.execute(
+        f"SELECT n_regionkey, COUNT(*) AS c, "
+        f"CAST(SUM({oe}) AS BIGINT) AS s, MIN({oe}) AS mn, "
+        f"MAX({oe}) AS mx FROM nation{where_d} "
+        f"GROUP BY n_regionkey").fetchall())
+    assert got == want, f"dialect agg over {de}"
