@@ -4246,3 +4246,27 @@ def tpch_q20_q(spark, sf_dir):
                   "left_semi")
             .select("s_name", "s_acctbal")
             .orderBy("s_name"))
+
+
+@workload("dedup_rate_by_source", """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_distinct,
+       ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6)
+         AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+""")
+def dedup_rate_by_source_q(spark, sf_dir):
+    """Per-source duplication report — the pre-dedup diagnostic that
+    decides which sources are worth a near-dup pass. One
+    map-side-combined aggregation with a distinct-count on the
+    content fingerprint; bounded output (one row per source)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct(F.md5("text")).alias("n_distinct"))
+            .select("source", "n_docs", "n_distinct",
+                    F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 6)
+                    .alias("dup_rate"))
+            .orderBy("source"))
