@@ -204,12 +204,24 @@ def read_parquet(spark: SparkSession, path: str, tail: bool = False,
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, tail: bool = False,
+             **extra: object) -> DataFrame:
+    """ORC scan (beyond the reference's format list — Spark bundles
+    the reader, so the columnar-format surface matches parquet:
+    pushdown, pruning, streaming-tail)."""
+    if tail:
+        return _stream_reader(spark, path, "orc",
+                              spark.read.orc(path).schema, **extra)
+    return spark.read.orc(path)
+
+
 FILE_HANDLERS = {
     "csv": read_csv,
     "tsv": read_tsv,
     "json": read_json,
     "lines": read_lines,
     "parquet": read_parquet,
+    "orc": read_orc,
 }
 
 

@@ -141,3 +141,22 @@ def test_key_skew_profile_values(spark):
     assert r.n_keys == 3 and r.n_rows == 12 and r.max_per_key == 8
     assert r.avg_per_key == 4.0 and r.skew_ratio == 2.0
     assert r.p50_per_key == 2.0  # counts [2,2,8] -> median 2
+
+
+def test_orc_roundtrip_and_query(spark, tmp_path):
+    """ORC joins the columnar format surface: write nation as ORC,
+    read through the extension dispatcher, filter-pushdown query
+    through the SQL front end."""
+    from octosql_spark.catalog import load_table
+    from octosql_spark.sources import read_file
+    n = load_table(spark, "/root/testdata/sf0.001", "nation")
+    dst = str(tmp_path / "nation_orc")
+    n.write.mode("overwrite").orc(dst)
+    import glob
+    part = glob.glob(dst + "/*.orc")[0]
+    back = read_file(spark, part)
+    assert back.count() == n.count()
+    assert sorted(back.columns) == sorted(n.columns)
+    got = back.filter("n_regionkey = 2").count()
+    want = n.filter("n_regionkey = 2").count()
+    assert got == want
