@@ -492,3 +492,39 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("kept_tokens"),
         F.concat_ws(" ", kept).alias("text_clean"))
+
+
+def hybrid_dedup_evidence(docs: DataFrame, embeddings: DataFrame,
+                          cos_threshold: float = 0.3,
+                          jaccard_threshold: float = 0.5,
+                          doc_id: str = "doc_id", text_col: str = "text",
+                          vec_id: str = "vec_id",
+                          vec_col: str = "embedding",
+                          shingle: int = 3) -> DataFrame:
+    """Hybrid near-dup evidence: semantic candidates (embedding cosine
+    >= threshold) annotated with their exact lexical n-gram Jaccard
+    and a ``lexical_match`` agreement flag — the two-signal review
+    table a curation pipeline uses to calibrate thresholds (semantic
+    recall vs lexical precision) before committing to a delete list.
+
+    Scale shape: candidate generation is the embedding path (exact
+    here; swap the LSH-bucketed variant at scale), and the lexical
+    evidence joins shingle arrays for the CANDIDATE ids only — the
+    corpus text is never carried through the candidate join. Returns
+    (id_a, id_b, jaccard, lexical_match) with id_a < id_b.
+    """
+    cand = embedding_near_dup_pairs(
+        embeddings, id_col=vec_id, vec_col=vec_col,
+        threshold=cos_threshold, method="exact").select("id_a", "id_b")
+    sh = docs.select(F.col(doc_id).alias("_id"),
+                     _word_shingles(F.col(text_col), shingle).alias("_sh"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = F.when(union > 0, inter / union)
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.round(jac, 6).alias("jaccard"),
+                    F.coalesce(jac >= F.lit(jaccard_threshold),
+                               F.lit(False)).alias("lexical_match")))

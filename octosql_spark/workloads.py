@@ -4270,3 +4270,39 @@ def dedup_rate_by_source_q(spark, sf_dir):
                     F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 6)
                     .alias("dup_rate"))
             .orderBy("source"))
+
+
+@workload("dedup_hybrid_evidence", """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                range(1, greatest(len(ws) - 2, 1) + 1),
+                i -> array_to_string(ws[i:i+2], ' '))) AS sh
+       FROM w)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+             6) AS jaccard,
+       (len(list_intersect(a.sh, b.sh)) * 1.0
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+         >= 0.5 AS lexical_match
+FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+""", cartesian_ok=True)
+def dedup_hybrid_evidence_q(spark, sf_dir):
+    """Hybrid dedup evidence: semantic (cosine>=0.3) candidate pairs
+    annotated with exact 3-gram Jaccard + agreement flag — the
+    threshold-calibration table for two-signal dedup. Lexical
+    evidence attaches only to candidate ids; the corpus text never
+    enters the candidate join."""
+    from octosql_spark.datapipe.dedup import hybrid_dedup_evidence
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return hybrid_dedup_evidence(d, e)
