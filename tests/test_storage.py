@@ -160,3 +160,48 @@ def test_orc_roundtrip_and_query(spark, tmp_path):
     got = back.filter("n_regionkey = 2").count()
     want = n.filter("n_regionkey = 2").count()
     assert got == want
+
+
+def test_upsert_partitioned(spark, tmp_path):
+    """Partition-level MERGE: updated keys replace, new keys append,
+    untouched partitions stay byte-identical on disk."""
+    import os
+    from octosql_spark.storage import upsert_partitioned, write_partitioned
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, part string, v long")
+    path = str(tmp_path / "tbl")
+    write_partitioned(base, path, ["part"])
+    untouched = {f: os.path.getmtime(os.path.join(path, "part=c", f))
+                 for f in os.listdir(os.path.join(path, "part=c"))
+                 if f.endswith(".parquet")}
+    updates = spark.createDataFrame(
+        [(2, "a", 21), (5, "b", 50)], "id long, part string, v long")
+    upsert_partitioned(spark, path, updates, ["id"], ["part"])
+    got = {(r.id, r.part, r.v)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a", 10), (2, "a", 21), (3, "b", 30),
+                   (4, "c", 40), (5, "b", 50)}
+    # dynamic overwrite: partition c was never rewritten
+    after = {f: os.path.getmtime(os.path.join(path, "part=c", f))
+             for f in os.listdir(os.path.join(path, "part=c"))
+             if f.endswith(".parquet")}
+    assert after == untouched
+
+
+def test_upsert_partitioned_version_wins(spark, tmp_path):
+    """With version_col, a LATE (older) update cannot regress a newer
+    base row; a newer update replaces."""
+    from octosql_spark.storage import upsert_partitioned, write_partitioned
+    base = spark.createDataFrame(
+        [(1, "a", 10, 5), (2, "a", 20, 5)],
+        "id long, part string, v long, ver long")
+    path = str(tmp_path / "tbl")
+    write_partitioned(base, path, ["part"])
+    updates = spark.createDataFrame(
+        [(1, "a", 11, 9), (2, "a", 22, 3)],  # id 2 is stale (ver 3 < 5)
+        "id long, part string, v long, ver long")
+    upsert_partitioned(spark, path, updates, ["id"], ["part"],
+                       version_col="ver")
+    got = {(r.id, r.v, r.ver) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 11, 9), (2, 20, 5)}
