@@ -152,3 +152,45 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     b = spark.createDataFrame(
         [("a", 1), ("a", 2), ("b", 3)], "doc string, v long")
     assert st.stream_dedup(b, ["doc"]).count() == 2
+
+
+def test_stream_ingest_upsert_partitioned(spark, tmp_path):
+    """Incremental-ingest upsert: foreachBatch applies each
+    micro-batch as a partition-level MERGE, so a key replayed in a
+    later batch REPLACES its earlier row instead of duplicating —
+    the lakehouse upsert pattern on plain parquet."""
+    import os
+    from pyspark.sql import functions as F
+    from octosql_spark.storage import upsert_partitioned, write_partitioned
+
+    table = str(tmp_path / "table")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (9, "z", 90)], "id long, part string, v long")
+    write_partitioned(base, table, ["part"])
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    b1 = [{"id": 2, "part": "a", "v": 20},
+          {"id": 3, "part": "b", "v": 30}]
+    b2 = [{"id": 2, "part": "a", "v": 21},   # replay: must replace
+          {"id": 4, "part": "b", "v": 40}]
+    f1, f2 = src / "b1.json", src / "b2.json"
+    f1.write_text("\n".join(json.dumps(r) for r in b1))
+    f2.write_text("\n".join(json.dumps(r) for r in b2))
+    os.utime(f1, (1, 1)); os.utime(f2, (2, 2))
+
+    stream = (st.read_stream_file(spark, str(src), "json",
+                                  maxFilesPerTrigger=1)
+              .select(F.col("id").cast("long"), "part",
+                      F.col("v").cast("long")))
+    q = (stream.writeStream
+         .foreachBatch(lambda bdf, _id: upsert_partitioned(
+             spark, table, bdf, ["id"], ["part"]))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    got = {(r.id, r.part, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "a", 10), (9, "z", 90), (2, "a", 21),
+                   (3, "b", 30), (4, "b", 40)}
