@@ -202,6 +202,8 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
                               keys, "left_anti")
         merged = survivors.unionByName(updates)
     writer = (merged.write.format(fmt).mode("overwrite")
-              .partitionBy(*partition_cols))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+              .partitionBy(*partition_cols)
+              # per-write option, not session conf: the dynamic mode
+              # must not leak into later overwrite writes
+              .option("partitionOverwriteMode", "dynamic"))
     writer.save(path)
