@@ -439,14 +439,17 @@ def matryoshka_funnel_topk(queries: DataFrame, corpus: DataFrame,
     cand = (coarse.withColumn("_cr", F.row_number().over(wc))
             .filter(F.col("_cr") <= kk)
             .select("query_id", "neighbor_id"))
-    full = lambda alias: corpus.select(
-        F.col(id_col).alias(alias),
-        F.col(vec_col).cast("array<double>").alias(f"_{alias}_v"))
-    rescored = (cand
-                .join(F.broadcast(full("qid")),
-                      F.col("query_id") == F.col("qid"))
-                .join(full("nid"), F.col("neighbor_id") == F.col("nid"))
-                .withColumn("_sim", _dot(F.col("_qid_v"), F.col("_nid_v"))))
+    # rerank: the CORPUS is the probe side — the tiny candidate set
+    # (|Q|*k*overfetch rows) and the query-vector block broadcast;
+    # never broadcast corpus-sized data
+    qv = queries.select(F.col(id_col).alias("_qid"),
+                        F.col(vec_col).cast("array<double>").alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("_nid"),
+                       F.col(vec_col).cast("array<double>").alias("_nv"))
+    rescored = (cv.join(F.broadcast(cand),
+                        F.col("_nid") == F.col("neighbor_id"))
+                .join(F.broadcast(qv), F.col("query_id") == F.col("_qid"))
+                .withColumn("_sim", _dot(F.col("_qv"), F.col("_nv"))))
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(),
                                                F.col("neighbor_id"))
     return (rescored.withColumn("rank", F.row_number().over(w).cast("long"))
