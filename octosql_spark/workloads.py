@@ -757,8 +757,11 @@ def tpch_q17_q(spark, sf_dir):
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
     avg_q = (li.groupBy(F.col("l_partkey").alias("_apk"))
              .agg((F.lit(0.2) * F.avg("l_quantity")).alias("_thresh")))
+    # avg_q is PART-scaled — no broadcast hint: the 64 MB auto-gate
+    # broadcasts it at test SFs and AQE picks a shuffle join when the
+    # part table outgrows the gate at cluster scale
     return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-            .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("_apk"))
+            .join(avg_q, F.col("l_partkey") == F.col("_apk"))
             .filter(F.col("l_quantity") < F.col("_thresh"))
             .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
                  .alias("avg_yearly")))
@@ -4107,7 +4110,8 @@ def tpch_q2_q(spark, sf_dir):
                     F.col("ps_suppkey") == F.col("s_suppkey"))
     min_cost = (eu_ps.groupBy(F.col("ps_partkey").alias("_mpk"))
                 .agg(F.min("ps_supplycost_cents").alias("_mc")))
-    return (eu_ps.join(F.broadcast(min_cost),
+    # min_cost is PART-scaled — no broadcast hint (auto-gate decides)
+    return (eu_ps.join(min_cost,
                        (F.col("ps_partkey") == F.col("_mpk"))
                        & (F.col("ps_supplycost_cents") == F.col("_mc")))
             .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
