@@ -198,10 +198,16 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
 
 def read_parquet(spark: SparkSession, path: str, tail: bool = False,
                  **extra: object) -> DataFrame:
+    """Parquet scan; reader options pass through (``mergeSchema=true``
+    unions the footers of files written under an evolving schema —
+    added columns read NULL for old files)."""
     if tail:
         return _stream_reader(spark, path, "parquet",
                               spark.read.parquet(path).schema, **extra)
-    return spark.read.parquet(path)
+    reader = spark.read
+    for k, v in extra.items():
+        reader = reader.option(k, str(v))
+    return reader.parquet(path)
 
 
 def read_orc(spark: SparkSession, path: str, tail: bool = False,

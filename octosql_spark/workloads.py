@@ -4310,3 +4310,30 @@ def dedup_hybrid_evidence_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
     return hybrid_dedup_evidence(d, e)
+
+
+@workload("curate_curriculum_phases", """
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(NTILE(4) OVER (PARTITION BY source
+                           ORDER BY n_tokens, doc_id) AS BIGINT) AS phase
+FROM t
+""")
+def curate_curriculum_phases_q(spark, sf_dir):
+    """Length-curriculum phase assignment: within each source, docs
+    split into 4 equal-population phases ordered short->long (the
+    train-on-short-first curriculum). NTILE per (source) partition —
+    one hash shuffle on the shard key, never a global sort; doc_id
+    tiebreak makes the assignment deterministic in any engine."""
+    from octosql_spark.datapipe import token_count
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    return (d.select("doc_id", "source",
+                     token_count(F.col("text")).alias("n_tokens"))
+            .withColumn("phase", F.ntile(4).over(w).cast("long")))

@@ -205,3 +205,20 @@ def test_upsert_partitioned_version_wins(spark, tmp_path):
                        version_col="ver")
     got = {(r.id, r.v, r.ver) for r in spark.read.parquet(path).collect()}
     assert got == {(1, 11, 9), (2, 20, 5)}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Files written under an evolving schema read as one table with
+    mergeSchema: old files surface NULL for the added column."""
+    from octosql_spark.sources import read_file
+    from octosql_spark.sources.files import read_parquet
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+        .write.mode("append").parquet(d)
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id long, name string, score double") \
+        .write.mode("append").parquet(d)
+    merged = read_parquet(spark, d, mergeSchema=True)
+    assert sorted(merged.columns) == ["id", "name", "score"]
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
