@@ -4337,3 +4337,32 @@ def curate_curriculum_phases_q(spark, sf_dir):
     return (d.select("doc_id", "source",
                      token_count(F.col("text")).alias("n_tokens"))
             .withColumn("phase", F.ntile(4).over(w).cast("long")))
+
+
+@workload("events_transition_matrix", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, next_type
+""")
+def events_transition_matrix_q(spark, sf_dir):
+    """Event-type transition matrix (first-order Markov counts over
+    each user's event sequence) — the behavioral-analytics shape
+    behind next-action prediction and anomaly scoring. One lag window
+    per user partition (hash shuffle on user_id, partition-local
+    sort), then a bounded |types|^2 aggregate; the event stream never
+    sorts globally."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select("user_id", "event_type",
+                     F.lag("event_type").over(w).alias("prev_type"))
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("prev_type", "next_type"))
