@@ -106,6 +106,22 @@ def main() -> None:
     csv_query = {"sec": round(csv_sec, 4), "rows": n_rows,
                  "rows_per_sec": round(n_rows / csv_sec) if n_rows else None}
 
+    # Full TPC-H suite timing (informational section, not part of the
+    # headline metric): 1 warmup + median of 3 per query — the
+    # comparable per-query table a reviewer expects next to any
+    # analytics-engine claim.
+    tpch: dict[str, float] = {}
+    for name, w in REGISTRY.items():
+        if not name.startswith("tpch_"):
+            continue
+        w.build(spark, sf_dir).collect()
+        runs = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            w.build(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t1)
+        tpch[name] = round(sorted(runs)[1], 4)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total_warm",
@@ -115,6 +131,8 @@ def main() -> None:
         "sf": sf,
         "startup_sec": round(startup, 2),
         "csv_groupby": csv_query,
+        "tpch_suite": {"total_sec": round(sum(tpch.values()), 4),
+                       "queries": tpch},
     }))
     spark.stop()
 

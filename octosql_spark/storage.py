@@ -207,3 +207,46 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
               # must not leak into later overwrite writes
               .option("partitionOverwriteMode", "dynamic"))
     writer.save(path)
+
+
+def merge_rollup(spark: SparkSession, rollup_path: str,
+                 increment: DataFrame, keys: Sequence[str],
+                 agg_specs: Sequence[tuple[str, str]],
+                 fmt: str = "parquet") -> None:
+    """Incremental materialized rollup: fold a new increment into a
+    stored aggregate table WITHOUT rescanning history — the
+    streaming-warehouse primitive behind "orders per day, maintained
+    forever". ``agg_specs`` are (agg, col) with agg in
+    {sum, count, min, max}: exactly the MERGEABLE aggregates, whose
+    partials combine associatively (sum+=sum, count+=count,
+    min=min(min), max=max(max)). AVG is derivable as sum/count
+    downstream; non-mergeable aggregates (distinct, percentile) need
+    sketches instead.
+
+    One job: aggregate the increment (map-side combined), union with
+    the existing rollup (|groups| rows, not history), re-reduce, and
+    atomically replace via a temp-dir swap. At 100 TB the rollup
+    table stays |groups|-sized while history grows unbounded —
+    refresh cost is O(increment + groups), never O(history)."""
+    import os
+    import shutil
+    combine = {"sum": F.sum, "count": F.sum,  # partial counts ADD
+               "min": F.min, "max": F.max}
+    first = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)),
+             "min": F.min, "max": F.max}
+    names = [f"{a}_{c}" if a != "count" else "n" for a, c in agg_specs]
+    inc = increment.groupBy(*keys).agg(*[
+        first[a](c).alias(nm) for (a, c), nm in zip(agg_specs, names)])
+    if os.path.exists(rollup_path):
+        base = spark.read.format(fmt).load(rollup_path)
+        merged = (base.unionByName(inc)
+                  .groupBy(*keys)
+                  .agg(*[combine[a](nm).alias(nm)
+                         for (a, _), nm in zip(agg_specs, names)]))
+    else:
+        merged = inc
+    tmp = rollup_path + "__staging"
+    merged.write.format(fmt).mode("overwrite").save(tmp)
+    if os.path.exists(rollup_path):
+        shutil.rmtree(rollup_path)
+    os.replace(tmp, rollup_path)

@@ -222,3 +222,31 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert sorted(merged.columns) == ["id", "name", "score"]
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_merge_rollup_incremental_equals_full(spark, tmp_path):
+    """Folding increments one at a time must equal the one-shot
+    aggregate over all rows (mergeable partials), at O(groups) state."""
+    from octosql_spark.storage import merge_rollup
+    path = str(tmp_path / "rollup")
+    batches = [
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)],
+        [("a", 2.0), ("c", 7.0)],
+        [("b", 1.0), ("c", 9.0), ("c", 0.5)],
+    ]
+    for rows in batches:
+        inc = spark.createDataFrame(rows, "k string, v double")
+        merge_rollup(spark, path, inc, ["k"],
+                     [("count", "v"), ("sum", "v"),
+                      ("min", "v"), ("max", "v")])
+    got = {r.k: (r.n, r.sum_v, r.min_v, r.max_v)
+           for r in spark.read.parquet(path).collect()}
+    full = spark.createDataFrame(
+        [x for rows in batches for x in rows], "k string, v double")
+    from pyspark.sql import functions as F
+    want = {r.k: (r.n, r.sum_v, r.min_v, r.max_v)
+            for r in full.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+            .collect()}
+    assert got == want
