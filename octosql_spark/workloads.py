@@ -4366,3 +4366,31 @@ def events_transition_matrix_q(spark, sf_dir):
             .groupBy("prev_type", F.col("event_type").alias("next_type"))
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("prev_type", "next_type"))
+
+
+@workload("setops_bag_semantics", """
+WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+     b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A')
+SELECT 'intersect_all' AS op, COUNT(*) AS n
+FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t
+UNION ALL
+SELECT 'except_all' AS op, COUNT(*) AS n
+FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t
+ORDER BY op
+""")
+def setops_bag_semantics_q(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics, where
+    duplicate multiplicity carries through (min(m_a, m_b) for
+    intersect, m_a - m_b floored at 0 for except). Spark's
+    intersectAll/exceptAll are hash aggregations on (row, count) —
+    one shuffle each, never a sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_suppkey").alias("k"))
+    ia = a.intersectAll(b).agg(
+        F.lit("intersect_all").alias("op"), F.count(F.lit(1)).alias("n"))
+    ea = a.exceptAll(b).agg(
+        F.lit("except_all").alias("op"), F.count(F.lit(1)).alias("n"))
+    return ea.unionAll(ia).orderBy("op")
