@@ -4394,3 +4394,46 @@ def setops_bag_semantics_q(spark, sf_dir):
     ea = a.exceptAll(b).agg(
         F.lit("except_all").alias("op"), F.count(F.lit(1)).alias("n"))
     return ea.unionAll(ia).orderBy("op")
+
+
+@workload("recursive_month_spine_gapfill", """
+WITH RECURSIVE spine(m) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE m < CAST('2001-08-01' AS DATE)
+), monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT strftime(spine.m, '%Y-%m') AS month,
+       COALESCE(monthly.n, 0) AS n_orders
+FROM spine LEFT JOIN monthly ON monthly.m = spine.m
+ORDER BY month
+""")
+def recursive_month_spine_q(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE) generating a calendar
+    spine, LEFT-joined to monthly order counts — time-series GAP
+    FILLING, the query shape a plain GROUP BY cannot produce (months
+    with zero orders must still appear). The spine is ~80 rows of
+    driver-free recursion; the monthly rollup is one
+    map-side-combined aggregate; the join broadcasts the spine."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_spine_orders")
+    return spark.sql("""
+        WITH RECURSIVE spine(m) AS (
+          SELECT CAST('1995-01-01' AS DATE)
+          UNION ALL
+          SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+          WHERE m < CAST('2001-08-01' AS DATE)
+        ), monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 COUNT(*) AS n
+          FROM _spine_orders GROUP BY 1
+        )
+        SELECT date_format(spine.m, 'yyyy-MM') AS month,
+               COALESCE(monthly.n, 0) AS n_orders
+        FROM spine LEFT JOIN monthly ON monthly.m = spine.m
+        ORDER BY month
+    """)
