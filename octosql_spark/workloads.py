@@ -4437,3 +4437,33 @@ def recursive_month_spine_q(spark, sf_dir):
         FROM spine LEFT JOIN monthly ON monthly.m = spine.m
         ORDER BY month
     """)
+
+
+@workload("events_json_props_stats", """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def events_json_props_stats_q(spark, sf_dir):
+    """Semi-structured JSON column analytics: extract a typed field
+    from the raw ``props`` JSON string per row and aggregate per
+    event type — the log-analytics staple. get_json_object is a
+    codegen'd JVM expression (no Python); the JSON never
+    materializes as a struct column, so the scan stays
+    narrow."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(k).alias("sum_k"),
+                 F.min(k).alias("min_k"),
+                 F.max(k).alias("max_k"))
+            .orderBy("event_type"))
