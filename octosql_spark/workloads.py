@@ -4467,3 +4467,36 @@ def events_json_props_stats_q(spark, sf_dir):
                  F.min(k).alias("min_k"),
                  F.max(k).alias("max_k"))
             .orderBy("event_type"))
+
+
+@workload("text_word_positions", """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE len(trim(text)) > 0 AND doc_id < 50
+), z AS (
+  SELECT doc_id,
+         unnest(list_zip(ws, range(1, len(ws) + 1))) AS p
+  FROM w
+)
+SELECT doc_id, p[1] AS word, CAST(MIN(p[2]) AS BIGINT) AS first_pos,
+       COUNT(*) AS occurrences
+FROM z
+GROUP BY doc_id, p[1]
+ORDER BY doc_id, first_pos
+""")
+def text_word_positions_q(spark, sf_dir):
+    """Positional token index (posexplode — explode WITH ORDINALITY):
+    per document, each distinct word with its first position and
+    occurrence count — the index behind span lookups and
+    position-weighted scoring. posexplode is a codegen'd generator;
+    one aggregate keyed on (doc, word); no window over the token
+    stream."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.length(F.trim("text")) > 0) & (F.col("doc_id") < 50))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    toks = d.select("doc_id", F.posexplode(words).alias("pos0", "word"))
+    return (toks.groupBy("doc_id", "word")
+            .agg((F.min("pos0") + 1).cast("long").alias("first_pos"),
+                 F.count(F.lit(1)).alias("occurrences"))
+            .select("doc_id", "word", "first_pos", "occurrences")
+            .orderBy("doc_id", "first_pos"))
