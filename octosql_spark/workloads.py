@@ -4500,3 +4500,49 @@ def text_word_positions_q(spark, sf_dir):
                  F.count(F.lit(1)).alias("occurrences"))
             .select("doc_id", "word", "first_pos", "occurrences")
             .orderBy("doc_id", "first_pos"))
+
+
+@workload("fuzzy_name_pairs", """
+WITH s AS (SELECT s_suppkey, s_name FROM supplier)
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.s_suppkey < b.s_suppkey
+WHERE len(a.s_name) = len(b.s_name)
+  AND levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY id_a, id_b
+""")
+def fuzzy_name_pairs_q(spark, sf_dir):
+    """Fuzzy entity matching: supplier-name pairs within substitution
+    distance 1. NOT the oracle's all-pairs scan — the Spark side uses
+    pigeonhole blocking, COMPLETE for this predicate: equal length +
+    levenshtein<=1 means exactly one substituted position, which
+    lies in one half of the string, so the OTHER half matches
+    exactly. Each name emits two (len, half_id, half_text) block
+    keys; candidates meet in a hash equi-join on the block key
+    (uniform, bounded buckets) and only candidates pay the exact
+    levenshtein — the ER blocking topology that survives
+    billion-row entity tables."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ln = F.length("s_name")
+    blocks = s.select(
+        "s_suppkey", "s_name",
+        F.explode(F.array(
+            F.struct(ln.alias("l"), F.lit(0).alias("h"),
+                     F.expr("substring(s_name, 1, length(s_name) DIV 2)")
+                     .alias("t")),
+            F.struct(ln.alias("l"), F.lit(1).alias("h"),
+                     F.expr("substring(s_name, length(s_name) DIV 2 + 1)")
+                     .alias("t"))
+        )).alias("_b"))
+    a = blocks.select(F.col("s_suppkey").alias("id_a"),
+                      F.col("s_name").alias("_na"), "_b")
+    b = blocks.select(F.col("s_suppkey").alias("id_b"),
+                      F.col("s_name").alias("_nb"), "_b")
+    cand = (a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_na", "_nb").distinct())
+    return (cand
+            .withColumn("dist",
+                        F.levenshtein("_na", "_nb").cast("long"))
+            .filter(F.col("dist") <= 1)
+            .select("id_a", "id_b", "dist")
+            .orderBy("id_a", "id_b"))
