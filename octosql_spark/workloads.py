@@ -4546,3 +4546,51 @@ def fuzzy_name_pairs_q(spark, sf_dir):
             .filter(F.col("dist") <= 1)
             .select("id_a", "id_b", "dist")
             .orderBy("id_a", "id_b"))
+
+
+@workload("profile_referential_integrity", """
+SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS orphans
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders.o_custkey->customer', COUNT(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem.l_partkey->part', COUNT(*)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', COUNT(*)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'customer.c_nationkey->nation', COUNT(*)
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+ORDER BY fk
+""")
+def profile_referential_integrity_q(spark, sf_dir):
+    """Referential-integrity audit: orphan-row counts for every
+    fact->dimension foreign key — the pre-pipeline data-quality gate
+    (an orphan key silently drops rows from every inner join
+    downstream). Each check is a LEFT-ANTI hash join (dimension side
+    broadcasts) reduced to one count; keys here are NOT NULL so the
+    NOT IN null-trap doesn't bite."""
+    def orphans(fact, fk, dim, pk, label):
+        f = _t(spark, sf_dir, fact)
+        d = _t(spark, sf_dir, dim).select(pk)
+        return (f.join(F.broadcast(d), F.col(fk) == F.col(pk), "left_anti")
+                .agg(F.lit(label).alias("fk"),
+                     F.count(F.lit(1)).alias("orphans")))
+    parts = [
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey",
+                "lineitem.l_orderkey->orders"),
+        orphans("orders", "o_custkey", "customer", "c_custkey",
+                "orders.o_custkey->customer"),
+        orphans("lineitem", "l_partkey", "part", "p_partkey",
+                "lineitem.l_partkey->part"),
+        orphans("lineitem", "l_suppkey", "supplier", "s_suppkey",
+                "lineitem.l_suppkey->supplier"),
+        orphans("customer", "c_nationkey", "nation", "n_nationkey",
+                "customer.c_nationkey->nation"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fk")
