@@ -4594,3 +4594,48 @@ def profile_referential_integrity_q(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("fk")
+
+
+@workload("window_share_and_nth", """
+WITH nr AS (
+  SELECT n_name,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, cents,
+       ROUND(cents * 1.0 / SUM(cents) OVER (), 6) AS share,
+       CAST(NTH_VALUE(cents, 2) OVER (ORDER BY cents DESC, n_name
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS second_best
+FROM nr
+ORDER BY cents DESC, n_name
+""")
+def window_share_and_nth_q(spark, sf_dir):
+    """Ratio-to-report + NTH_VALUE: each nation's share of total order
+    revenue and the suite-wide runner-up value on every row. The
+    grand-total and nth-value windows run over the 25-row nation
+    rollup, not the fact table — the fact scan reduces first
+    (integer cents so the shares are exact ratios)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    nr = (o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+          .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+          .groupBy("n_name").agg(F.sum(cents).alias("cents")))
+    wall = Window.partitionBy()
+    wnth = (Window.partitionBy()
+            .orderBy(F.col("cents").desc(), "n_name")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    return (nr.select(
+        "n_name", "cents",
+        F.round(F.col("cents") / F.sum("cents").over(wall), 6)
+        .alias("share"),
+        F.nth_value("cents", 2).over(wnth).cast("long")
+        .alias("second_best"))
+        .orderBy(F.col("cents").desc(), "n_name"))
