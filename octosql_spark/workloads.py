@@ -4639,3 +4639,38 @@ def window_share_and_nth_q(spark, sf_dir):
         F.nth_value("cents", 2).over(wnth).cast("long")
         .alias("second_best"))
         .orderBy(F.col("cents").desc(), "n_name"))
+
+
+@workload("agg_mode_per_group", """
+WITH counts AS (
+  SELECT o_orderpriority, l_returnflag, COUNT(*) AS n
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderpriority, l_returnflag
+), ranked AS (
+  SELECT o_orderpriority, l_returnflag, n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY n DESC, l_returnflag) AS rk
+  FROM counts
+)
+SELECT o_orderpriority, l_returnflag AS modal_flag, n
+FROM ranked WHERE rk = 1
+ORDER BY o_orderpriority
+""")
+def agg_mode_per_group_q(spark, sf_dir):
+    """Per-group MODE (most frequent value, deterministic tie-break)
+    — the argmax-over-counts aggregate SQL lacks natively. Two-level
+    reduction: the (group, value) count collapses the fact table
+    first, then a window ranks the tiny count table — the window
+    never sees fact-table rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+              .groupBy("o_orderpriority", "l_returnflag")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.col("n").desc(), "l_returnflag"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("o_orderpriority",
+                    F.col("l_returnflag").alias("modal_flag"), "n")
+            .orderBy("o_orderpriority"))
