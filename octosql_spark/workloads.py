@@ -4674,3 +4674,32 @@ def agg_mode_per_group_q(spark, sf_dir):
             .select("o_orderpriority",
                     F.col("l_returnflag").alias("modal_flag"), "n")
             .orderBy("o_orderpriority"))
+
+
+@workload("dedup_latest_per_key", """
+SELECT c_custkey, o_orderkey AS latest_order, o_orderdate, o_totalprice
+FROM (
+  SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+           AS rk
+  FROM customer JOIN orders ON c_custkey = o_custkey
+) t WHERE rk = 1
+ORDER BY c_custkey
+""")
+def dedup_latest_per_key_q(spark, sf_dir):
+    """Latest-record-per-key (dedup by recency): each customer's most
+    recent order — the CDC/compaction shape behind every
+    'current state' table. One window per key partition with a
+    deterministic (date, id) tie-break; rank prunes before any
+    downstream join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("c_custkey")
+         .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc()))
+    return (o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("c_custkey", F.col("o_orderkey").alias("latest_order"),
+                    "o_orderdate", "o_totalprice")
+            .orderBy("c_custkey"))
