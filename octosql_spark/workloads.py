@@ -4703,3 +4703,30 @@ def dedup_latest_per_key_q(spark, sf_dir):
             .select("c_custkey", F.col("o_orderkey").alias("latest_order"),
                     "o_orderdate", "o_totalprice")
             .orderBy("c_custkey"))
+
+
+@workload("agg_listagg_ordered", """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""")
+def agg_listagg_ordered_q(spark, sf_dir):
+    """Ordered LISTAGG / string_agg — the within-group ordered string
+    concatenation (Spark 4 listagg WITHIN GROUP, DuckDB string_agg
+    ORDER BY). Ordering inside the aggregate is what makes the result
+    deterministic; an unordered concat is engine- and
+    partitioning-dependent."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    j.createOrReplaceTempView("_listagg_nr")
+    return spark.sql("""
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS nations
+        FROM _listagg_nr
+        GROUP BY r_name
+        ORDER BY r_name
+    """)
