@@ -239,3 +239,54 @@ def test_checkpoint_restart_resumes_not_reprocesses(spark, tmp_path):
     assert seen_batches == [1, 1]  # second run saw ONLY the new file
     got = {(r.id, r.v) for r in spark.read.parquet(table).collect()}
     assert got == {(0, 0), (1, 1), (2, 2)}
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Watermarked LEFT OUTER stream-stream join: left rows with no
+    right match within the interval condition ARE emitted (with
+    NULLs) once the watermark passes — the semantics that need state
+    expiry, impossible without both-side watermarks."""
+    import os
+    from pyspark.sql import functions as F
+    p = tmp_path / "souter"
+    p.mkdir()
+    rows1 = [
+        {"side": "L", "user": "a", "ts": "2024-01-01T00:00:01", "v": 1},
+        {"side": "R", "user": "a", "ts": "2024-01-01T00:00:02", "v": 0},
+        {"side": "L", "user": "b", "ts": "2024-01-01T00:00:03", "v": 2},
+    ]
+    # later batches must advance BOTH branch watermarks (the global
+    # watermark is their MIN — a side with no new data pins it), and
+    # outer-NULL eviction lands on the trigger AFTER the advance, so
+    # batch 3 is the closing trigger
+    rows2 = [{"side": "L", "user": "z", "ts": "2024-01-01T01:00:00",
+              "v": 9},
+             {"side": "R", "user": "zz", "ts": "2024-01-01T01:00:00",
+              "v": 0}]
+    rows3 = [{"side": "L", "user": "y", "ts": "2024-01-01T02:00:00",
+              "v": 8},
+             {"side": "R", "user": "yy", "ts": "2024-01-01T02:00:00",
+              "v": 0}]
+    f1, f2, f3 = p / "b1.json", p / "b2.json", p / "b3.json"
+    f1.write_text("\n".join(json.dumps(r) for r in rows1))
+    f2.write_text("\n".join(json.dumps(r) for r in rows2))
+    f3.write_text("\n".join(json.dumps(r) for r in rows3))
+    os.utime(f1, (1, 1)); os.utime(f2, (2, 2)); os.utime(f3, (3, 3))
+    src = (st.read_stream_file(spark, str(p), "json", maxFilesPerTrigger=1)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    left = (src.filter(F.col("side") == "L")
+            .select("user", F.col("ts").alias("lts"), "v"))
+    right = (src.filter(F.col("side") == "R")
+             .select(F.col("user").alias("user_r"),
+                     F.col("ts").alias("rts")))
+    joined = st.stream_stream_join(
+        left, right,
+        (F.col("user") == F.col("user_r"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 10 SECONDS")),
+        "left_outer",
+        left_watermark=("lts", "5 seconds"),
+        right_watermark=("rts", "5 seconds"))
+    got = {(r.user, r.user_r) for r in _mem(joined).collect()}
+    assert ("a", "a") in got          # matched pair
+    assert ("b", None) in got         # unmatched left emitted with NULLs
