@@ -4730,3 +4730,35 @@ def agg_listagg_ordered_q(spark, sf_dir):
         GROUP BY r_name
         ORDER BY r_name
     """)
+
+
+@workload("join_null_safe_equality", """
+WITH a AS (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS g
+           FROM customer WHERE c_custkey <= 200),
+     b AS (SELECT NULLIF(n_nationkey % 5, 0) AS g, COUNT(*) AS grp_n
+           FROM nation GROUP BY 1)
+SELECT CAST(a.g AS BIGINT) AS g, COUNT(*) AS customers,
+       CAST(MIN(grp_n) AS BIGINT) AS grp_n
+FROM a JOIN b ON a.g IS NOT DISTINCT FROM b.g
+GROUP BY a.g
+ORDER BY g NULLS FIRST
+""")
+def join_null_safe_equality_q(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics
+    required when NULL is a legitimate group (unknown country,
+    missing attribute). Still a hash join: Catalyst keeps `<=>` as an
+    equi-join key (EqualNullSafe), no fallback to cartesian."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    n = _t(spark, sf_dir, "nation")
+    a = c.select("c_custkey",
+                 F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("g"))
+    b = (n.select(F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("gb"))
+         .groupBy("gb").agg(F.count(F.lit(1)).alias("grp_n")))
+    return (a.join(F.broadcast(b), a["g"].eqNullSafe(b["gb"]))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("customers"),
+                 F.min("grp_n").cast("long").alias("grp_n"))
+            .select(F.col("g").cast("long").alias("g"),
+                    "customers", "grp_n")
+            .orderBy(F.col("g").asc_nulls_first()))
