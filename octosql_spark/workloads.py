@@ -4762,3 +4762,27 @@ def join_null_safe_equality_q(spark, sf_dir):
             .select(F.col("g").cast("long").alias("g"),
                     "customers", "grp_n")
             .orderBy(F.col("g").asc_nulls_first()))
+
+
+@workload("events_weekday_hour_heatmap", """
+SELECT CAST(isodow(ts) AS BIGINT) AS weekday_iso,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY weekday_iso, hour
+""")
+def events_weekday_hour_heatmap_q(spark, sf_dir):
+    """Weekday x hour activity heatmap — the usage-pattern report.
+    Date-part parity needs care: Spark's dayofweek() is 1=Sunday
+    while DuckDB's isodow is 1=Monday; Spark's weekday() (0=Monday)
+    + 1 aligns them. Bounded 7x24 output from one
+    map-side-combined aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("weekday_iso"),
+        F.hour("ts").cast("long").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("weekday_iso", "hour"))
