@@ -4786,3 +4786,34 @@ def events_weekday_hour_heatmap_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("weekday_iso", "hour"))
+
+
+@workload("array_functions_mix", """
+SELECT doc_id,
+       ws[1:3] AS first3,
+       list_reverse(ws[1:3]) AS first3_rev,
+       list_contains(ws, 'the') AS has_the,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       list_sort(list_distinct(ws[1:5])) AS head_sorted
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents WHERE len(trim(text)) > 0 AND doc_id < 30) t
+ORDER BY doc_id
+""")
+def array_functions_mix_q(spark, sf_dir):
+    """Array-function surface in one pass: slice, reverse, contains,
+    distinct-count, sorted head — all codegen'd expressions over the
+    split-token array (map-only; the arrays never explode to
+    rows)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.length(F.trim("text")) > 0) & (F.col("doc_id") < 30))
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    first3 = F.slice(ws, 1, 3)
+    return (d.select(
+        "doc_id",
+        first3.alias("first3"),
+        F.reverse(first3).alias("first3_rev"),
+        F.array_contains(ws, "the").alias("has_the"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+        F.array_sort(F.array_distinct(F.slice(ws, 1, 5)))
+        .alias("head_sorted"))
+        .orderBy("doc_id"))
