@@ -4817,3 +4817,35 @@ def array_functions_mix_q(spark, sf_dir):
         F.array_sort(F.array_distinct(F.slice(ws, 1, 5)))
         .alias("head_sorted"))
         .orderBy("doc_id"))
+
+
+@workload("hof_lambda_functions", """
+SELECT doc_id,
+       CAST(list_sum(list_transform(ws, w -> len(w) * len(w)))
+            AS BIGINT) AS sum_sq_len,
+       CAST(len(list_filter(ws, w -> len(w) > 4)) AS BIGINT) AS n_long,
+       list_contains(list_transform(ws, w -> upper(w)), 'SPARK')
+         AS mentions_spark
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents WHERE len(trim(text)) > 0 AND doc_id < 40) t
+ORDER BY doc_id
+""")
+def hof_lambda_functions_q(spark, sf_dir):
+    """Higher-order lambda functions (Catalyst LambdaFunction
+    expressions): transform + filter + fold over the token array in
+    one codegen'd projection — the within-row compute idiom that
+    keeps array work out of explode/shuffle entirely."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.length(F.trim("text")) > 0) & (F.col("doc_id") < 40))
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    sum_sq = F.aggregate(
+        F.transform(ws, lambda w: F.length(w) * F.length(w)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (d.select(
+        "doc_id",
+        sum_sq.alias("sum_sq_len"),
+        F.size(F.filter(ws, lambda w: F.length(w) > 4)).cast("long")
+        .alias("n_long"),
+        F.array_contains(F.transform(ws, F.upper), "SPARK")
+        .alias("mentions_spark"))
+        .orderBy("doc_id"))
