@@ -273,10 +273,12 @@ LIMIT 10
 """)
 def tpch_q3_q(spark, sf_dir):
     """TPC-H Q3 (shipping priority): segment-filtered 3-table join,
-    grouped revenue, top-10. Plan: customer dim broadcast after the
-    segment filter, orders<->lineitem hash join, partial agg, then
-    TakeOrderedAndProject — the top-k never materializes a global
-    sort. Tie-broken by l_orderkey so LIMIT is deterministic."""
+    grouped revenue, top-10. Plan: orders<->lineitem hash join, then
+    customer joined WITHOUT a forced broadcast — customer scales with
+    SF, so AQE's 64 MB size gate decides (auto-broadcast at test SFs,
+    shuffle join at 100 TB). Partial agg then TakeOrderedAndProject —
+    the top-k never materializes a global sort. Tie-broken by
+    l_orderkey so LIMIT is deterministic."""
     c = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
@@ -284,7 +286,7 @@ def tpch_q3_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1997-03-15")
     return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
             .groupBy("l_orderkey", "o_orderdate")
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
@@ -312,8 +314,10 @@ LIMIT 20
 def tpch_q10_q(spark, sf_dir):
     """TPC-H Q10 (returned items): quarter of returned lineitems
     attributed back to customers, top-20 by lost revenue. lineitem is
-    the only big side; orders (date-filtered), customer and nation
-    broadcast; top-k via TakeOrderedAndProject."""
+    the biggest side; nation stays broadcast (25 rows at any SF), but
+    customer is SF-scaled and unfiltered so it gets NO forced hint —
+    the 64 MB auto-gate broadcasts it at test SFs and falls back to a
+    shuffle join at scale. Top-k via TakeOrderedAndProject."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders").filter(
@@ -321,7 +325,7 @@ def tpch_q10_q(spark, sf_dir):
         & (F.col("o_orderdate") < "1997-04-01"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
             .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "n_name")
             .agg(F.round(F.sum(F.col("l_extendedprice")
@@ -346,14 +350,15 @@ def tpch_q14_q(spark, sf_dir):
     """TPC-H Q14 (promo revenue): conditional-aggregate ratio over a
     month of lineitems joined to part (testdata's p_type domain is the
     single word, so the classic LIKE 'PROMO%' is an equality here).
-    part broadcasts; one scan, one 1-row reduce."""
+    part is SF-scaled and unfiltered, so no forced broadcast — the
+    size gate decides; one lineitem scan, one 1-row reduce."""
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-03-01")
         & (F.col("l_shipdate") < "1997-04-01"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
             .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
                  .alias("promo_revenue")))
 
@@ -377,7 +382,7 @@ def tpch_q19_q(spark, sf_dir):
     the rewrite the reference would need a by-hand rule for."""
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     br = (lambda b, smax, qlo, qhi:
           (F.col("p_brand") == b) & F.col("p_size").between(1, smax)
           & F.col("l_quantity").between(qlo, qhi))
@@ -437,10 +442,11 @@ ORDER BY revenue DESC, n_name
 def tpch_q5_q(spark, sf_dir):
     """TPC-H Q5 (local supplier volume): 6-table join where the
     customer and supplier must share a nation inside one region.
-    Plan shape for 100 TB: lineitem is the single probe side; orders
-    (date-filtered), customer, supplier, nation⋈region all broadcast
-    (each far under the 64 MB gate even at SF10k for nation/region;
-    supplier/customer prune first). The c_nationkey = s_nationkey
+    Plan shape for 100 TB: lineitem is the single probe side; only
+    nation⋈region gets a forced broadcast (≤25 rows at any SF).
+    customer and supplier are SF-scaled and unfiltered, so they carry
+    NO hint — the 64 MB auto-gate broadcasts them at test SFs and AQE
+    degrades to shuffle joins at scale. The c_nationkey = s_nationkey
     equality rides the supplier join as an extra key, so no post-join
     filter explosion."""
     c = _t(spark, sf_dir, "customer")
@@ -453,8 +459,8 @@ def tpch_q5_q(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nr = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-            .join(F.broadcast(s),
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .join(s,
                   (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -511,8 +517,10 @@ def tpch_q7_q(spark, sf_dir):
     by year — the two-role self-join of nation (supplier's vs
     customer's). The pair disjunction can't prune either nation scan
     alone, so it stays a post-join filter on the combined row; both
-    nation copies broadcast, lineitem probes once. EXTRACT year cast
-    to BIGINT on both engines (DuckDB years are BIGINT, Spark's INT)."""
+    nation copies broadcast (25 rows), lineitem probes once. customer
+    and supplier are SF-scaled → no forced hint, size gate decides.
+    EXTRACT year cast to BIGINT on both engines (DuckDB years are
+    BIGINT, Spark's INT)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00"))
     s = _t(spark, sf_dir, "supplier")
@@ -527,8 +535,8 @@ def tpch_q7_q(spark, sf_dir):
             | ((F.col("supp_nation") == "NATION_2")
                & (F.col("cust_nation") == "NATION_1")))
     return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
             .filter(pair)
@@ -566,11 +574,12 @@ ORDER BY o_year
 def tpch_q8_q(spark, sf_dir):
     """TPC-H Q8 (national market share): one nation's share of a
     region's revenue in one part segment, by order year — an 8-table
-    join reduced to a conditional-aggregate ratio. Every dimension
-    broadcasts (part pruned by type first, customer-side nation
-    pruned through region); lineitem is the only shuffled input and
-    it's probed exactly once. The share is computed from the same
-    joined row set with when/otherwise — no second pass."""
+    join reduced to a conditional-aggregate ratio. Forced broadcasts
+    only on the nation/region derivatives (bounded at any SF); part,
+    customer and supplier are SF-scaled so the 64 MB auto-gate
+    decides for them. lineitem is shuffled once and probed exactly
+    once. The share is computed from the same joined row set with
+    when/otherwise — no second pass."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
@@ -585,9 +594,9 @@ def tpch_q8_q(spark, sf_dir):
         F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("nation"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
             .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_n1k"))
             .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_n2k"))
             .select(F.year("o_orderdate").cast("long").alias("o_year"),
@@ -699,8 +708,11 @@ def tpch_q15_q(spark, sf_dir):
            .agg(F.sum(cents).alias("total_cents")).persist())
     mx = rev.agg(F.max("total_cents").alias("_mx"))
     s = _t(spark, sf_dir, "supplier")
+    # mx is a 1-row aggregate → broadcast is always safe; supplier is
+    # SF-scaled so it gets no hint (the max-filtered rev side is tiny
+    # and AQE broadcasts it at runtime)
     return (rev.join(F.broadcast(mx), F.col("total_cents") == F.col("_mx"))
-            .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+            .join(s, F.col("s_suppkey") == F.col("supplier_no"))
             .select("s_suppkey", "s_name", "total_cents")
             .orderBy("s_suppkey"))
 
@@ -718,18 +730,19 @@ def tpch_q16_q(spark, sf_dir):
     """TPC-H Q16 (supplier counts by part attributes), adapted: no
     partsupp table is generated, so the part<->supplier relation is
     derived from lineitem — same shape (NOT-IN anti-join against a
-    filtered supplier list + count-distinct per part attribute). The
-    anti side is tiny and broadcasts; NOT IN's NULL trap doesn't
-    apply (s_suppkey is a key) so a left-anti join is exact."""
+    filtered supplier list + count-distinct per part attribute). Both
+    the anti side and part are SF-scaled, so neither carries a forced
+    broadcast — the 64 MB auto-gate decides. NOT IN's NULL trap
+    doesn't apply (s_suppkey is a key) so a left-anti join is exact."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
     bad = _t(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0).select("s_suppkey")
-    return (li.join(F.broadcast(bad),
+    return (li.join(bad,
                     F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-            .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(p, F.col("p_partkey") == F.col("l_partkey"))
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
             .orderBy(F.col("supplier_cnt").desc(),
@@ -748,7 +761,8 @@ def tpch_q17_q(spark, sf_dir):
     subquery — each lineitem compares against ITS part's average
     quantity. Decorrelated the way Catalyst/DuckDB both do it: a
     per-part AVG aggregate joined back on partkey (the per-part
-    thresholds are ~#parts rows → broadcast). l_quantity is integral,
+    thresholds are ~#parts rows → size-gated, no forced hint).
+    l_quantity is integral,
     so the AVG is an exact-integer sum / count — bit-identical in
     both engines, no threshold flicker. p_container isn't generated;
     the brand+type filter plays its role."""
@@ -760,7 +774,7 @@ def tpch_q17_q(spark, sf_dir):
     # avg_q is PART-scaled — no broadcast hint: the 64 MB auto-gate
     # broadcasts it at test SFs and AQE picks a shuffle join when the
     # part table outgrows the gate at cluster scale
-    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
             .join(avg_q, F.col("l_partkey") == F.col("_apk"))
             .filter(F.col("l_quantity") < F.col("_thresh"))
             .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
@@ -782,10 +796,11 @@ def tpch_q18_q(spark, sf_dir):
     """TPC-H Q18 (large-volume customers): orders whose total lineitem
     quantity exceeds a threshold, with customer attribution. The
     classic plan pre-aggregates lineitem by orderkey BEFORE joining
-    (the HAVING survivor set is tiny), then broadcasts customer; the
-    IN-subquery formulation collapses to this same aggregate-then-
-    semi shape. Quantities are integral doubles — summed as BIGINT
-    so the threshold and hash are exact."""
+    (the HAVING survivor set is tiny); customer is SF-scaled so it
+    joins un-hinted (the tiny survivor side is what AQE broadcasts at
+    runtime). The IN-subquery formulation collapses to this same
+    aggregate-then-semi shape. Quantities are integral doubles —
+    summed as BIGINT so the threshold and hash are exact."""
     li = _t(spark, sf_dir, "lineitem")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
@@ -793,7 +808,7 @@ def tpch_q18_q(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
             .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                     "o_totalprice", "total_qty")
             .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -831,28 +846,43 @@ def tpch_q21_q(spark, sf_dir):
     a late lineitem counts iff its order has >1 distinct supplier
     and exactly 1 distinct LATE supplier (necessarily this one).
     Lateness adapted to shipdate > orderdate + 60d (no receipt/
-    commit dates in the testdata). Scale shape: two hash aggregates
-    keyed on orderkey and one re-join — never a per-row correlated
-    probe; supplier/nation broadcast."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = _t(spark, sf_dir, "lineitem")
-    late = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-            .filter(F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
-            .select("l_orderkey", "l_suppkey"))
-    per_order = (li.groupBy("l_orderkey")
-                 .agg(F.count_distinct("l_suppkey").alias("nsupp")))
-    late_per_order = (late.groupBy(F.col("l_orderkey").alias("_lok"))
-                      .agg(F.count_distinct("l_suppkey").alias("nlate")))
+    commit dates in the testdata). Scale shape (r4): ONE pass —
+    lineitem joins status-F orders once, then a single groupBy on
+    orderkey computes all three facts via conditional aggregation
+    (nsupp, nlate, and the late-row count). Because nlate = 1 in
+    every qualifying order, max(late supplier) IS the waiting
+    supplier and the late-row count attributes to them exactly —
+    identical to the two-aggregate + re-join formulation but with
+    one lineitem shuffle instead of two plus a re-join. The join
+    output is already hash-partitioned on orderkey, so the groupBy
+    adds no extra exchange. nation stays broadcast (25 rows);
+    supplier is SF-scaled → no forced hint.
+
+    Note: per_order here counts suppliers among status-F orders only,
+    which matches the oracle because non-F orders can never appear in
+    `late` and are dropped by its join anyway."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    is_late = (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+    per_order = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .withColumn("_late_supp", F.when(is_late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("nsupp"),
+             F.count_distinct("_late_supp").alias("nlate"),
+             F.max("_late_supp").alias("_waiting"),
+             F.count("_late_supp").alias("_late_rows")))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-    return (late.join(per_order, "l_orderkey")
-            .join(late_per_order, F.col("l_orderkey") == F.col("_lok"))
+    return (per_order
             .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
-            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(s, F.col("s_suppkey") == F.col("_waiting"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy("s_name")
-            .agg(F.count(F.lit(1)).alias("numwait"))
+            .agg(F.sum("_late_rows").cast("long").alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name")
             .limit(10))
 
@@ -4095,8 +4125,10 @@ def tpch_q2_q(spark, sf_dir):
     """TPC-H Q2 (minimum-cost supplier): the correlated min-cost
     subquery decorrelated to a per-part MIN aggregate over the
     region's suppliers, equality-joined back — integer-cents cost
-    makes the min compare exact. Region-filtered supplier set
-    broadcasts; partsupp derives once from lineitem."""
+    makes the min compare exact. Only nation⋈region is force-
+    broadcast (bounded); the region's supplier set and the filtered
+    part table are SF-scaled, so the 64 MB auto-gate decides for
+    them. partsupp derives once from lineitem."""
     ps = _partsupp(spark, sf_dir)
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = _t(spark, sf_dir, "supplier")
@@ -4105,8 +4137,8 @@ def tpch_q2_q(spark, sf_dir):
     eu_supp = (s.join(F.broadcast(
         n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))),
         F.col("s_nationkey") == F.col("n_nationkey")))
-    eu_ps = ps.join(F.broadcast(eu_supp.select("s_suppkey", "s_acctbal",
-                                               "s_name", "n_name")),
+    eu_ps = ps.join(eu_supp.select("s_suppkey", "s_acctbal",
+                                   "s_name", "n_name"),
                     F.col("ps_suppkey") == F.col("s_suppkey"))
     min_cost = (eu_ps.groupBy(F.col("ps_partkey").alias("_mpk"))
                 .agg(F.min("ps_supplycost_cents").alias("_mc")))
@@ -4114,7 +4146,7 @@ def tpch_q2_q(spark, sf_dir):
     return (eu_ps.join(min_cost,
                        (F.col("ps_partkey") == F.col("_mpk"))
                        & (F.col("ps_supplycost_cents") == F.col("_mc")))
-            .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+            .join(p, F.col("p_partkey") == F.col("ps_partkey"))
             .select("s_acctbal", "s_name", "n_name", "p_partkey",
                     "ps_supplycost_cents")
             .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
@@ -4141,8 +4173,9 @@ def tpch_q9_q(spark, sf_dir):
     """TPC-H Q9 (product-type profit): revenue minus supply cost per
     nation and year. partsupp joins lineitem on the COMPOSITE
     (partkey, suppkey) key — the one join in the suite with a
-    two-column fact-fact key; part filters first and broadcasts,
-    orders supplies the year."""
+    two-column fact-fact key. part and supplier are SF-scaled so
+    they join un-hinted (size gate decides); only nation is force-
+    broadcast. orders supplies the year."""
     ps = _partsupp(spark, sf_dir)
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     s = _t(spark, sf_dir, "supplier")
@@ -4151,11 +4184,11 @@ def tpch_q9_q(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - (F.col("ps_supplycost_cents") / 100.0) * F.col("l_quantity"))
-    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
             .join(ps, (F.col("ps_suppkey") == F.col("l_suppkey"))
                   & (F.col("ps_partkey") == F.col("l_partkey")))
             .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .select(F.col("n_name").alias("nation"),
                     F.year("o_orderdate").cast("long").alias("o_year"),
@@ -4190,9 +4223,10 @@ def tpch_q11_q(spark, sf_dir):
     ps = _partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-    nat_ps = (ps.join(F.broadcast(
+    # the nation's supplier set is SF-scaled → no forced hint on it
+    nat_ps = (ps.join(
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey")), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey"), F.col("ps_suppkey") == F.col("s_suppkey"))
         .withColumn("_v", F.col("ps_supplycost_cents") * F.col("ps_availqty"))
         .persist())
     thresh = nat_ps.agg((F.sum("_v") * 0.001).alias("_t"))
@@ -4236,7 +4270,7 @@ def tpch_q20_q(spark, sf_dir):
                 .groupBy(F.col("l_partkey").alias("_ypk"),
                          F.col("l_suppkey").alias("_ysk"))
                 .agg(F.count(F.lit(1)).alias("_yc")))
-    excess = (ps.join(F.broadcast(p),
+    excess = (ps.join(p,
                       F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
               .join(year_cnt, (F.col("ps_partkey") == F.col("_ypk"))
                     & (F.col("ps_suppkey") == F.col("_ysk")), "left")
@@ -4569,13 +4603,16 @@ def profile_referential_integrity_q(spark, sf_dir):
     """Referential-integrity audit: orphan-row counts for every
     fact->dimension foreign key — the pre-pipeline data-quality gate
     (an orphan key silently drops rows from every inner join
-    downstream). Each check is a LEFT-ANTI hash join (dimension side
-    broadcasts) reduced to one count; keys here are NOT NULL so the
-    NOT IN null-trap doesn't bite."""
+    downstream). Each check is a LEFT-ANTI hash join reduced to one
+    count. The PK sides (orders/customer/part/supplier) are SF-scaled
+    — at 100 TB they are billions of rows — so they carry NO forced
+    broadcast; the 64 MB auto-gate broadcasts them at test SFs and
+    AQE shuffles at scale. Keys here are NOT NULL so the NOT IN
+    null-trap doesn't bite."""
     def orphans(fact, fk, dim, pk, label):
         f = _t(spark, sf_dir, fact)
         d = _t(spark, sf_dir, dim).select(pk)
-        return (f.join(F.broadcast(d), F.col(fk) == F.col(pk), "left_anti")
+        return (f.join(d, F.col(fk) == F.col(pk), "left_anti")
                 .agg(F.lit(label).alias("fk"),
                      F.count(F.lit(1)).alias("orphans")))
     parts = [
@@ -4624,7 +4661,7 @@ def window_share_and_nth_q(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    nr = (o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    nr = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
           .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
           .groupBy("n_name").agg(F.sum(cents).alias("cents")))
     wall = Window.partitionBy()
@@ -4697,7 +4734,7 @@ def dedup_latest_per_key_q(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = (Window.partitionBy("c_custkey")
          .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc()))
-    return (o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+    return (o.join(c, F.col("c_custkey") == F.col("o_custkey"))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("c_custkey", F.col("o_orderkey").alias("latest_order"),
