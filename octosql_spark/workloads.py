@@ -42,15 +42,23 @@ class Workload:
     # Declared here so tools/plan_audit.py keys its allowlist on the
     # workload definition instead of a drifting name list.
     cartesian_ok: bool = False
+    # Plan intentionally force-broadcasts a frame DERIVED from an
+    # SF-scaled table whose boundedness the audit cannot see in the
+    # plan: a bounded candidate/query set (fixed id filter), a
+    # bounded-domain rollup (per-source medians, hashed-LM buckets,
+    # k cluster cells). Anything that grows with SF must NOT set
+    # this — drop the hint and let the 64 MB auto-gate decide.
+    broadcast_ok: bool = False
 
 
 REGISTRY: dict[str, Workload] = {}
 
 
 def workload(name: str, oracle: Optional[str], headline: bool = False,
-             cartesian_ok: bool = False):
+             cartesian_ok: bool = False, broadcast_ok: bool = False):
     def deco(fn):
-        REGISTRY[name] = Workload(name, fn, oracle, headline, cartesian_ok)
+        REGISTRY[name] = Workload(name, fn, oracle, headline, cartesian_ok,
+                                  broadcast_ok)
         return fn
     return deco
 
@@ -1053,7 +1061,7 @@ SELECT p_brand, COUNT(*) AS n_items,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
-""", headline=True)
+""", headline=True, broadcast_ok=True)
 def join_lookup(spark, sf_dir):
     """LOOKUP JOIN (execution/nodes/lookup_join.go:21-50) → broadcast
     join: part (dimension) ships to executors once; the fact side
@@ -2066,7 +2074,7 @@ g AS (SELECT doc_id,
 bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
 SELECT DISTINCT doc_id FROM g
 WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench)
-""")
+""", broadcast_ok=True)
 def curate_decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any word
     4-gram with the 'benchmark' subset (doc_id % 97 = 0) are flagged.
@@ -2144,7 +2152,7 @@ FROM d JOIN r USING (source)
 WHERE (((d.doc_id % 2147483647 + 17) % 2147483647) * 1103515245)
       % 2147483647
       < CAST(ROUND(r.rate * 2147483647) AS BIGINT)
-""")
+""", broadcast_ok=True)
 def curate_mixture_sample_q(spark, sf_dir):
     """Temperature-weighted domain mixture sampling (alpha=0.5,
     10k-token budget): deterministic LCG keep/drop per doc, rates
@@ -2408,7 +2416,7 @@ WITH tok AS (
 SELECT doc_id, COUNT(*) AS n_words, ROUND(AVG(lr), 6) AS log_ratio
 FROM tok JOIN lm USING (b)
 GROUP BY doc_id
-""")
+""", broadcast_ok=True)
 def text_dsir_importance_q(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): hashed-unigram
     Laplace-smoothed LMs for a target slice (sources src0/src1) vs the
@@ -2459,7 +2467,7 @@ WITH tok AS (
 ), th AS (SELECT quantile_cont(gk, 0.75) AS t FROM g)
 SELECT doc_id, n_words, log_ratio
 FROM g CROSS JOIN th WHERE gk >= t
-""")
+""", broadcast_ok=True)
 def curate_dsir_select_q(spark, sf_dir):
     """DSIR selection: Gumbel-top-k resampling proportional to
     exp(log_ratio/T), fully oracled — the Gumbel noise derives from
@@ -2496,7 +2504,7 @@ score AS (
 SELECT sc.doc_id, sc.source, sc.lp AS avg_logprob
 FROM sc JOIN med ON sc.source = med.source
 WHERE sc.lp > med.m
-""", cartesian_ok=True)
+""", cartesian_ok=True, broadcast_ok=True)
 def curate_quality_above_domain_median_q(spark, sf_dir):
     """CCNet-style per-domain quality thresholding: score every doc
     with the unigram-LM log-prob proxy, compute each source's MEDIAN
@@ -2751,7 +2759,8 @@ def embedding_norms_q(spark, sf_dir):
     return e.select("vec_id", F.round(embedding_norms(e), 6).alias("norm"))
 
 
-@workload("ann_cosine_topk", cartesian_ok=True, oracle="""
+@workload("ann_cosine_topk", cartesian_ok=True, broadcast_ok=True,
+          oracle="""
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          ROW_NUMBER() OVER (
@@ -2780,7 +2789,7 @@ def ann_cosine_topk_q(spark, sf_dir):
 @workload("ann_lsh_consistency", """
 SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor_id
 WHERE FALSE
-""")
+""", broadcast_ok=True)
 def ann_lsh_consistency_q(spark, sf_dir):
     """LSH invariant as a real oracle: every (query, neighbor) the LSH
     path returns must carry the EXACT brute-force cosine (candidates
@@ -2814,7 +2823,7 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM embeddings q CROSS JOIN embeddings c
   WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
 ) WHERE rank <= 5
-""")
+""", broadcast_ok=True)
 def ann_ivf_full_probe_q(spark, sf_dir):
     """IVF ANN with n_probe = n_centroids: every cell probed → results
     identical to brute force, so the full SQL oracle applies — the
@@ -2828,7 +2837,7 @@ def ann_ivf_full_probe_q(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
-@workload("ann_ivf_topk", None)
+@workload("ann_ivf_topk", None, broadcast_ok=True)
 def ann_ivf_topk_q(spark, sf_dir):
     """IVF ANN, n_probe < n_centroids (the approximate serving path) —
     rows-only."""
@@ -2840,7 +2849,7 @@ def ann_ivf_topk_q(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
-@workload("ann_pq_topk", None, cartesian_ok=True)
+@workload("ann_pq_topk", None, cartesian_ok=True, broadcast_ok=True)
 def ann_pq_topk_q(spark, sf_dir):
     """Product-quantization ANN with exact rerank (FAISS ADC serving
     shape; the compressed-corpus scale path) — approximate by nature →
@@ -2852,7 +2861,7 @@ def ann_pq_topk_q(spark, sf_dir):
     return pq_topk(q, e, k=5, n_subvectors=8, n_codes=16, rerank=50)
 
 
-@workload("ann_ivfpq_topk", None)
+@workload("ann_ivfpq_topk", None, broadcast_ok=True)
 def ann_ivfpq_topk_q(spark, sf_dir):
     """IVF-PQ: coarse cells bound the candidate set (equi-join on cell
     id, n_probe/n_cells of the code table per query) and ADC scores
@@ -2865,7 +2874,7 @@ def ann_ivfpq_topk_q(spark, sf_dir):
                    n_cells=16, n_probe=6)
 
 
-@workload("ann_lsh_topk", None, cartesian_ok=True)
+@workload("ann_lsh_topk", None, cartesian_ok=True, broadcast_ok=True)
 def ann_lsh_topk_q(spark, sf_dir):
     """Multi-table hyperplane-LSH ANN (the scale path) — approximate,
     rows-only."""
@@ -3216,7 +3225,7 @@ def session_window_q(spark, sf_dir):
                     F.col("session_window.start").alias("session_start"), "n"))
 
 
-@workload("max_diff_watermark_batch", None)
+@workload("max_diff_watermark_batch", None, broadcast_ok=True)
 def max_diff_watermark_batch_q(spark, sf_dir):
     """max_diff_watermark batch emulation (running max over file order
     — table_valued_functions/max_diff_watermark.go:134-153). File
@@ -3846,7 +3855,8 @@ def ann_cosine_topk_gemm_q(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
-@workload("ann_matryoshka_funnel", cartesian_ok=True, oracle="""
+@workload("ann_matryoshka_funnel", cartesian_ok=True, broadcast_ok=True,
+          oracle="""
 WITH nq AS (
   SELECT vec_id, list_transform(tr, x -> x / nrm) AS tv
   FROM (SELECT vec_id,
@@ -3923,7 +3933,7 @@ WITH o AS (
 SELECT date_trunc('hour', ts) AS bucket,
        CAST(MAX(cum - nd + st) AS BIGINT) AS peak
 FROM run GROUP BY 1
-""", cartesian_ok=True)
+""", cartesian_ok=True, broadcast_ok=True)
 def concurrency_peak_hourly_q(spark, sf_dir):
     """Peak concurrent sessions per hour: sessionize (30-min gap),
     then the sweep-line concurrency operator. The oracle runs the

@@ -6,6 +6,15 @@ it's the plan you'd want" loop, automated):
 - row-at-a-time PythonUDF in the row path (BatchEvalPython)
 - parquet scans reading all columns when the query projects few
 - missing PushedFilters on filtered scans
+- FORCED broadcast (F.broadcast / .hint) of an SF-scaled base-table
+  scan: the hint bypasses the 64 MB auto-gate, so at cluster scale it
+  is a guaranteed OOM, not a slow plan. Detected in the ANALYZED
+  logical plan (ResolvedHint survives there; the executed plan cannot
+  distinguish a hint from a size-gated auto-broadcast at small SFs).
+  A scaled Relation under a broadcast hint is OK only if a bounding
+  node — global (ungrouped) Aggregate or a Limit — sits on the path
+  between the hint and the scan, or the workload declares
+  broadcast_ok (bounded candidate set / bounded-domain rollup).
 
 Run: python tools/plan_audit.py [sf_dir]
 """
@@ -25,9 +34,74 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # declares it at the definition site so this audit can't drift.
 
 
-def audit(name: str, df, cartesian_ok: bool = False) -> list[str]:
+# Sentinel column → SF-scaled base table. The analyzed plan prints
+# every file Relation with its full base schema, so the first/keyed
+# column identifies the table even when projections above rename it.
+_SCALED_SENTINELS = {
+    "l_orderkey": "lineitem", "o_orderkey": "orders",
+    "c_custkey": "customer", "p_partkey": "part",
+    "s_suppkey": "supplier", "doc_id": "documents",
+    "vec_id": "embeddings", "event_id": "events",
+}
+
+_SENTINEL_RE = re.compile(
+    r"\b(" + "|".join(_SCALED_SENTINELS) + r")#\d+")
+
+
+def _depth(line: str) -> int:
+    """Tree depth of an analyzed-plan line (prefix is 3-char cells of
+    ':  ', '   ', '+- ', ':- ')."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i // 3
+
+
+def forced_broadcast_flags(df) -> list[str]:
+    """Scaled Relations under a broadcast ResolvedHint with no
+    bounding ancestor (global Aggregate / Limit) between hint and
+    scan."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    flags = []
+    # stack of (depth, kind) ancestors of the current line
+    stack: list[tuple[int, str]] = []
+    for raw in plan.splitlines():
+        d = _depth(raw)
+        text = raw[d * 3:] if d else raw
+        while stack and stack[-1][0] >= d:
+            stack.pop()
+        kind = ""
+        if text.startswith("ResolvedHint") and "broadcast" in text:
+            kind = "hint"
+        elif (text.startswith("GlobalLimit")
+              or text.startswith("LocalLimit")):
+            kind = "bound"
+        elif text.startswith("Aggregate [") and "], [" not in text:
+            kind = "bound"  # ungrouped (1-row) aggregate
+        elif text.startswith("Relation "):
+            m = _SENTINEL_RE.search(text)
+            if m:
+                # walk ancestors innermost-first: a bounding node
+                # BELOW the hint bounds the scan; a hint hit first
+                # (no bound in between) is the OOM shape
+                for ad, akind in reversed(stack):
+                    if akind == "bound":
+                        break
+                    if akind == "hint":
+                        flags.append(
+                            "forced broadcast of SF-scaled "
+                            f"{_SCALED_SENTINELS[m.group(1)]} scan")
+                        break
+        stack.append((d, kind))
+    return sorted(set(flags))
+
+
+def audit(name: str, df, cartesian_ok: bool = False,
+          broadcast_ok: bool = False) -> list[str]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     flags = []
+    if not broadcast_ok:
+        flags.extend(forced_broadcast_flags(df))
     if not cartesian_ok and \
             ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan):
         flags.append("unintended cartesian/BNLJ")
@@ -52,7 +126,8 @@ def main() -> int:
     for name, w in REGISTRY.items():
         try:
             df = w.build(spark, sf_dir)
-            flags = audit(name, df, cartesian_ok=w.cartesian_ok)
+            flags = audit(name, df, cartesian_ok=w.cartesian_ok,
+                          broadcast_ok=w.broadcast_ok)
         except Exception as ex:
             print(f"ERROR {name}: {ex}")
             bad += 1
