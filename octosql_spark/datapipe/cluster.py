@@ -148,7 +148,9 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
                    method: str = "cells", n_cells: int = 16,
                    seed: int = 42, target_cell_size: int = 4096,
                    max_cell_population: int | None = None,
-                   lsh_tables: int = 8, lsh_planes: int = 4) -> DataFrame:
+                   lsh_tables: int = 8, lsh_planes: int = 4,
+                   train_cap: int = 100_000,
+                   flat_k_max: int = 4096) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): collapse groups of
     semantically near-identical examples (cosine >= ``threshold``) to
@@ -185,6 +187,19 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
       the standard LSH recall bound for a hard cap on pair blowup.
       Small cells keep the paper-exact all-pairs scan. Set
       ``lsh_planes=0`` to disable the skew guard (paper-faithful mode).
+    - KMeans trains on a BOUNDED sample (``train_cap`` rows, the
+      pq_topk codebook pattern — quantizer quality saturates long
+      before the corpus is exhausted), never the full corpus, and
+      cell ASSIGNMENT is ``model.transform`` (MLlib broadcasts the
+      center matrix as data) — the centers never enter the plan as
+      literals, so plan size is O(1) in k.
+    - When the auto-scaled k exceeds ``flat_k_max`` (k≈n/4096 is
+      ~250k at 1B rows — impractical for a single MLlib fit), the
+      assignment goes two-level coarse→fine: a √k-means over the
+      vectors picks a coarse cell, a second √k-means over the
+      RESIDUAL (vector − coarse center, the IVF-PQ trick) refines it,
+      and the cell id is the (coarse, fine) pair — k₁·k₂ ≥ k cells
+      from two bounded fits of ~√k centers each.
     The candidate shuffle is keyed on (cell, table, bucket); see
     ``_cell_candidate_keys`` for the testable key assignment.
     """
@@ -201,31 +216,77 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
     if method != "cells":
         raise ValueError(method)
 
+    import math
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    sess = embeddings.sparkSession
     e = embeddings.select(F.col(id_col).alias("_id"),
                           F.col(vec_col).cast("array<double>").alias("_v"))
     norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
     e = e.withColumn("_nv", F.transform("_v", lambda x: x / norm))
     # auto-scale k so expected cell population stays ~target_cell_size
     # (n_cells is a floor, not the answer — fixed k at growing n is the
-    # quadratic blowup the paper avoids with k≈100k)
+    # quadratic blowup the paper avoids with k≈100k). The count is one
+    # metadata-cheap scan; the FIT below never touches the full corpus.
     n = e.count()
     k = max(2, min(max(n_cells, -(-n // max(1, target_cell_size))), n))
-    model = (KMeans(k=k, seed=seed, featuresCol="features")
-             .fit(e.select(array_to_vector("_nv").alias("features"))))
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    feat = e.select("_id", "_nv", array_to_vector("_nv").alias("features"))
 
-    def _cell_and_ccos(vec):
-        scored = F.array(*[
-            F.struct(_dot(vec, F.array(*[F.lit(x) for x in ctr])).alias("c"),
-                     F.lit(i).alias("cid"))
-            for i, ctr in enumerate(centers)])
-        best = F.array_sort(scored)[F.size(scored) - 1]  # max cosine
-        return best["cid"].alias("cell"), best["c"].alias("ccos")
+    def _fit(df, kk, s):
+        # bounded training sample: O(cap) rows pulled into the fit
+        # regardless of corpus size (cap >= 4*kk keeps every center
+        # populated); frac >= 1 degenerates to the full (small) input
+        cap = max(train_cap, 4 * kk)
+        frac = min(1.0, 1.2 * float(cap) / max(1, n))
+        tr = df if frac >= 1.0 else df.sample(False, frac, s)
+        return KMeans(k=kk, seed=s, featuresCol="features").fit(
+            tr.select("features"))
 
-    cell, ccos = _cell_and_ccos(F.col("_nv"))
-    x = e.select("_id", "_nv", cell, ccos).persist()
+    def _centers_df(model, cell_name, ctr_name):
+        rows = [(i, [float(v) for v in c])
+                for i, c in enumerate(model.clusterCenters())]
+        return sess.createDataFrame(
+            rows, f"{cell_name} int, {ctr_name} array<double>")
+
+    if k <= flat_k_max:
+        model = _fit(feat, k, seed)
+        # model.transform broadcasts the center matrix as DATA inside
+        # MLlib; the plan carries no centroid literals
+        assigned = (model.transform(feat)
+                    .withColumn("cell", F.col("prediction").cast("int")))
+        ctrs = _centers_df(model, "_ck", "_ctr")  # k rows, joined as data
+        x = (assigned.join(F.broadcast(ctrs), F.col("cell") == F.col("_ck"))
+             .select("_id", "_nv", "cell",
+                     _dot(F.col("_nv"), F.col("_ctr")).alias("ccos"))
+             .persist())
+    else:
+        # two-level coarse→fine: two ~√k fits, k1*k2 >= k cells
+        k1 = max(2, int(math.ceil(math.sqrt(float(k)))))
+        k2 = max(2, -(-k // k1))
+        m1 = _fit(feat, k1, seed)
+        coarse = (m1.transform(feat)
+                  .withColumn("_c1", F.col("prediction").cast("int"))
+                  .drop("prediction", "features"))
+        c1 = _centers_df(m1, "_ck1", "_ctr1")  # k1 rows
+        resid = (coarse.join(F.broadcast(c1), F.col("_c1") == F.col("_ck1"))
+                 .withColumn("_rv", F.zip_with("_nv", "_ctr1",
+                                               lambda a, b: a - b)))
+        rfeat = resid.select("_id", "_nv", "_c1", "_ctr1",
+                             array_to_vector("_rv").alias("features"))
+        m2 = _fit(rfeat, k2, seed + 1)
+        fine = (m2.transform(rfeat)
+                .withColumn("_c2", F.col("prediction").cast("int")))
+        c2 = _centers_df(m2, "_ck2", "_ctr2")  # k2 rows
+        # effective center of the (coarse, fine) cell is c1 + c2
+        x = (fine.join(F.broadcast(c2), F.col("_c2") == F.col("_ck2"))
+             .select("_id", "_nv",
+                     (F.col("_c1") * k2 + F.col("_c2")).alias("cell"),
+                     _dot(F.col("_nv"),
+                          F.zip_with("_ctr1", "_ctr2", lambda a, b: a + b))
+                     .alias("ccos"))
+             .persist())
     keyed = _cell_candidate_keys(
         x, max_cell_population=(max_cell_population
                                 if max_cell_population is not None

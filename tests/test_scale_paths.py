@@ -203,3 +203,38 @@ def test_semantic_dedup_cells_autoscales_k(spark):
     got = out.collect()
     assert len(got) == 400
     assert len({r.vec_id for r in got}) == 400
+
+
+def test_semantic_dedup_cells_plan_constant_in_k(spark):
+    """Cell assignment must not inline centroids into the plan: with
+    64 cells vs 4 the analyzed plan stays the same size (centers are
+    model state + a LocalRelation join, never expression literals)."""
+    import math
+    from octosql_spark.datapipe import semantic_dedup
+    rows = [(i, [math.cos(i * 0.017), math.sin(i * 0.017)])
+            for i in range(800)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plans = {}
+    for tcs in (200, 12):  # k≈4 vs k≈67
+        out = semantic_dedup(e, threshold=0.9999, method="cells",
+                             n_cells=2, target_cell_size=tcs)
+        plans[tcs] = len(out._jdf.queryExecution().analyzed().toString())
+        assert out.count() == 800
+    # pre-fix the k-struct literal made the big-k plan ~k times larger
+    assert plans[12] < 2 * plans[200]
+
+
+def test_semantic_dedup_two_level_assignment(spark):
+    """Auto-k above flat_k_max switches to the coarse+residual
+    two-level assignment: two ~sqrt(k) fits, every id assigned
+    exactly once, cell ids within k1*k2."""
+    import math
+    from octosql_spark.datapipe import semantic_dedup
+    rows = [(i, [math.cos(i * 0.013), math.sin(i * 0.013)])
+            for i in range(600)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(e, threshold=0.9999, method="cells", n_cells=2,
+                         target_cell_size=10, flat_k_max=16).collect()
+    # k = ceil(600/10) = 60 > 16 → two-level path (k1=8, k2=8)
+    assert len(out) == 600
+    assert len({r.vec_id for r in out}) == 600
