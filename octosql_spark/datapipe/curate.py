@@ -91,10 +91,18 @@ def semantic_decontaminate(corpus: DataFrame, eval_df: DataFrame,
     from octosql_spark.datapipe.similarity import _dot
 
     def _normed(df: DataFrame) -> DataFrame:
+        # zero-norm guard: x/0 is NULL in Spark, which the literal
+        # path would silently drop but the GEMM path would feed to
+        # np.array as object-dtype rows and crash mid-job. A zero
+        # vector has no direction (cosine undefined), so both
+        # regimes consistently skip it.
         v = F.col(vec_col).cast("array<double>")
         n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-        return df.select(F.col(id_col),
-                         F.transform(v, lambda x: x / n).alias("_nv"))
+        return (df.select(F.col(id_col), v.alias("_rawv"), n.alias("_n"))
+                .filter(F.col("_n") > 0)
+                .select(F.col(id_col),
+                        F.transform("_rawv",
+                                    lambda x: x / F.col("_n")).alias("_nv")))
 
     c = _normed(corpus)
     evn = _normed(eval_df)
@@ -255,8 +263,14 @@ def pack_bins_bfd(docs: DataFrame, max_tokens: int = 512,
         pdf["bin_id"] = placed
         return pdf
 
-    schema = ", ".join([f"{id_col} long", f"{shard_col} string",
-                        "n_tokens long", "bin_id long"])
+    # output schema carries the INPUT types for id/shard (an int or
+    # date shard key must round-trip, not be coerced to string)
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([
+        StructField(id_col, docs.schema[id_col].dataType),
+        StructField(shard_col, docs.schema[shard_col].dataType),
+        StructField("n_tokens", LongType()),
+        StructField("bin_id", LongType())])
     return slim.groupBy(shard_col).applyInPandas(_bfd, schema)
 
 

@@ -185,8 +185,13 @@ def minhash_ingest_near_dups(batch: DataFrame, corpus: DataFrame,
                             num_hashes, shingle).select(id_col, "minhash")
     bs = minhash_signatures(batch.select(id_col, text_col), text_col,
                             num_hashes, shingle).select(id_col, "minhash")
+    # persisted: the bucket-size cap and the probe join both consume
+    # the corpus band table — without the persist the full corpus is
+    # scanned and re-minhashed twice per ingest (minhash_lsh_pairs
+    # persists its signature table for the same reason). In a real
+    # deployment this frame is the on-disk bucketed index.
     cb = (_band_table(cs, id_col, num_hashes, bands)
-          .withColumnRenamed(id_col, "corpus_id"))
+          .withColumnRenamed(id_col, "corpus_id").persist())
     bb = (_band_table(bs, id_col, num_hashes, bands)
           .withColumnRenamed(id_col, "batch_id"))
     sizes = (cb.groupBy("band_id", "band_hash")

@@ -185,7 +185,11 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     for p in parts:
         c = None
         for k, v in p.items():
-            e = F.col(k) == F.lit(v)
+            # null-safe: a NULL partition value lands in
+            # __HIVE_DEFAULT_PARTITION__ and reads back as NULL; a
+            # plain == would never match it, silently dropping that
+            # partition's base rows from the merged rewrite
+            e = F.col(k).eqNullSafe(F.lit(v))
             c = e if c is None else (c & e)
         cond = c if cond is None else (cond | c)
     base = spark.read.format(fmt).load(path).filter(cond)

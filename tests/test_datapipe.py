@@ -1059,3 +1059,35 @@ def test_graph_metrics_planted(spark):
     r = graph_metrics(edges).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 4, 1)
     assert abs(r.transitivity - 0.6) < 1e-9
+
+
+def test_pack_bins_bfd_nonstring_shard_and_id_types(spark):
+    """Output schema must carry the INPUT id/shard types — an int
+    shard key or date shard must round-trip, not crash on the
+    previously hardcoded 'long, string' schema."""
+    docs = spark.createDataFrame(
+        [(1, 7, "w w w"), (2, 7, "w"), (3, 9, "w w")],
+        "doc_id long, shard int, text string")
+    out = dp.pack_bins_bfd(docs, max_tokens=4, shard_col="shard").collect()
+    assert len(out) == 3
+    assert {r.shard for r in out} == {7, 9}
+    assert dict(dp.pack_bins_bfd(docs, max_tokens=4,
+                                 shard_col="shard").dtypes)["shard"] == "int"
+
+
+def test_semantic_decontaminate_zero_norm_vectors(spark):
+    """Zero-norm embeddings have no direction: both the literal and
+    the GEMM regime must SKIP them consistently instead of the GEMM
+    path crashing on NULL-element arrays."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    lit = {r.vec_id for r in
+           dp.semantic_decontaminate(corpus, ev, threshold=0.9).collect()}
+    gemm = {r.vec_id for r in
+            dp.semantic_decontaminate(corpus, ev, threshold=0.9,
+                                      literal_max=0).collect()}
+    assert lit == gemm == {1}  # zero vecs neither flag nor crash

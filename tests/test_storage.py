@@ -250,3 +250,23 @@ def test_merge_rollup_incremental_equals_full(spark, tmp_path):
                 F.min("v").alias("min_v"), F.max("v").alias("max_v"))
             .collect()}
     assert got == want
+
+
+def test_upsert_partitioned_null_partition_value(spark, tmp_path):
+    """A NULL partition value lands in __HIVE_DEFAULT_PARTITION__;
+    the base-pruning filter must be null-safe or that partition's
+    surviving base rows are silently dropped by the rewrite."""
+    from octosql_spark.storage import upsert_partitioned, write_partitioned
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 30)],
+        "id long, part string, v long")
+    path = str(tmp_path / "tbl")
+    write_partitioned(base, path, ["part"])
+    updates = spark.createDataFrame(
+        [(2, None, 21)], "id long, part string, v long")
+    upsert_partitioned(spark, path, updates, ["id"], ["part"])
+    got = {(r.id, r.part, r.v)
+           for r in spark.read.parquet(path).collect()}
+    # pre-fix: (1, None, 10) vanished — the == filter never matched
+    # the NULL partition so base row 1 wasn't carried into the rewrite
+    assert got == {(1, None, 10), (2, None, 21), (3, "a", 30)}
