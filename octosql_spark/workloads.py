@@ -1705,9 +1705,30 @@ def dedup_remove_spans_q(spark, sf_dir):
     return remove_duplicated_spans(d, min_len=8)
 
 
-@workload("dedup_ngram_jaccard", None)
+@workload("dedup_ngram_jaccard", """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        for i in range(1, greatest(len(ws) - 2, 1) + 1)])
+           AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+""", cartesian_ok=True)
 def dedup_ngram_jaccard_q(spark, sf_dir):
-    """Exact n-gram Jaccard pairs over an inverted-index candidate join."""
+    """Exact n-gram Jaccard pairs over a prefix-filtered candidate
+    join, value-oracled against DuckDB's ALL-PAIRS exact Jaccard:
+    verified precision (every emitted jaccard is int/int division,
+    IEEE-identical across engines) AND verified recall — the rare-gram
+    prefix filter recovers every >= 0.8 pair the quadratic scan finds
+    on this corpus (the planted fixture entry pins recall on
+    adversarial constructions)."""
     from octosql_spark.datapipe import ngram_jaccard_pairs
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return ngram_jaccard_pairs(d, n=3, threshold=0.8)
@@ -2677,10 +2698,22 @@ def dedup_semantic_cells_q(spark, sf_dir):
     return semantic_dedup(e, threshold=0.45, method="cells", n_cells=8)
 
 
-@workload("dedup_embedding_cosine_lsh", None)
+@workload("dedup_embedding_cosine_lsh", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+  ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.45
+""", cartesian_ok=True)
 def dedup_embedding_cosine_lsh_q(spark, sf_dir):
-    """LSH-bucketed variant (the scale path) — approximate recall,
-    exact precision; rows-only."""
+    """LSH-bucketed variant (the scale path), value-oracled against
+    the exact all-pairs cosine: precision is exact by construction
+    (candidates re-verify with true cosine) and the multi-table
+    hyperplane LSH recovers every >= 0.45 pair the quadratic scan
+    finds on this corpus — the oracle verifies recall too, turning a
+    previously rows-only entry into a value check."""
     from octosql_spark.datapipe import embedding_near_dup_pairs
     e = _t(spark, sf_dir, "embeddings")
     return (embedding_near_dup_pairs(e, threshold=0.45, method="lsh")
@@ -2837,53 +2870,97 @@ def ann_ivf_full_probe_q(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
-@workload("ann_ivf_topk", None, broadcast_ok=True)
+# ---- planted ANN fixture: expected top-k known BY CONSTRUCTION ----
+# 3 mutually-orthogonal clusters in R^8: cluster i's members are
+# cos(θ)·e_i + sin(θ)·e_{3+i} at θ = 5°,10°,15°,20°,25°, the query is
+# e_i itself. cos(query, member m) = cos θ_m is strictly decreasing
+# and cross-cluster cosine is exactly 0, so the true top-3 for query
+# 900+i is (10i, 10i+1, 10i+2) in that order. Every indexed method
+# must recover the EXACT ranking: IVF probes the (well-separated)
+# cell, PQ/IVF-PQ rerank >= |corpus| makes the final scores exact,
+# and the 8-table LSH recalls 25°-near vectors with certainty at the
+# fixed seed. This turns four previously rows-only approximate ops
+# into value-pinned oracles (same pattern as dedup_minhash_planted).
+
+def _planted_ann(spark):
+    import math
+    corpus = []
+    for i in range(3):
+        for m in range(5):
+            th = math.radians(5.0 * (m + 1))
+            v = [0.0] * 8
+            v[i] = math.cos(th)
+            v[3 + i] = math.sin(th)
+            corpus.append((10 * i + m, v))
+    queries = [(900 + i, [1.0 if j == i else 0.0 for j in range(8)])
+               for i in range(3)]
+    c = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    return c, q
+
+
+_ANN_PLANTED_EXPECTED = sorted(
+    (900 + i, 10 * i + m, m + 1) for i in range(3) for m in range(3))
+
+_ANN_VALUES_SQL = (
+    'SELECT CAST(query_id AS BIGINT) AS query_id, '
+    'CAST(neighbor_id AS BIGINT) AS neighbor_id, '
+    'CAST("rank" AS BIGINT) AS "rank" FROM (VALUES '
+    + ", ".join(f"({q}, {n}, {r})" for q, n, r in _ANN_PLANTED_EXPECTED)
+    + ') AS t(query_id, neighbor_id, "rank")')
+
+
+def _ann_rank_cols(df):
+    return df.select("query_id", "neighbor_id",
+                     F.col("rank").cast("long").alias("rank"))
+
+
+@workload("ann_ivf_topk", _ANN_VALUES_SQL)
 def ann_ivf_topk_q(spark, sf_dir):
-    """IVF ANN, n_probe < n_centroids (the approximate serving path) —
-    rows-only."""
+    """IVF ANN, n_probe < n_centroids (the approximate serving path),
+    on the planted-cluster fixture — value-pinned: the probed cell IS
+    the query's cluster, so the output must equal the construction's
+    exact ranking. Real-table recall/latency stays covered by
+    ann_ivf_full_probe, ann_cosine_topk and the pytest recall suite."""
     from octosql_spark.datapipe import ivf_topk
-    e = _t(spark, sf_dir, "embeddings")
-    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    q = e.filter(F.col("vec_id") < 20)
-    return ivf_topk(q, e, k=5, n_centroids=16, n_probe=4).select(
-        "query_id", "neighbor_id", "rank")
+    c, q = _planted_ann(spark)
+    return _ann_rank_cols(ivf_topk(q, c, k=3, n_centroids=3, n_probe=1))
 
 
-@workload("ann_pq_topk", None, cartesian_ok=True, broadcast_ok=True)
+@workload("ann_pq_topk", _ANN_VALUES_SQL, cartesian_ok=True)
 def ann_pq_topk_q(spark, sf_dir):
     """Product-quantization ANN with exact rerank (FAISS ADC serving
-    shape; the compressed-corpus scale path) — approximate by nature →
-    rows-only; pytest asserts recall vs brute force and exact cosines
-    on returned rows."""
+    shape) on the planted fixture — rerank >= |corpus| makes the
+    final scores exact cosines, so the ADC approximation cannot
+    perturb the pinned ranking."""
     from octosql_spark.datapipe import pq_topk
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20)
-    return pq_topk(q, e, k=5, n_subvectors=8, n_codes=16, rerank=50)
+    c, q = _planted_ann(spark)
+    return _ann_rank_cols(
+        pq_topk(q, c, k=3, n_subvectors=2, n_codes=8, rerank=15))
 
 
-@workload("ann_ivfpq_topk", None, broadcast_ok=True)
+@workload("ann_ivfpq_topk", _ANN_VALUES_SQL)
 def ann_ivfpq_topk_q(spark, sf_dir):
-    """IVF-PQ: coarse cells bound the candidate set (equi-join on cell
-    id, n_probe/n_cells of the code table per query) and ADC scores
-    the compressed codes before an exact rerank — the full production
-    ANN serving shape. Approximate → rows-only."""
+    """IVF-PQ (coarse cells bound the candidate set, ADC scores the
+    codes, exact rerank orders them — the full production serving
+    shape) on the planted fixture, value-pinned."""
     from octosql_spark.datapipe import pq_topk
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20)
-    return pq_topk(q, e, k=5, n_subvectors=8, n_codes=16, rerank=50,
-                   n_cells=16, n_probe=6)
+    c, q = _planted_ann(spark)
+    return _ann_rank_cols(
+        pq_topk(q, c, k=3, n_subvectors=2, n_codes=8, rerank=15,
+                n_cells=3, n_probe=1))
 
 
-@workload("ann_lsh_topk", None, cartesian_ok=True, broadcast_ok=True)
+@workload("ann_lsh_topk", _ANN_VALUES_SQL, cartesian_ok=True)
 def ann_lsh_topk_q(spark, sf_dir):
-    """Multi-table hyperplane-LSH ANN (the scale path) — approximate,
-    rows-only."""
+    """Multi-table hyperplane-LSH ANN on the planted fixture: 8
+    tables × 2 planes recall the 25°-near cluster with certainty at
+    the fixed seed, and ranks are exact cosines over the bucket
+    candidates — value-pinned."""
     from octosql_spark.datapipe import lsh_bucketed_topk
-    from pyspark.sql import functions as F
-    e = _t(spark, sf_dir, "embeddings")
-    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    q = e.filter(F.col("vec_id") < 20)
-    return lsh_bucketed_topk(q, e, k=5, n_planes=3, n_tables=12)
+    c, q = _planted_ann(spark)
+    return _ann_rank_cols(
+        lsh_bucketed_topk(q, c, k=3, n_planes=2, n_tables=8))
 
 
 @workload("multimodal_metadata", """
