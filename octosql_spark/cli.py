@@ -99,33 +99,48 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _try_exact_counting(args, res, spec):
-    """Route ``SELECT keys, aggs FROM src GROUP BY keys TRIGGER
-    COUNTING n`` to the EXACT per-key counting-trigger operator
-    (execution/triggers.go:17-87 semantics; streaming/
+    """Route any streaming SQL group-by matching the simple shape —
+    ``SELECT keys, aggs FROM src [alias] [WHERE cond] GROUP BY keys
+    TRIGGER COUNTING n`` — to the EXACT per-key counting-trigger
+    operator (execution/triggers.go:17-87 semantics; streaming/
     counting_trigger.py) instead of the per-micro-batch update-mode
-    approximation. Returns None when the query shape doesn't match —
-    the caller falls back to the generic mapping."""
+    approximation. The WHERE filter applies BEFORE counting, matching
+    the reference where the trigger counts records as they enter the
+    group-by. Returns None when the query shape doesn't match — the
+    caller falls back to the generic mapping (DEVIATIONS 6 then only
+    covers shapes the exact operator can't express: joins, window
+    TVFs, expression keys)."""
     import re
 
     from octosql_spark.streaming.counting_trigger import (
         counting_trigger_aggregate)
 
-    m = re.match(r"(?is)^\s*SELECT\s+(.*?)\s+FROM\s+\S+\s+"
-                 r"GROUP\s+BY\s+(.*?)\s+TRIGGER\b.*$", args.query)
+    m = re.match(
+        r"(?is)^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+\S+"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b)\w+)?\s+"      # optional alias
+        r"(?:WHERE\s+(?P<where>.*?)\s+)?"
+        r"GROUP\s+BY\s+(?P<keys>.*?)\s+TRIGGER\b.*$", args.query)
     if not m or len(res.views) != 1:
         return None
     n = int(re.search(r"(?i)COUNTING\s+(\d+)", spec).group(1))
-    keys = [k.strip().strip('`"') for k in m.group(2).split(",")]
+
+    def _bare(c: str) -> str:
+        # strip quoting and an alias qualifier (t.k -> k)
+        return c.strip().strip('`"').split(".")[-1]
+
+    keys = [_bare(k) for k in m.group("keys").split(",")]
     aggs = []
-    for item in re.split(r",(?![^()]*\))", m.group(1)):
+    for item in re.split(r",(?![^()]*\))", m.group("items")):
         item = item.strip()
-        if item.strip('`"') in keys:
+        if _bare(item) in keys:
             continue
-        am = re.match(r"(?i)^(count|sum|min|max|avg)\s*\(\s*(\*|[\w`\"]+)"
+        am = re.match(r"(?i)^(count|sum|min|max|avg)\s*\(\s*(\*|[\w.`\"]+)"
                       r"\s*\)\s+AS\s+([\w`\"]+)$", item)
         if not am:
             return None
-        aggs.append((am.group(1).lower(), am.group(2).strip('`"'),
+        col = am.group(2)
+        aggs.append((am.group(1).lower(),
+                     col if col == "*" else _bare(col),
                      am.group(3).strip('`"')))
     if not aggs:
         return None
@@ -134,6 +149,8 @@ def _try_exact_counting(args, res, spec):
     if not src.isStreaming or any(k not in src.columns for k in keys):
         return None
     try:
+        if m.group("where"):
+            src = src.filter(m.group("where"))
         out = counting_trigger_aggregate(src, keys, aggs, n)
     except Exception:
         return None

@@ -256,3 +256,28 @@ def test_stream_native_event_time_from_tumble(spark, tmp_path, capsys):
     assert rc == 0
     assert "{+2024-01-01T00:01:00Z| 'a', 2024-01-01T00:01:00Z |}" in out
     assert "{+2024-01-01T00:04:00Z| 'b', 2024-01-01T00:04:00Z |}" in out
+
+
+def test_trigger_counting_exact_with_where_and_alias(spark, tmp_path,
+                                                     capsys):
+    """The exact counting route covers the generic simple shape, not
+    just bare group-bys: WHERE filters apply BEFORE counting (the
+    trigger counts records entering the group-by, triggers.go:17-87)
+    and alias-qualified keys resolve."""
+    d = tmp_path / "cntw"
+    d.mkdir()
+    # key x: 6 records but only 4 pass v <= 4 → emissions at 2 and 4
+    # key y: 2 records, 1 passes → no emission
+    (d / "a.json").write_text(
+        '\n'.join('{"k": "x", "v": %d}' % i for i in range(1, 7)) + '\n'
+        + '{"k": "y", "v": 2}\n{"k": "y", "v": 9}\n')
+    rc = main([f"SELECT t.k, COUNT(t.v) AS n FROM '{d}/*.json?tail=true' t "
+               "WHERE v <= 4 GROUP BY t.k TRIGGER COUNTING 2",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "{+0001-01-01T00:00:00Z| 'x', 2, 2 |}" in out
+    assert "{+0001-01-01T00:00:00Z| 'x', 4, 4 |}" in out
+    # the 5th/6th records were filtered out — no count-5/6 emission
+    assert "'x', 5" not in out and "'x', 6" not in out
+    assert "'y'" not in out
