@@ -17,34 +17,58 @@ from typing import IO
 from pyspark.sql import DataFrame
 
 
-def go_duration(td) -> str:
-    """Go ``time.Duration.String()`` rendering (``5h32m42s``, ``-3s``,
-    ``333.333ms``): the reference renders Duration values through it
-    (octosql/values.go:357-424 → Go fmt). Spark intervals carry
-    microsecond precision, so sub-microsecond digits never appear
-    (documented deviation: the reference prints nanoseconds)."""
-    import datetime
-    us = round(td / datetime.timedelta(microseconds=1))
-    sign = "-" if us < 0 else ""
-    us = abs(us)
-    if us == 0:
+def go_duration_ns(ns: int) -> str:
+    """Go ``time.Duration.String()`` from int64 nanoseconds (Go's own
+    representation) — ``5h32m42s``, ``-3s``, ``333.333ms``,
+    ``2.333333333s``. Division-derived durations carry exact nanos
+    (see transpiler ``__DURNS__``), everything else is µs-exact."""
+    sign = "-" if ns < 0 else ""
+    ns = abs(int(ns))
+    if ns == 0:
         return "0s"
-    if us < 1_000:
-        return f"{sign}{us}µs"
-    if us < 1_000_000:
-        ms, rem = divmod(us, 1_000)
+    if ns < 1_000:
+        return f"{sign}{ns}ns"
+    if ns < 1_000_000:
+        us, rem = divmod(ns, 1_000)
         frac = (f".{rem:03d}".rstrip("0") if rem else "")
+        return f"{sign}{us}{frac}µs"
+    if ns < 1_000_000_000:
+        ms, rem = divmod(ns, 1_000_000)
+        frac = (f".{rem:06d}".rstrip("0") if rem else "")
         return f"{sign}{ms}{frac}ms"
-    h, rem = divmod(us, 3_600_000_000)
-    m, rem = divmod(rem, 60_000_000)
-    s, usec = divmod(rem, 1_000_000)
-    frac = (f".{usec:06d}".rstrip("0") if usec else "")
+    h, rem = divmod(ns, 3_600_000_000_000)
+    m, rem = divmod(rem, 60_000_000_000)
+    s, nsec = divmod(rem, 1_000_000_000)
+    frac = (f".{nsec:09d}".rstrip("0") if nsec else "")
     out_s = f"{s}{frac}s"
     if m or h:
         out_s = f"{m}m{out_s}"
     if h:
         out_s = f"{h}h{out_s}"
     return sign + out_s
+
+
+def go_duration(td) -> str:
+    """Go duration rendering of a Python timedelta (µs precision —
+    Spark's interval payload)."""
+    import datetime
+    us = round(td / datetime.timedelta(microseconds=1))
+    return go_duration_ns(us * 1000)
+
+
+def _durns(v):
+    """The int64 nanos of a nanosecond-carrying Duration value (the
+    ``{'__dur_ns': n}`` struct the transpiler emits for division
+    results), else None."""
+    try:
+        from pyspark.sql import Row
+        if isinstance(v, Row) and list(v.__fields__) == ["__dur_ns"]:
+            return v[0]
+    except Exception:
+        pass
+    if isinstance(v, dict) and list(v.keys()) == ["__dur_ns"]:
+        return v["__dur_ns"]
+    return None
 
 
 def go_float(f: float) -> str:
@@ -181,6 +205,8 @@ def _csv_value(v):
         return go_float(v)
     if isinstance(v, datetime.timedelta):
         return go_duration(v)
+    if _durns(v) is not None:
+        return go_duration_ns(_durns(v))
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%dT%H:%M:%SZ")
     return v
@@ -205,6 +231,8 @@ def _jsonable(v):
     import datetime
     if hasattr(v, "toJson") and type(v).__name__ == "VariantVal":
         return _jsonable(json.loads(v.toJson()))
+    if _durns(v) is not None:
+        return go_duration_ns(_durns(v))
     if isinstance(v, dict):
         return {k: _jsonable(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
@@ -250,6 +278,8 @@ def _native_value(v) -> str:
         return go_float(v)
     if isinstance(v, datetime.timedelta):
         return go_duration(v)
+    if _durns(v) is not None:
+        return go_duration_ns(_durns(v))
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%dT%H:%M:%SZ")
     if isinstance(v, Row):

@@ -45,6 +45,15 @@ _CLAUSE_KW = {"WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "ON", "USING",
               "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
               "UNION", "INTERSECT", "EXCEPT", "TRIGGER", "STREAM", "LOOKUP"}
 
+# Keywords that can directly precede a parenthesized expression and
+# must NOT be mistaken for a function-call name when walking back to a
+# primary's start (`SELECT (x) * 2`: the left operand of `*` is `(x)`,
+# not `SELECT(x)`).
+_NONCALL_KW = _CLAUSE_KW | {
+    "SELECT", "FROM", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "END",
+    "CASE", "AS", "BY", "IN", "DISTINCT", "ALL", "VALUES", "THEN", "SET",
+    "BETWEEN", "LIKE", "ILIKE", "IS", "OF", "WITH"}
+
 _view_counter = itertools.count()
 
 
@@ -93,7 +102,9 @@ def _primary_start(toks: list[Tok], end_i: int) -> int:
             j = i - 1
             while j >= 0 and toks[j].kind in ("WS", "COMMENT"):
                 j -= 1
-            if j >= 0 and toks[j].kind in ("IDENT", "QIDENT") and toks[i].text == "(":
+            if (j >= 0 and toks[j].kind in ("IDENT", "QIDENT")
+                    and toks[i].text == "("
+                    and toks[j].text.upper() not in _NONCALL_KW):
                 i = j
         elif t.kind not in ("IDENT", "QIDENT", "STRING", "NUMBER"):
             raise ValueError(f"cannot find primary start at {t.text!r}")
@@ -551,6 +562,9 @@ _FN_RESULT_CAT = {
     "len": "int", "length": "int", "size": "int", "instr": "int",
     "int": "int", "abs": None, "float": "float", "sqrt": "float",
     "pow": "float", "log": "float", "log2": "float", "log10": "float",
+    # nanosecond-carrying Duration (division results): see
+    # _rewrite_arith_pass "durdiv_int" and _expand_durns_markers
+    "__durns__": "durns",
 }
 
 
@@ -600,6 +614,9 @@ def _span_cat(toks: list[Tok], lo: int, hi: int,
             return "float"
         if all(c == "string" for c in cats):
             return "string"  # will rewrite to concat/repeat
+        if "durns" in cats and set(cats) <= {"durns", "duration", "int"}:
+            # any chain touching a nanos-carrying duration stays nanos
+            return "durns"
         if "duration" in cats and set(cats) <= {"duration", "int", "float"}:
             # duration +/- duration, duration */÷ scalar → duration
             # (functions.go:156-355 Duration overloads)
@@ -664,10 +681,49 @@ def _rewrite_arith_overloads(toks: list[Tok],
     types = types or {}
     # multiplicative ops rewrite BEFORE additive (SQL precedence:
     # `'x' + s * 2` must become concat('x', repeat(s, 2)), not
-    # concat('x', s) * 2)
-    for ops in (("*", "/"), ("+",)):
+    # concat('x', s) * 2). "-" participates only in the durns rules.
+    for ops in (("*", "/"), ("+", "-")):
         toks = _rewrite_arith_pass(toks, types, ops)
     return toks
+
+
+def _ns_of_duration(span: list[Tok]) -> list[Tok]:
+    """Tokens for the exact total NANOSECONDS of a duration expression
+    (epoch-shift to micros, then ×1000 — Spark intervals carry µs, so
+    the ×1000 is exact)."""
+    return ([Tok("PUNCT", "("), Tok("IDENT", "unix_micros"),
+             Tok("PUNCT", "("), Tok("IDENT", "timestamp_micros"),
+             Tok("PUNCT", "("), Tok("NUMBER", "0"), Tok("PUNCT", ")"),
+             Tok("WS", " "), Tok("OP", "+"), Tok("WS", " ")]
+            + span + [Tok("PUNCT", ")"), Tok("WS", " "), Tok("OP", "*"),
+                      Tok("WS", " "), Tok("NUMBER", "1000"),
+                      Tok("PUNCT", ")")])
+
+
+def _unwrap_durns(span: list[Tok]) -> list[Tok]:
+    """``( __DURNS__( inner ) )`` → ``( inner )`` (the raw BIGINT
+    nanos expression), peeling any wrapping parens; a non-marker span
+    is returned unchanged."""
+    def _sig_of(s):
+        return [i for i, t in enumerate(s)
+                if t.kind not in ("WS", "COMMENT")]
+    sig = _sig_of(span)
+    while (len(sig) >= 2 and span[sig[0]].text == "("
+           and _match_paren(span, sig[0], 1) == sig[-1]):
+        span = span[sig[0] + 1:sig[-1]]
+        sig = _sig_of(span)
+    if (len(sig) >= 3 and span[sig[0]].kind == "IDENT"
+            and span[sig[0]].text == "__DURNS__"
+            and span[sig[1]].text == "("
+            and _match_paren(span, sig[1], 1) == sig[-1]):
+        return [Tok("PUNCT", "(")] + span[sig[1] + 1:sig[-1]] \
+            + [Tok("PUNCT", ")")]
+    return span
+
+
+def _durns_wrap(inner: list[Tok]) -> list[Tok]:
+    return ([Tok("IDENT", "__DURNS__"), Tok("PUNCT", "(")] + inner
+            + [Tok("PUNCT", ")")])
 
 
 def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
@@ -689,6 +745,23 @@ def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
                 hit = (si, "repeat" if lcat == "string" else "repeat_swap")
             elif op == "/" and lcat == rcat == "int":
                 hit = (si, "div")
+            elif op == "/" and lcat == "duration" and rcat == "int":
+                # Duration / Int → nanosecond-carrying Duration: Go
+                # divides the int64 nanos (functions.go:320-355), so
+                # INTERVAL 7 SECOND / 3 = 2.333333333s — µs intervals
+                # would lose the last 3 digits (DEVIATIONS 5, closed)
+                hit = (si, "durdiv_int")
+            elif "durns" in (lcat, rcat) and (
+                    (op in ("+", "-") and {lcat, rcat} <= {"durns",
+                                                           "duration"})
+                    or (op == "*" and {lcat, rcat} == {"durns", "int"})
+                    or (op == "/" and lcat == "durns"
+                        and rcat in ("int", "duration", "durns"))
+                    or (op == "/" and lcat == "duration"
+                        and rcat == "durns")):
+                # closure of the nanos-carrying duration over the
+                # reference's Duration overload set
+                hit = (si, f"durns:{op}:{lcat}:{rcat}")
             elif op == "/" and lcat == rcat == "duration":
                 # Duration / Duration → Float ratio (functions.go
                 # Duration overloads; arithmetic golden: INTERVAL 7
@@ -707,6 +780,33 @@ def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
         right = toks[sig[si + 1]:rend + 1]
         if kind == "div":
             repl = left + [Tok("WS", " "), Tok("IDENT", "DIV"), Tok("WS", " ")] + right
+        elif kind == "durdiv_int":
+            # nanos(left) DIV right — Go's integer division of int64
+            # nanos (truncation toward zero, like Spark's DIV)
+            repl = _durns_wrap(
+                _ns_of_duration(left)
+                + [Tok("WS", " "), Tok("IDENT", "DIV"), Tok("WS", " ")]
+                + right)
+        elif kind.startswith("durns:"):
+            _, op, lcat, rcat = kind.split(":")
+            lns = (_unwrap_durns(left) if lcat == "durns"
+                   else (_ns_of_duration(left) if lcat == "duration"
+                         else left))
+            rns = (_unwrap_durns(right) if rcat == "durns"
+                   else (_ns_of_duration(right) if rcat == "duration"
+                         else right))
+            if op == "/" and rcat == "int":
+                repl = _durns_wrap(lns + [Tok("WS", " "),
+                                          Tok("IDENT", "DIV"),
+                                          Tok("WS", " ")] + rns)
+            elif op == "/":
+                # ns/ns ratio → Float (Duration/Duration overload)
+                repl = ([Tok("PUNCT", "(")] + lns
+                        + [Tok("WS", " "), Tok("OP", "/"), Tok("WS", " ")]
+                        + rns + [Tok("PUNCT", ")")])
+            else:  # + - * stay nanos-carrying
+                repl = _durns_wrap(lns + [Tok("WS", " "), Tok("OP", op),
+                                          Tok("WS", " ")] + rns)
         elif kind == "durdiv":
             def _micros(span: list[Tok]) -> list[Tok]:
                 return ([Tok("IDENT", "unix_micros"), Tok("PUNCT", "("),
@@ -725,6 +825,34 @@ def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
                     + [Tok("PUNCT", ","), Tok("WS", " ")] + right
                     + [Tok("PUNCT", ")")])
         toks = toks[:lstart] + repl + toks[rend + 1:]
+
+
+def _expand_durns_markers(toks: list[Tok]) -> list[Tok]:
+    """``__DURNS__( e )`` → ``named_struct('__dur_ns', CAST((e) AS
+    BIGINT))`` — the wire form of a nanosecond-carrying Duration.
+    Spark's interval type holds microseconds, so division-derived
+    durations travel as a 1-field struct of int64 nanos (Go's own
+    representation, time.Duration = int64 ns); the sinks detect the
+    field and render through go_duration_ns. Expanded LAST so the
+    arithmetic passes can still compose markers structurally."""
+    while True:
+        idx = next((i for i, t in enumerate(toks)
+                    if t.kind == "IDENT" and t.text == "__DURNS__"), None)
+        if idx is None:
+            return toks
+        j = idx + 1
+        while toks[j].kind in ("WS", "COMMENT"):
+            j += 1
+        close = _match_paren(toks, j, 1)
+        inner = toks[j + 1:close]
+        repl = ([Tok("IDENT", "named_struct"), Tok("PUNCT", "("),
+                 Tok("STRING", "'__dur_ns'"), Tok("PUNCT", ","),
+                 Tok("WS", " "), Tok("IDENT", "CAST"), Tok("PUNCT", "("),
+                 Tok("PUNCT", "(")] + inner
+                + [Tok("PUNCT", ")"), Tok("WS", " "), Tok("IDENT", "AS"),
+                   Tok("WS", " "), Tok("IDENT", "BIGINT"),
+                   Tok("PUNCT", ")"), Tok("PUNCT", ")")])
+        toks = toks[:idx] + repl + toks[close + 1:]
 
 
 def _rewrite_float_literals(toks: list[Tok]) -> list[Tok]:
@@ -1378,6 +1506,7 @@ def transpile(spark: SparkSession, sql: str,
     toks = _rewrite_arith_overloads(toks, types)
     toks = _rewrite_functions(toks, types)
     toks = _rewrite_float_literals(toks)
+    toks = _expand_durns_markers(toks)
     depth = 0
     for t in toks:
         if t.text == "(":

@@ -52,15 +52,12 @@ def _cases():
 
 
 # scenarios compared width-insensitively (a substituted cell value
-# changes the reference table's column padding)
-WIDTH_INSENSITIVE = {"functions/arithmetic"}
+# changes the reference table's column padding) — none since the
+# nanosecond-carrying Duration closed the 2.333333333s cell (r4)
+WIDTH_INSENSITIVE: set[str] = set()
 
 
 def _normalize_expected(name: str, text: str) -> str:
-    if name == "functions/arithmetic":
-        # Spark intervals are µs-precision; the reference prints Go's
-        # ns ("Durations" deviation): 7s/3 = 2.333333s here.
-        text = text.replace("2.333333333s", "2.333333s")
     return text
 
 

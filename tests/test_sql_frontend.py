@@ -243,3 +243,29 @@ def test_dual_table(spark):
     # `dual` one-row dummy table (logical/logical.go:101-122)
     df = q(spark, "SELECT 41 + 1 AS x FROM dual")
     assert [r.x for r in df.collect()] == [42]
+
+
+def test_duration_division_nanosecond_closure(spark, views):
+    """Duration/Int divides int64 NANOS like Go (functions.go:320-355:
+    time.Duration is int64 ns), and the nanos-carrying result stays
+    closed under the Duration overload set."""
+    from octosql_spark.sinks import _native_value
+
+    def cell(sql):
+        return _native_value(q(spark, sql).collect()[0][0])
+
+    assert cell("SELECT INTERVAL 7 SECOND / 3") == "2.333333333s"
+    # chains keep nanos: (7s/3)*2, (7s/3)/2, (7s/3)+1s, (7s/3)-ns-dur
+    assert cell("SELECT (INTERVAL 7 SECOND / 3) * 2") == "4.666666666s"
+    assert cell("SELECT INTERVAL 7 SECOND / 3 / 2") == "1.166666666s"
+    assert cell("SELECT (INTERVAL 7 SECOND / 3) + INTERVAL 1 SECOND") \
+        == "3.333333333s"
+    assert cell("SELECT (INTERVAL 7 SECOND / 3) - (INTERVAL 1 SECOND / 3)") \
+        == "2s"
+    # ratio overloads degrade to Float exactly as Duration/Duration
+    assert cell("SELECT (INTERVAL 7 SECOND / 3) / INTERVAL 1 SECOND") \
+        == _native_value(2333333333 / 1_000_000_000)
+    # sub-second/sub-ms tiers render through Go's unit ladder
+    assert cell("SELECT INTERVAL 1 SECOND / 3") == "333.333333ms"
+    assert cell("SELECT INTERVAL 1 MILLISECOND / 3") == "333.333µs"
+    assert cell("SELECT INTERVAL 1 MICROSECOND / 3") == "333ns"
