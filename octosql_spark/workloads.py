@@ -4224,9 +4224,13 @@ def tpch_q2_q(spark, sf_dir):
     eu_supp = (s.join(F.broadcast(
         n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))),
         F.col("s_nationkey") == F.col("n_nationkey")))
+    # persisted: both the per-part MIN aggregate and the final join
+    # consume eu_ps — without the persist the derived partsupp is
+    # computed twice per query (with a stored partsupp this frame is
+    # |partsupp∩EU|-sized; here it is a testdata artifact, see q9)
     eu_ps = ps.join(eu_supp.select("s_suppkey", "s_acctbal",
                                    "s_name", "n_name"),
-                    F.col("ps_suppkey") == F.col("s_suppkey"))
+                    F.col("ps_suppkey") == F.col("s_suppkey")).persist()
     min_cost = (eu_ps.groupBy(F.col("ps_partkey").alias("_mpk"))
                 .agg(F.min("ps_supplycost_cents").alias("_mc")))
     # min_cost is PART-scaled — no broadcast hint (auto-gate decides)

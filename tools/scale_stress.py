@@ -112,9 +112,13 @@ def main() -> int:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
     extra = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+    # --only-extra: re-measure just the named workloads (headliner
+    # ratios from a prior full run stay valid when their plans are
+    # untouched)
+    only_extra = len(sys.argv) > 4 and sys.argv[4] == "--only-extra"
     out: dict[str, dict] = {}
     for name, w in REGISTRY.items():
-        if not w.headline and name not in extra:
+        if (name not in extra) and (only_extra or not w.headline):
             continue
         tune(src)
         base = timed(spark, lambda: w.build(spark, src))
