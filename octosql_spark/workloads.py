@@ -2720,6 +2720,31 @@ def dedup_embedding_cosine_lsh_q(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+@workload("dedup_embedding_ingest", """
+SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id >= 250) b
+JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 250) c
+  ON list_dot_product(b.v, c.v)
+     / (sqrt(list_dot_product(b.v, b.v))
+        * sqrt(list_dot_product(c.v, c.v))) >= 0.45
+""", cartesian_ok=True)
+def dedup_embedding_ingest_q(spark, sf_dir):
+    """Embedding-cosine incremental ingest: the 'new batch'
+    (vec_id >= 250) probed against the 'existing corpus' via the
+    persisted hyperplane-LSH bucket index — ONE equi-join probe, the
+    vector twin of dedup_ingest_near_planted. Oracled against the
+    exact batch x corpus cosine join, so both precision (exact
+    verification) AND the multi-table LSH recall are value-checked."""
+    from octosql_spark.datapipe import embedding_ingest_near_dups
+    e = _t(spark, sf_dir, "embeddings")
+    batch = e.filter(F.col("vec_id") >= 250)
+    corpus = e.filter(F.col("vec_id") < 250)
+    return (embedding_ingest_near_dups(batch, corpus, threshold=0.45)
+            .select("batch_id", "corpus_id"))
+
+
 @workload("curation_pipeline", r"""
 WITH fp AS (
   SELECT doc_id, text,

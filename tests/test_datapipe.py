@@ -1091,3 +1091,30 @@ def test_semantic_decontaminate_zero_norm_vectors(spark):
             dp.semantic_decontaminate(corpus, ev, threshold=0.9,
                                       literal_max=0).collect()}
     assert lit == gemm == {1}  # zero vecs neither flag nor crash
+
+
+def test_embedding_ingest_near_dups(spark):
+    """Batch-vs-corpus semantic ingest check: near copies of corpus
+    vectors match (exact cosine on LSH candidates), orthogonal new
+    vectors pass clean, and corpus-internal pairs are NOT emitted."""
+    import math
+    th = math.radians(5)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+         (3, [math.cos(th), math.sin(th)])],  # corpus-internal near of 1
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(100, [math.cos(th), -math.sin(th)]),  # near corpus 1
+         (101, [-1.0, 0.0]),                    # anti-parallel: no match
+         (102, [0.7, 0.7])],                    # between 1 and 2 (~45°)
+        "vec_id long, embedding array<double>")
+    got = {(r.batch_id, r.corpus_id)
+           for r in dp.embedding_ingest_near_dups(
+               batch, corpus, threshold=0.99).collect()}
+    assert got == {(100, 1)}
+    # wider threshold: 102 is ~45° from both axes (cos ≈ .707)
+    got2 = {(r.batch_id, r.corpus_id)
+            for r in dp.embedding_ingest_near_dups(
+                batch, corpus, threshold=0.7).collect()}
+    assert (102, 1) in got2 and (102, 2) in got2 and (100, 1) in got2
+    assert all(b >= 100 for b, _ in got2)  # no corpus-internal pairs
