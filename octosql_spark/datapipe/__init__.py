@@ -30,6 +30,7 @@ from octosql_spark.datapipe.curate import (  # noqa: F401
     decontaminate, semantic_decontaminate, sample_stratified,
     sample_hash_bucket, pack_sequences, pack_bins_bfd,
     repetition_metrics, mixture_sample, shard_shuffle, chunk_documents,
+    budget_select,
     length_buckets, assign_splits,
 )
 from octosql_spark.datapipe.multimodal import (  # noqa: F401

@@ -529,6 +529,52 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
                 .alias("chunk_text")))
 
 
+def budget_select(docs: DataFrame, budget_tokens: int,
+                  score_col: str | Column = "score",
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Token-budget-capped selection: keep the highest-scoring
+    documents, in deterministic (score DESC, id ASC) order, whose
+    RUNNING token total stays within ``budget_tokens`` — the "give me
+    the best N-token corpus" step every data-mix recipe ends with
+    (inclusive cumulative sum: the document that exactly reaches the
+    budget is kept, the one that would cross it is not).
+
+    Returns (id_col, score, n_tokens, cum_tokens) for the selected
+    rows.
+
+    Scale shape: a naive global ORDER BY + running sum is ONE
+    single-task window — the classic 100 TB anti-pattern. Instead the
+    corpus is range-partitioned on the sort key, each partition
+    computes its own prefix sums in parallel, and a #partitions-row
+    boundary table (broadcast) supplies each partition's global
+    offset — the same parallel-prefix decomposition as
+    ``tvf.max_diff_watermark``. One range shuffle, no single-task
+    stage, and the budget filter prunes before anything downstream.
+    """
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    d = docs.select(F.col(id_col), score.alias("score"),
+                    token_count(F.col(text_col)).alias("n_tokens"))
+    d = (d.repartitionByRange(F.col("score").desc(), F.col(id_col).asc())
+         .withColumn("_pid", F.spark_partition_id()))
+    w_in = (Window.partitionBy("_pid")
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    pid_tot = d.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))
+    w_pid = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    # #partitions rows — bounded by cluster parallelism, not data
+    prior = pid_tot.select(
+        "_pid", F.coalesce(F.sum("_ptot").over(w_pid),
+                           F.lit(0)).alias("_prior"))
+    return (d.join(F.broadcast(prior), "_pid")
+            .withColumn("cum_tokens",
+                        (F.col("_prior") + F.sum("n_tokens").over(w_in))
+                        .cast("long"))
+            .filter(F.col("cum_tokens") <= budget_tokens)
+            .select(id_col, "score", "n_tokens", "cum_tokens"))
+
+
 def length_buckets(docs: DataFrame, batch_size: int = 32,
                    id_col: str = "doc_id", source_col: str = "source",
                    text_col: str = "text") -> DataFrame:

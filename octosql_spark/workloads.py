@@ -2153,6 +2153,39 @@ def curate_sample_stratified_q(spark, sf_dir):
         docs, {"src0": 0.8, "src1": 0.25, "src2": 0.25}, default_rate=0.05)
 
 
+@workload("curate_budget_select", """
+WITH t AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+           / 4294967296 AS score,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, score, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+            AS BIGINT) AS cum_tokens
+FROM t
+QUALIFY SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) <= 20000
+""", broadcast_ok=True)
+def curate_budget_select_q(spark, sf_dir):
+    """Token-budget-capped selection: best-scored docs until a 20k
+    token budget, exact inclusive running total. The score is the
+    Knuth multiplicative hash of doc_id — a deterministic stand-in
+    for a model quality score that both engines compute in exact
+    BIGINT arithmetic. The Spark side uses the parallel-prefix
+    decomposition (range partition + per-partition cumsum +
+    broadcast boundary offsets), the oracle a plain global window —
+    identical totals, no single-task stage on the Spark side.
+    broadcast_ok: the boundary table is #partitions rows."""
+    from octosql_spark.datapipe import budget_select
+    from octosql_spark.datapipe.curate import sample_hash_bucket
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", sample_hash_bucket(F.col("doc_id")).alias("score"))
+    return budget_select(d, budget_tokens=20000, score_col="score")
+
+
 @workload("curate_mixture_sample", """
 WITH d AS (SELECT doc_id, source,
                   CASE WHEN len(trim(text)) = 0 THEN 0

@@ -1118,3 +1118,20 @@ def test_embedding_ingest_near_dups(spark):
                 batch, corpus, threshold=0.7).collect()}
     assert (102, 1) in got2 and (102, 2) in got2 and (100, 1) in got2
     assert all(b >= 100 for b, _ in got2)  # no corpus-internal pairs
+
+
+def test_budget_select_invariants(spark):
+    """Budget selection: inclusive running total never exceeds the
+    budget, selection is the greedy score-desc prefix, and the doc
+    that would cross the budget is excluded."""
+    rows = [(i, "s", " ".join(["w"] * 10), float(100 - i)) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, score double")
+    out = dp.budget_select(docs, budget_tokens=35, score_col="score")
+    got = sorted((r.doc_id, r.cum_tokens) for r in out.collect())
+    # 10 tokens each, scores descending with doc_id → docs 0,1,2 fit
+    # (cum 10,20,30); doc 3 would reach 40 > 35 and is excluded
+    assert got == [(0, 10), (1, 20), (2, 30)]
+    # no single-task global window: the cumsum runs per range partition
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
