@@ -114,8 +114,27 @@ def _bools(depth: int) -> st.SearchStrategy:
     )
 
 
+def _dur_ratios() -> st.SearchStrategy:
+    """Duration arithmetic exercised through the nanos-carrying
+    division path (r4): (INTERVAL a SECOND / b [± INTERVAL c SECOND])
+    / INTERVAL 1 SECOND is a Float whose exact value both engines
+    compute in int64 nanos (Go-truncating division; operands kept
+    positive so DuckDB's flooring // agrees)."""
+    base = st.tuples(st.integers(1, 9), st.integers(1, 9)).map(
+        lambda p: (f"(INTERVAL {p[0]} SECOND / {p[1]})",
+                   f"(({p[0]} * 1000000000) // {p[1]})"))
+    chained = st.tuples(base, st.integers(1, 9), st.booleans()).map(
+        lambda t: ((f"({t[0][0]} + INTERVAL {t[1]} SECOND)"
+                    if t[2] else f"({t[0][0]} * {t[1]})"),
+                   (f"({t[0][1]} + {t[1]} * 1000000000)"
+                    if t[2] else f"({t[0][1]} * {t[1]})")))
+    return st.one_of(base, chained).map(
+        lambda p: (f"({p[0]} / INTERVAL 1 SECOND)",
+                   f"(CAST({p[1]} AS DOUBLE) / 1000000000)"))
+
+
 def _exprs() -> st.SearchStrategy:
-    return st.one_of(_ints(2), _strs(2), _bools(2))
+    return st.one_of(_ints(2), _strs(2), _bools(2), _dur_ratios())
 
 
 @settings(max_examples=40, deadline=None,
