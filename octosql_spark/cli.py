@@ -92,10 +92,57 @@ def main(argv: list[str] | None = None) -> int:
         # runtime errors (malformed input under FAILFAST, panics, …)
         # print as one line + nonzero exit, like the reference's
         # "Error: couldn't run query: ..." (.err goldens)
-        msg = str(ex).strip().split("\n")[0]
+        msg = (_diagnose_parse_error(df.sparkSession, res, ex)
+               or str(ex).strip().split("\n")[0])
         print(f"error: {msg}", file=sys.stderr)
         return 1
     return 0
+
+
+def _diagnose_parse_error(spark, res, ex) -> str | None:
+    """Map Spark's FAILFAST malformed-record failure onto the
+    reference's ``couldn't parse line N`` shape
+    (datasources/json/execution.go error chain, error1/error2.err
+    goldens): probe each file-backed JSON view for its first
+    unparseable line. One extra scan of the offending file, error
+    path only; returns None when the failure isn't a parse error so
+    the generic one-liner still prints."""
+    import os
+    import re as _re
+
+    s = str(ex)
+    if not _re.search(r"(?i)malformed", s):
+        return None
+    from pyspark.sql import functions as F
+
+    from octosql_spark.sources.files import read_lines
+    for view, desc in res.views.items():
+        path = str(desc).strip().strip("'\"").split("?")[0]
+        if not path.lower().endswith((".json", ".jsonl", ".ndjson")):
+            continue
+        if "://" in path or not os.path.isfile(path):
+            continue
+        try:
+            from pyspark.sql.types import StringType
+
+            # PERMISSIVE from_json yields an all-null struct (not
+            # NULL) for malformed rows; route the original text into
+            # a corrupt-record field and key on that instead
+            schema = spark.table(view).schema.add("_corrupt", StringType())
+            first = (read_lines(spark, path)
+                     .filter(F.length(F.trim("text")) > 0)
+                     .withColumn("_p", F.from_json(
+                         "text", schema,
+                         {"columnNameOfCorruptRecord": "_corrupt"}))
+                     .filter(F.col("_p._corrupt").isNotNull())
+                     .agg(F.min("number").alias("n")).first())
+            if first is not None and first["n"] is not None:
+                # lines source numbers are 0-based; file lines 1-based
+                return ("couldn't run query: couldn't run source: "
+                        f"couldn't parse line {int(first['n']) + 1}")
+        except Exception:
+            return None
+    return None
 
 
 def _try_exact_counting(args, res, spec):

@@ -118,11 +118,20 @@ def infer_json(path: str, sample_rows: int = SAMPLE_ROWS) -> dict[str, ot.OctoTy
     per-key TypeSum merge (absent keys become nullable)."""
     per_row: list[dict[str, ot.OctoType]] = []
     with open(path) as f:
-        for _, line in zip(range(sample_rows), f):
+        for lineno, line in zip(range(1, sample_rows + 1), f):
             line = line.strip()
             if not line:
                 continue
-            obj = json.loads(line)
+            try:
+                obj = json.loads(line)
+                if not isinstance(obj, dict):
+                    raise ValueError(f"expected JSON object, got {line!r}")
+            except ValueError as ex:
+                # the reference's error chain + 1-based line number
+                # (datasources/json/execution.go; error goldens)
+                raise ValueError(
+                    "couldn't run query: couldn't run source: "
+                    f"couldn't parse line {lineno}: {ex}") from ex
             per_row.append({k: _infer_json_value(v) for k, v in obj.items()})
     all_keys: list[str] = []
     for row in per_row:

@@ -152,3 +152,18 @@ def test_non_object_json_line_errors(spark, tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 1
     assert err.startswith("error:")
+
+
+def test_parse_error_reports_reference_line_number(spark, tmp_path,
+                                                   capsys):
+    """Malformed JSON fails with the reference's error shape AND the
+    exact 1-based line number (error1/error2.err: 'couldn't parse
+    line N'), not Spark's FAILFAST message."""
+    from octosql_spark.cli import main
+    p = tmp_path / "bad.json"
+    p.write_text('{"a": 1}\n{"a": 2}\nnot json at all\n{"a": 3}\n')
+    rc = main([f"SELECT COUNT(*) FROM '{p}'", "--output", "csv"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "error: couldn't run query: couldn't run source: " \
+           "couldn't parse line 3" in err
