@@ -122,11 +122,11 @@ def _dur_ratios() -> st.SearchStrategy:
     positive so DuckDB's flooring // agrees)."""
     base = st.tuples(st.integers(1, 9), st.integers(1, 9)).map(
         lambda p: (f"(INTERVAL {p[0]} SECOND / {p[1]})",
-                   f"(({p[0]} * 1000000000) // {p[1]})"))
+                   f"(({p[0]} * 1000000000::BIGINT) // {p[1]})"))
     chained = st.tuples(base, st.integers(1, 9), st.booleans()).map(
         lambda t: ((f"({t[0][0]} + INTERVAL {t[1]} SECOND)"
                     if t[2] else f"({t[0][0]} * {t[1]})"),
-                   (f"({t[0][1]} + {t[1]} * 1000000000)"
+                   (f"({t[0][1]} + {t[1]} * 1000000000::BIGINT)"
                     if t[2] else f"({t[0][1]} * {t[1]})")))
     return st.one_of(base, chained).map(
         lambda p: (f"({p[0]} / INTERVAL 1 SECOND)",
