@@ -35,16 +35,49 @@ def main(argv: list[str] | None = None) -> int:
                     help="streaming only: keep following the source for "
                          "N seconds, then stop (default: process current "
                          "contents and exit, like TRIGGER ON END OF STREAM)")
+    ap.add_argument("--version", "-v", action="version",
+                    version="octosql-spark 0.4 (reference CLI surface "
+                            "on PySpark)")
+    ap.add_argument("--profile", default=None,
+                    choices=["cpu", "memory", "trace"],
+                    help="profiling like the reference's --profile "
+                         "(cmd/root.go pprof flag): cpu = driver "
+                         "cProfile top functions to stderr, memory = "
+                         "JVM heap usage after the run, trace = "
+                         "formatted physical plan to stderr")
     args = ap.parse_args(argv)
 
     from octosql_spark.session import get_spark
-    from octosql_spark.sql import run_query
-    from octosql_spark import sinks
 
     spark = get_spark("octosql-spark-cli")
     if args.sf_dir:
         from octosql_spark.catalog import register_views
         register_views(spark, args.sf_dir)
+
+    if args.profile == "cpu":
+        import cProfile
+        import pstats
+
+        prof = cProfile.Profile()
+        prof.enable()
+        try:
+            return _run(args, spark)
+        finally:
+            prof.disable()
+            pstats.Stats(prof, stream=sys.stderr) \
+                .sort_stats("cumulative").print_stats(20)
+    rc = _run(args, spark)
+    if args.profile == "memory":
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+        used = (rt.totalMemory() - rt.freeMemory()) >> 20
+        print(f"profile memory: driver JVM heap used {used} MiB "
+              f"(max {rt.maxMemory() >> 20} MiB)", file=sys.stderr)
+    return rc
+
+
+def _run(args, spark) -> int:
+    from octosql_spark import sinks
+    from octosql_spark.sql import run_query
 
     try:
         res = run_query(spark, args.query,
@@ -56,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
         msg = str(ex).strip().split("\n")[0]
         print(f"error: {msg}", file=sys.stderr)
         return 1
+
+    if args.profile == "trace":
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")), file=sys.stderr)
 
     if args.explain:
         print("-- transpiled Spark SQL --")

@@ -167,3 +167,33 @@ def test_parse_error_reports_reference_line_number(spark, tmp_path,
     assert rc == 1
     assert "error: couldn't run query: couldn't run source: " \
            "couldn't parse line 3" in err
+
+
+def test_cli_version_and_profile_flags(spark, capsys):
+    """Reference CLI flag surface: -v/--version and --profile
+    (cmd/root.go flags). cpu profiles the driver run, memory reports
+    JVM heap, trace prints the formatted physical plan — all to
+    stderr, never polluting the query output stream."""
+    import pytest as _pytest
+    from octosql_spark.cli import main
+    with _pytest.raises(SystemExit) as e:
+        main(["-v", "SELECT 1"])
+    assert e.value.code == 0
+    assert "octosql-spark" in capsys.readouterr().out
+
+    rc = main(["SELECT 1 AS x FROM dual", "--output", "csv",
+               "--profile", "trace"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert cap.out.strip().splitlines() == ["x", "1"]
+    assert "Physical Plan" in cap.err
+
+    rc = main(["SELECT 1 AS x FROM dual", "--output", "csv",
+               "--profile", "memory"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "driver JVM heap used" in cap.err
+
+    rc = main(["SELECT 1 AS x FROM dual", "--output", "csv",
+               "--profile", "cpu"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "cumulative" in cap.err
