@@ -682,8 +682,17 @@ def _rewrite_arith_overloads(toks: list[Tok],
     # multiplicative ops rewrite BEFORE additive (SQL precedence:
     # `'x' + s * 2` must become concat('x', repeat(s, 2)), not
     # concat('x', s) * 2). "-" participates only in the durns rules.
-    for ops in (("*", "/"), ("+", "-")):
-        toks = _rewrite_arith_pass(toks, types, ops)
+    # The pass pair iterates to a FIXPOINT: a durns rule only fires
+    # on operands already normalized to a pure __DURNS__ marker, so
+    # `((dur/3 + 1s) * 2) + 1s` needs mul → add → mul → add rounds
+    # before every chain has collapsed (bounded: each round either
+    # rewrites something or terminates).
+    for _ in range(6):
+        before = "".join(t.text for t in toks)
+        for ops in (("*", "/"), ("+", "-")):
+            toks = _rewrite_arith_pass(toks, types, ops)
+        if "".join(t.text for t in toks) == before:
+            break
     return toks
 
 
@@ -700,10 +709,12 @@ def _ns_of_duration(span: list[Tok]) -> list[Tok]:
                       Tok("PUNCT", ")")])
 
 
-def _unwrap_durns(span: list[Tok]) -> list[Tok]:
-    """``( __DURNS__( inner ) )`` → ``( inner )`` (the raw BIGINT
-    nanos expression), peeling any wrapping parens; a non-marker span
-    is returned unchanged."""
+def _durns_inner(span: list[Tok]) -> list[Tok] | None:
+    """For a span that IS a (possibly parenthesized) pure
+    ``__DURNS__( inner )`` marker: the parenthesized raw BIGINT nanos
+    tokens. None for anything else — a durns-categorized CHAIN
+    (marker + interval, marker * int …) is NOT unwrappable until the
+    other passes have collapsed it into one marker."""
     def _sig_of(s):
         return [i for i, t in enumerate(s)
                 if t.kind not in ("WS", "COMMENT")]
@@ -718,7 +729,7 @@ def _unwrap_durns(span: list[Tok]) -> list[Tok]:
             and _match_paren(span, sig[1], 1) == sig[-1]):
         return [Tok("PUNCT", "(")] + span[sig[1] + 1:sig[-1]] \
             + [Tok("PUNCT", ")")]
-    return span
+    return None
 
 
 def _durns_wrap(inner: list[Tok]) -> list[Tok]:
@@ -760,8 +771,20 @@ def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
                     or (op == "/" and lcat == "duration"
                         and rcat == "durns")):
                 # closure of the nanos-carrying duration over the
-                # reference's Duration overload set
-                hit = (si, f"durns:{op}:{lcat}:{rcat}")
+                # reference's Duration overload set — but ONLY once
+                # each durns operand is a pure marker (a still-mixed
+                # chain collapses in a later fixpoint round)
+                try:
+                    lspan = toks[_primary_start(toks, sig[si - 1]):
+                                 sig[si - 1] + 1]
+                    rspan = toks[sig[si + 1]:
+                                 _primary_end(toks, sig[si + 1]) + 1]
+                except ValueError:
+                    continue
+                if (lcat != "durns" or _durns_inner(lspan) is not None) \
+                        and (rcat != "durns"
+                             or _durns_inner(rspan) is not None):
+                    hit = (si, f"durns:{op}:{lcat}:{rcat}")
             elif op == "/" and lcat == rcat == "duration":
                 # Duration / Duration → Float ratio (functions.go
                 # Duration overloads; arithmetic golden: INTERVAL 7
@@ -789,10 +812,10 @@ def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
                 + right)
         elif kind.startswith("durns:"):
             _, op, lcat, rcat = kind.split(":")
-            lns = (_unwrap_durns(left) if lcat == "durns"
+            lns = (_durns_inner(left) if lcat == "durns"
                    else (_ns_of_duration(left) if lcat == "duration"
                          else left))
-            rns = (_unwrap_durns(right) if rcat == "durns"
+            rns = (_durns_inner(right) if rcat == "durns"
                    else (_ns_of_duration(right) if rcat == "duration"
                          else right))
             if op == "/" and rcat == "int":

@@ -144,6 +144,13 @@ def _exprs() -> st.SearchStrategy:
 # regression: a ::Int cast result must count as an Int operand so the
 # Int/Int integer-division overload still fires (found by this fuzzer)
 @example(expr=("('7'::int / 2)", "('7'::BIGINT // 2)"))
+# regression: a mixed durns chain (marker + interval) must collapse
+# via the additive pass BEFORE an enclosing durns division consumes
+# it (found by this fuzzer)
+@example(expr=(
+    "(((INTERVAL 1 SECOND / 1) + INTERVAL 1 SECOND) / INTERVAL 1 SECOND)",
+    "(CAST((((1 * 1000000000::BIGINT) // 1) + 1 * 1000000000::BIGINT)"
+    " AS DOUBLE) / 1000000000)"))
 def test_dialect_matches_duckdb(spark, duck, nation_view, expr):
     dialect, ducksql = expr
     from octosql_spark.sql import run_query

@@ -269,3 +269,9 @@ def test_duration_division_nanosecond_closure(spark, views):
     assert cell("SELECT INTERVAL 1 SECOND / 3") == "333.333333ms"
     assert cell("SELECT INTERVAL 1 MILLISECOND / 3") == "333.333µs"
     assert cell("SELECT INTERVAL 1 MICROSECOND / 3") == "333ns"
+    # fuzz-found: a mixed durns chain consumed by ANOTHER durns rule
+    # before the additive pass collapsed it (fixpoint + purity gate)
+    assert cell("SELECT ((INTERVAL 1 SECOND / 1) + INTERVAL 1 SECOND)"
+                " / INTERVAL 1 SECOND") == "2"
+    assert cell("SELECT ((INTERVAL 6 SECOND / 4 + INTERVAL 1 SECOND)"
+                " * 2) + INTERVAL 1 SECOND") == "6s"
