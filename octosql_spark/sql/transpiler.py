@@ -685,14 +685,22 @@ def _rewrite_arith_overloads(toks: list[Tok],
     # The pass pair iterates to a FIXPOINT: a durns rule only fires
     # on operands already normalized to a pure __DURNS__ marker, so
     # `((dur/3 + 1s) * 2) + 1s` needs mul → add → mul → add rounds
-    # before every chain has collapsed (bounded: each round either
-    # rewrites something or terminates).
-    for _ in range(6):
+    # before every chain has collapsed. Uncapped: each round either
+    # rewrites at least one site (strictly shrinking the remaining
+    # work) or reaches the fixpoint; the guard only trips on a
+    # rewrite-system bug, not on deep-but-valid nesting.
+    rounds = 0
+    while True:
         before = "".join(t.text for t in toks)
         for ops in (("*", "/"), ("+", "-")):
             toks = _rewrite_arith_pass(toks, types, ops)
         if "".join(t.text for t in toks) == before:
             break
+        rounds += 1
+        if rounds > 500:
+            raise ValueError(
+                "arithmetic overload rewrite did not converge "
+                "(internal error; please report the query)")
     return toks
 
 
@@ -737,11 +745,161 @@ def _durns_wrap(inner: list[Tok]) -> list[Tok]:
             + [Tok("PUNCT", ")")])
 
 
+def _is_arith_op_tok(toks: list[Tok], i: int) -> bool:
+    t = toks[i]
+    return ((t.kind == "OP" and t.text in ("+", "-", "*", "/", "%"))
+            or (t.kind == "IDENT" and t.text.upper() == "DIV"))
+
+
+def _collect_arith_chain(toks: list[Tok], op_i: int):
+    """Maximal flat run ``primary (op primary)*`` — across BOTH
+    precedence levels — containing the arithmetic operator at token
+    index ``op_i``. Returns ``(operand_spans, op_indices)`` with
+    inclusive (start, end) token ranges, or None when the immediate
+    neighborhood doesn't parse as a chain (unary minus, keyword…)."""
+    def prev_sig(i):
+        i -= 1
+        while i >= 0 and toks[i].kind in ("WS", "COMMENT"):
+            i -= 1
+        return i
+
+    def next_sig(i):
+        i += 1
+        while i < len(toks) and toks[i].kind in ("WS", "COMMENT"):
+            i += 1
+        return i if i < len(toks) else -1
+
+    try:
+        i = prev_sig(op_i)
+        if i < 0:
+            return None
+        spans = [(_primary_start(toks, i), i)]
+        ops = [op_i]
+        i = next_sig(op_i)
+        if i < 0:
+            return None
+        spans.append((i, _primary_end(toks, i)))
+    except ValueError:
+        return None
+    while True:  # extend left while the previous token is a binary op
+        j = prev_sig(spans[0][0])
+        if j < 0 or not _is_arith_op_tok(toks, j):
+            break
+        k = prev_sig(j)
+        if k < 0 or _is_arith_op_tok(toks, k):
+            break  # doubled op ⇒ unary sign, not part of the chain
+        try:
+            start = _primary_start(toks, k)
+        except ValueError:
+            break
+        ops.insert(0, j)
+        spans.insert(0, (start, k))
+    while True:  # and right symmetrically
+        j = next_sig(spans[-1][1])
+        if j < 0 or not _is_arith_op_tok(toks, j):
+            break
+        k = next_sig(j)
+        if k < 0 or _is_arith_op_tok(toks, k):
+            break
+        try:
+            end = _primary_end(toks, k)
+        except ValueError:
+            break
+        ops.append(j)
+        spans.append((k, end))
+    return spans, ops
+
+
+def _fold_duration_chain(toks: list[Tok], spans, op_idx,
+                         types: dict[str, str]):
+    """Left-to-right precedence-aware fold of a flat arithmetic chain
+    involving Duration operands. Pairwise rewriting at a non-leftmost
+    operator breaks left associativity — ``10s - 3s + 7s/3`` must
+    group as ``(10s - 3s) + (7s/3)``, not ``10s - (3s + 7s/3)``
+    (reference functions.go:156-355 evaluates strictly left-assoc
+    within a precedence level) — so the WHOLE chain folds in one
+    rewrite over exact int64 nanos. Returns the replacement token
+    list, or the sentinel string ``"skip"`` when an operand is a
+    still-mixed durns chain (or unknown type) that a later fixpoint
+    round must collapse first."""
+    sp = [Tok("WS", " ")]
+
+    def paren(inner):
+        return [Tok("PUNCT", "(")] + inner + [Tok("PUNCT", ")")]
+
+    vals = []  # (cat, toks) — duration operands normalized to ns form
+    for (s, e) in spans:
+        c = _span_cat(toks, s, e, types)
+        span = toks[s:e + 1]
+        if c == "duration":
+            vals.append(("durns", _ns_of_duration(span)))
+        elif c == "durns":
+            inner = _durns_inner(span)
+            if inner is None:
+                return "skip"
+            vals.append(("durns", inner))
+        elif c in ("int", "float"):
+            vals.append((c, paren(span)))
+        else:
+            return "skip"
+
+    def step_mul(left, op, right):
+        (lc, lt), (rc, rt) = left, right
+        if lc == "durns" and op in ("/", "DIV") and rc == "int":
+            # Duration / Int divides the int64 nanos (Go truncation)
+            return ("durns", paren(lt + sp + [Tok("IDENT", "DIV")]
+                                   + sp + rt))
+        if op == "*" and {lc, rc} == {"durns", "int"}:
+            return ("durns", paren(lt + sp + [Tok("OP", "*")] + sp + rt))
+        if lc == rc == "durns" and op == "/":
+            return ("float", paren(lt + sp + [Tok("OP", "/")] + sp + rt))
+        if lc == rc == "int" and op in ("/", "DIV"):
+            return ("int", paren(lt + sp + [Tok("IDENT", "DIV")]
+                                 + sp + rt))
+        if {lc, rc} <= {"int", "float"} and op in ("*", "/", "%"):
+            cat = "float" if ("float" in (lc, rc) or op == "/") else "int"
+            return (cat, paren(lt + sp + [Tok("OP", op)] + sp + rt))
+        return None
+
+    def step_add(left, op, right):
+        (lc, lt), (rc, rt) = left, right
+        if lc == rc == "durns":
+            return ("durns", paren(lt + sp + [Tok("OP", op)] + sp + rt))
+        if {lc, rc} <= {"int", "float"}:
+            cat = "float" if "float" in (lc, rc) else "int"
+            return (cat, paren(lt + sp + [Tok("OP", op)] + sp + rt))
+        return None
+
+    op_texts = ["DIV" if toks[i].kind == "IDENT" else toks[i].text
+                for i in op_idx]
+    # multiplicative level first, grouped into additive terms
+    terms = []
+    pending_add = None
+    cur = vals[0]
+    for op, right in zip(op_texts, vals[1:]):
+        if op in ("*", "/", "%", "DIV"):
+            cur = step_mul(cur, op, right)
+            if cur is None:
+                return "skip"
+        else:
+            terms.append((pending_add, cur))
+            pending_add, cur = op, right
+    terms.append((pending_add, cur))
+    acc = terms[0][1]
+    for op, right in terms[1:]:
+        acc = step_add(acc, op, right)
+        if acc is None:
+            return "skip"
+    cat, body = acc
+    return _durns_wrap(body) if cat == "durns" else body
+
+
 def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
                         ops: tuple[str, ...]) -> list[Tok]:
     while True:
         sig = _sig(toks)
         hit = None
+        chain_repl = None
         for si in range(1, len(sig) - 1):
             i = sig[si]
             if toks[i].kind != "OP" or toks[i].text not in ops:
@@ -792,8 +950,32 @@ def _rewrite_arith_pass(toks: list[Tok], types: dict[str, str],
                 # divide intervals — convert each to exact micros via
                 # epoch shift, then BIGINT/BIGINT → DOUBLE.
                 hit = (si, "durdiv")
+            if hit and (hit[1] in ("durdiv_int", "durdiv")
+                        or hit[1].startswith("durns:")):
+                # Duration hit inside a longer flat chain: pairwise
+                # rewriting here would steal only the adjacent primary
+                # and break left associativity (`10s - 3s + 7s/3`
+                # must not become `10s - (3s + 7s/3)`). Fold the
+                # whole chain in one precedence-aware rewrite; if an
+                # operand hasn't collapsed yet, pairwise is only safe
+                # at the chain-leftmost operator.
+                chain = _collect_arith_chain(toks, i)
+                if chain is not None and len(chain[0]) > 2:
+                    folded = _fold_duration_chain(toks, chain[0],
+                                                  chain[1], types)
+                    if folded != "skip":
+                        lo, hi = chain[0][0][0], chain[0][-1][1]
+                        chain_repl = (lo, hi, folded)
+                        break
+                    if chain[1][0] != i:
+                        hit = None
+                        continue
             if hit:
                 break
+        if chain_repl is not None:
+            lo, hi, folded = chain_repl
+            toks = toks[:lo] + folded + toks[hi + 1:]
+            continue
         if hit is None:
             return toks
         si, kind = hit

@@ -275,3 +275,30 @@ def test_duration_division_nanosecond_closure(spark, views):
                 " / INTERVAL 1 SECOND") == "2"
     assert cell("SELECT ((INTERVAL 6 SECOND / 4 + INTERVAL 1 SECOND)"
                 " * 2) + INTERVAL 1 SECOND") == "6s"
+
+
+def test_duration_chain_left_associativity(spark, views):
+    """Flat chains evaluate strictly left-assoc within a precedence
+    level (functions.go:156-355): a durns rewrite at a non-leftmost
+    operator must not regroup the chain (advisor-found r4)."""
+    from octosql_spark.sinks import _native_value
+
+    def cell(sql):
+        return _native_value(q(spark, sql).collect()[0][0])
+
+    # (10s - 3s) + 7s/3 — NOT 10s - (3s + 7s/3) = 4.666666667s
+    assert cell("SELECT INTERVAL 10 SECOND - INTERVAL 3 SECOND"
+                " + INTERVAL 7 SECOND / 3") == "9.333333333s"
+    # sign-flip variant: (10s - 3s) - 7s/3
+    assert cell("SELECT INTERVAL 10 SECOND - INTERVAL 3 SECOND"
+                " - INTERVAL 7 SECOND / 3") == "4.666666667s"
+    # mul level: (2 * 7s) DIV 3 over int64 nanos, not 2 * (7s DIV 3)
+    assert cell("SELECT 2 * INTERVAL 7 SECOND / 3") == "4.666666666s"
+    # mixed precedence folds in one pass: 0.5s + 6s
+    assert cell("SELECT INTERVAL 1 SECOND / 2"
+                " + INTERVAL 3 SECOND * 2") == "6.5s"
+    # deep alternating nesting converges without a fixed round cap
+    deep = "INTERVAL 1 SECOND / 1"
+    for _ in range(10):
+        deep = f"(({deep}) + INTERVAL 1 SECOND / 1) * 1"
+    assert cell(f"SELECT ({deep}) / INTERVAL 1 SECOND") == "11"
