@@ -235,7 +235,14 @@ def _try_exact_counting(args, res, spec):
         return None
     try:
         if m.group("where"):
-            src = src.filter(m.group("where"))
+            # run the WHERE through the dialect rewrites — raw text
+            # would get Spark semantics ('v / 2 = 1' as float
+            # division) and silently count different rows than the
+            # reference (advisor-found r4)
+            from octosql_spark.sql.transpiler import (
+                rewrite_scalar_expression)
+            src = src.filter(rewrite_scalar_expression(
+                m.group("where"), src))
         out = counting_trigger_aggregate(src, keys, aggs, n)
     except Exception:
         return None

@@ -555,8 +555,15 @@ def budget_select(docs: DataFrame, budget_tokens: int,
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     d = docs.select(F.col(id_col), score.alias("score"),
                     token_count(F.col(text_col)).alias("n_tokens"))
+    # persisted: the boundary table and the final join BOTH consume
+    # this frame, and repartitionByRange boundaries come from
+    # per-instantiation sampling — without one shared materialization
+    # the two branches could see DIFFERENT partitionings (exchange
+    # reuse is plan-dependent under AQE), making _prior offsets wrong
+    # (advisor-found r4)
     d = (d.repartitionByRange(F.col("score").desc(), F.col(id_col).asc())
-         .withColumn("_pid", F.spark_partition_id()))
+         .withColumn("_pid", F.spark_partition_id())
+         .persist())
     w_in = (Window.partitionBy("_pid")
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .rowsBetween(Window.unboundedPreceding, 0))

@@ -1689,6 +1689,34 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
 
 # -------------------------------------------------------------- driver
 
+def rewrite_scalar_expression(expr_sql: str, df) -> str:
+    """Dialect rewrites for a standalone scalar expression evaluated
+    against ``df``'s columns. Fast paths that filter with raw SQL text
+    (the counting-trigger shape match in cli.py) must NOT hand the
+    dialect's WHERE to Spark verbatim — ``v / 2 = 1`` is integer
+    division in the dialect (functions.go:320-355) but float division
+    in Spark SQL, silently selecting different rows."""
+    types: dict[str, str | None] = {}
+    for col, dtype in df.dtypes:
+        cat = _type_cat(dtype)
+        key = col.lower()
+        if key in types and types[key] != cat:
+            types[key] = None
+        else:
+            types.setdefault(key, cat)
+    known = {k: v for k, v in types.items() if v}
+    toks = tokenize(expr_sql)
+    toks = _rewrite_arrow(toks)
+    toks = _rewrite_type_assert(toks)
+    toks = _rewrite_regex_ops(toks)
+    toks = _rewrite_subscript(toks)
+    toks = _rewrite_arith_overloads(toks, known)
+    toks = _rewrite_functions(toks, known)
+    toks = _rewrite_float_literals(toks)
+    toks = _expand_durns_markers(toks)
+    return "".join(t.text for t in toks)
+
+
 def transpile(spark: SparkSession, sql: str,
               strict_assert: bool = False) -> Transpiled:
     out = Transpiled(sql="")

@@ -281,3 +281,22 @@ def test_trigger_counting_exact_with_where_and_alias(spark, tmp_path,
     # the 5th/6th records were filtered out — no count-5/6 emission
     assert "'x', 5" not in out and "'x', 6" not in out
     assert "'y'" not in out
+
+
+def test_trigger_counting_where_uses_dialect_semantics(spark, tmp_path,
+                                                       capsys):
+    """The exact-counting fast path must run its WHERE through the
+    dialect rewrites, not raw Spark SQL: `v / 2 = 1` is integer
+    division (functions.go:320-355) selecting v∈{2,3}, while Spark's
+    float division would keep only v=2 (advisor-found r4)."""
+    d = tmp_path / "cntd"
+    d.mkdir()
+    (d / "a.json").write_text(
+        '\n'.join('{"k": "x", "v": %d}' % i for i in range(1, 7)) + '\n')
+    rc = main([f"SELECT k, COUNT(v) AS n FROM '{d}/*.json?tail=true' "
+               "WHERE v / 2 = 1 GROUP BY k TRIGGER COUNTING 2",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # v=2 and v=3 both pass under integer division → emission at 2
+    assert "{+0001-01-01T00:00:00Z| 'x', 2, 2 |}" in out
