@@ -301,8 +301,14 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         _dot, _hyperplane_signature)
     e = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("_v"))
+    # zero-norm guard: a zero vector has no direction (cosine
+    # undefined) — filter explicitly rather than letting x/0 = NULL
+    # silently NULL out the bucket and the cosine (the implicit-drop
+    # behavior this makes a stated, tested contract)
     norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
-    e = e.withColumn("_nv", F.transform("_v", lambda x: x / norm)).drop("_v")
+    e = (e.withColumn("_n", norm).filter(F.col("_n") > 0)
+         .withColumn("_nv", F.transform("_v", lambda x: x / F.col("_n")))
+         .drop("_v", "_n"))
     if method == "exact":
         a = e.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"))
         b = e.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"))
@@ -370,10 +376,16 @@ def embedding_ingest_near_dups(batch: DataFrame, corpus: DataFrame,
         _dot, _hyperplane_signature)
 
     def _normed(df):
+        # zero-norm guard: skip direction-less zero vectors explicitly
+        # (same contract as curate.semantic_decontaminate) instead of
+        # relying on x/0 → NULL silently dropping them downstream
         v = F.col(vec_col).cast("array<double>")
-        n = F.sqrt(_dot(v, v))
-        return df.select(F.col(id_col).alias("_id"),
-                         F.transform(v, lambda x: x / n).alias("_nv"))
+        return (df.select(F.col(id_col).alias("_id"), v.alias("_rawv"),
+                          F.sqrt(_dot(v, v)).alias("_n"))
+                .filter(F.col("_n") > 0)
+                .select("_id",
+                        F.transform("_rawv",
+                                    lambda x: x / F.col("_n")).alias("_nv")))
 
     def _buckets(vec):
         return F.array(*[

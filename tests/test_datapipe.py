@@ -302,6 +302,29 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
         assert len(lsh) / len(exact) >= 0.5
 
 
+def test_embedding_dedup_zero_vectors_skipped(spark):
+    """Zero vectors have no direction (cosine undefined): both
+    embedding dedup paths skip them EXPLICITLY (the stated contract,
+    not an accident of x/0 → NULL propagation)."""
+    from octosql_spark import datapipe as dp
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for method in ("exact", "lsh"):
+        got = {(r.id_a, r.id_b) for r in dp.embedding_near_dup_pairs(
+            e, threshold=0.9, method=method, dim=2).collect()}
+        assert got == {(1, 2)}  # vec 3 silently (but deliberately) absent
+    zero_batch = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    assert dp.embedding_ingest_near_dups(
+        zero_batch, e, threshold=0.0, dim=2).count() == 0
+    hits = dp.embedding_ingest_near_dups(
+        spark.createDataFrame([(9, [2.0, 0.0])],
+                              "vec_id long, embedding array<double>"),
+        e, threshold=0.9, dim=2)
+    assert {(r.batch_id, r.corpus_id) for r in hits.collect()} \
+        == {(9, 1), (9, 2)}  # corpus zero vector skipped too
+
+
 def test_ivf_topk_exact_cosines_and_recall(spark):
     from octosql_spark.datapipe import cosine_topk_bruteforce, ivf_topk
     from octosql_spark.catalog import load_table
