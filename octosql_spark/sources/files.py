@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 
 def _stage_growing_file(path: str, poll_s: float = 0.5,
-                        line_prefix: bytes = b"") -> str:
+                        line_prefix: bytes = b"",
+                        number_lines: bool = False) -> str:
     """Single-growing-file follow (execution/files/files.go:26-68):
     a driver-side re-stat loop stages the file's current content and
     every subsequently APPENDED byte range as new files in a temp
@@ -36,6 +37,13 @@ def _stage_growing_file(path: str, poll_s: float = 0.5,
     prepended to every staged chunk so per-file header parsing stays
     consistent.
 
+    ``number_lines=True`` (the single-file ``lines`` tail) re-encodes
+    each staged chunk as JSON rows ``{"number": N, "text": ...}`` with
+    N continuing across chunks: the stager reads appends strictly in
+    file order, so it can assign the same 0-based sequential numbers
+    the reference's line reader does (datasources/lines/impl.go:13-63)
+    even though the downstream file-source is unordered.
+
     Driver-side cost is one stat per poll and one sequential read per
     growth burst — no executor involvement until data actually
     arrives; at scale a log-tailing workload would use a real message
@@ -43,8 +51,10 @@ def _stage_growing_file(path: str, poll_s: float = 0.5,
     import threading
     import time
 
+    import json
+
     d = tempfile.mkdtemp(prefix="octosql_tail_")
-    state = {"off": 0, "n": 0}
+    state = {"off": 0, "n": 0, "line": 0}
 
     def stage() -> None:
         with open(path, "rb") as f:
@@ -55,9 +65,16 @@ def _stage_growing_file(path: str, poll_s: float = 0.5,
             name = os.path.join(d, f"part-{state['n']:08d}")
             tmp = name + ".tmp"
             with open(tmp, "wb") as out:
-                if state["n"] > 0 and line_prefix:
-                    out.write(line_prefix)
-                out.write(chunk[:cut])
+                if number_lines:
+                    for ln in chunk[:cut].split(b"\n")[:-1]:
+                        row = {"number": state["line"],
+                               "text": ln.decode("utf-8", "replace")}
+                        out.write(json.dumps(row).encode() + b"\n")
+                        state["line"] += 1
+                else:
+                    if state["n"] > 0 and line_prefix:
+                        out.write(line_prefix)
+                    out.write(chunk[:cut])
             os.rename(tmp, name)  # atomic: the stream never sees partials
             state["off"] += cut
             state["n"] += 1
@@ -173,12 +190,18 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
     file. (At 100 TB you would not want a global line number at all —
     it is inherently sequential; the reference is single-machine.)"""
     if tail:
-        # a global line number is inherently sequential and cannot be
-        # assigned over an unbounded stream — tail'ed lines carry NULL
-        # numbers (documented deviation; the reference is single-file,
-        # single-machine and can count).
         if "://" not in path and os.path.isfile(path):
-            path = _stage_growing_file(path)
+            # single growing file: the staged-append loop sees chunks
+            # strictly in file order, so it assigns the reference's
+            # sequential 0-based numbers (impl.go:13-63) as it stages
+            path = _stage_growing_file(path, number_lines=True)
+            return (spark.readStream
+                    .schema("number long, text string").json(path)
+                    .select("number", "text"))
+        # directory/glob tail: a global line number is inherently
+        # sequential and cannot be assigned over an unbounded MULTI-file
+        # stream (no arrival order) — NULL numbers (documented
+        # deviation; the reference is single-file and can count).
         return (spark.readStream.text(path)
                 .select(F.lit(None).cast("long").alias("number"),
                         F.col("value").alias("text")))

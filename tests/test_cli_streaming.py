@@ -99,6 +99,32 @@ def test_cli_tail_follows_single_file_appends(spark, tmp_path, capsys):
     assert "{+0001-01-01T00:00:00Z| 3 |}" in out
 
 
+def test_cli_tail_single_file_lines_numbered(spark, tmp_path, capsys):
+    """DEVIATIONS 8 closed for the single-file shape: a growing
+    ``lines`` file gets the reference's sequential 0-based numbers
+    (datasources/lines/impl.go:13-63) — the staged-append loop sees
+    chunks in file order and numbers them as it stages. (Directory
+    tails still carry NULL numbers: multi-file arrival is unordered.)"""
+    p = tmp_path / "grow.lines"
+    p.write_text("alpha\nbeta\n")
+
+    def append():
+        time.sleep(6)  # after batch 0
+        with open(p, "a") as f:
+            f.write("gamma\n")
+
+    a = threading.Thread(target=append)
+    a.start()
+    rc = main([f"SELECT number, text FROM '{p}?tail=true'",
+               "--output", "stream_native", "--duration", "20"])
+    a.join()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "| 0, 'alpha' |" in out
+    assert "| 1, 'beta' |" in out
+    assert "| 2, 'gamma' |" in out
+
+
 def test_cli_tail_single_csv_header_preserved(spark, tmp_path, capsys):
     """Appended CSV chunks are staged with the header re-prepended so
     every staged file parses identically."""
