@@ -137,14 +137,53 @@ def _run(args, spark) -> int:
     return 0
 
 
+def _csv_decode_error(path: str, sep: str) -> str | None:
+    """Replay Go's ``encoding/csv`` structural check driver-side
+    (datasources/csv/execution.go:57-60 wraps the decoder error as
+    ``couldn't decode message: %w``): the first record sets the
+    expected field count (FieldsPerRecord=0 semantics — the header is
+    simply the first record) and any later record with a different
+    count errors as ``record on line N: wrong number of fields`` with
+    N the 1-based physical line the record starts on. One sequential
+    driver-side read, error path only; multi-line (quoted-newline)
+    offenders and pure quoting errors return None — the generic
+    FAILFAST one-liner still prints for those."""
+    import csv as _csv
+    try:
+        with open(path, newline="", encoding="utf-8",
+                  errors="replace") as f:
+            rdr = _csv.reader(f, delimiter=sep)
+            expected = None
+            prev_line = 0
+            for rec in rdr:
+                start = prev_line + 1
+                prev_line = rdr.line_num
+                # Go's csv skips blank lines without counting a record
+                if not rec or (len(rec) == 1 and rec[0] == ""):
+                    continue
+                if expected is None:
+                    expected = len(rec)
+                elif len(rec) != expected and rdr.line_num == start:
+                    return ("couldn't decode message: record on line "
+                            f"{start}: wrong number of fields")
+                elif len(rec) != expected:
+                    return None  # quoted-newline record; Go's two-line
+                                 # error shape is not reproduced
+    except OSError:
+        return None
+    return None
+
+
 def _diagnose_parse_error(spark, res, ex) -> str | None:
     """Map Spark's FAILFAST malformed-record failure onto the
-    reference's ``couldn't parse line N`` shape
+    reference's error shapes: ``couldn't parse line N`` for JSON
     (datasources/json/execution.go error chain, error1/error2.err
-    goldens): probe each file-backed JSON view for its first
-    unparseable line. One extra scan of the offending file, error
-    path only; returns None when the failure isn't a parse error so
-    the generic one-liner still prints."""
+    goldens) and ``couldn't decode message: record on line N: wrong
+    number of fields`` for CSV/TSV (datasources/csv/execution.go:
+    57-60, Go encoding/csv). Probes each file-backed view for its
+    first unparseable line — one extra scan of the offending file,
+    error path only; returns None when the failure isn't a parse
+    error so the generic one-liner still prints."""
     import os
     import re as _re
 
@@ -156,9 +195,16 @@ def _diagnose_parse_error(spark, res, ex) -> str | None:
     from octosql_spark.sources.files import read_lines
     for view, desc in res.views.items():
         path = str(desc).strip().strip("'\"").split("?")[0]
-        if not path.lower().endswith((".json", ".jsonl", ".ndjson")):
-            continue
+        low = path.lower()
         if "://" in path or not os.path.isfile(path):
+            continue
+        if low.endswith((".csv", ".tsv")):
+            msg = _csv_decode_error(path,
+                                    "\t" if low.endswith(".tsv") else ",")
+            if msg:
+                return f"couldn't run query: couldn't run source: {msg}"
+            continue
+        if not low.endswith((".json", ".jsonl", ".ndjson")):
             continue
         try:
             from pyspark.sql.types import StringType

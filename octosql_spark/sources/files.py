@@ -137,7 +137,13 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
                   .option("inferSchema", "true")
                   .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
                   .csv(path).schema)
+    # FAILFAST: structurally malformed rows (wrong field count, broken
+    # quoting) are a query error like the reference's Go-csv decoder
+    # ("couldn't decode message: record on line N: wrong number of
+    # fields"), not a silently padded/NULLed row; the CLI error path
+    # re-derives the reference's exact line number (cli.py)
     opts = {"header": str(header).lower(), "sep": sep,
+            "mode": "FAILFAST",
             "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"}
     if tail:
         return _stream_reader(spark, path, "csv", schema, **opts, **_)

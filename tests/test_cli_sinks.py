@@ -169,6 +169,41 @@ def test_parse_error_reports_reference_line_number(spark, tmp_path,
            "couldn't parse line 3" in err
 
 
+def test_csv_wrong_field_count_reference_error(spark, tmp_path, capsys):
+    """Malformed CSV fails with the reference's Go-csv error text and
+    exact line number (datasources/csv/execution.go:57-60 wraps
+    encoding/csv's 'record on line N: wrong number of fields'), not
+    Spark's FAILFAST message. Line numbers are 1-based physical lines
+    including the header."""
+    from octosql_spark.cli import main
+    p = tmp_path / "bad.csv"
+    rows = ["name,age", "alice,3", "bob,5,EXTRA", "carol,7"]
+    p.write_text("\n".join(rows) + "\n")
+    rc = main([f"SELECT name, age FROM '{p}'", "--output", "csv"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert ("error: couldn't run query: couldn't run source: "
+            "couldn't decode message: record on line 3: "
+            "wrong number of fields" in err)
+
+
+def test_csv_too_few_fields_reference_error(spark, tmp_path, capsys):
+    """The short-row shape (fewer fields than the header) errors with
+    the same Go-csv text instead of NULL-padding the row — when the
+    query decodes the full record width (CSV column pruning keeps the
+    scan narrow, so rows damaged only in UNREAD fields pass;
+    DEVIATIONS 9 residual — the reference always decodes full
+    records)."""
+    from octosql_spark.cli import main
+    p = tmp_path / "short.csv"
+    p.write_text("a,b,c\n1,2,3\n4,5\n")
+    rc = main([f"SELECT a, b, c FROM '{p}'", "--output", "csv"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert ("couldn't decode message: record on line 3: "
+            "wrong number of fields" in err)
+
+
 def test_cli_version_and_profile_flags(spark, capsys):
     """Reference CLI flag surface: -v/--version and --profile
     (cmd/root.go flags). cpu profiles the driver run, memory reports
