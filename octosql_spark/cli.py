@@ -239,8 +239,11 @@ def _try_exact_counting(args, res, spec):
     the reference where the trigger counts records as they enter the
     group-by. Returns None when the query shape doesn't match — the
     caller falls back to the generic mapping (DEVIATIONS 6 then only
-    covers shapes the exact operator can't express: joins, window
-    TVFs, expression keys)."""
+    covers shapes the exact operator can't express: joins and window
+    TVFs under a counting trigger). DETERMINISTIC EXPRESSION keys
+    (``GROUP BY v % 2``, ``GROUP BY date_trunc('hour', ts)``) are
+    precomputed into columns through the dialect rewrites before the
+    stateful operator, so they fire exactly per record too."""
     import re
 
     from octosql_spark.streaming.counting_trigger import (
@@ -259,11 +262,45 @@ def _try_exact_counting(args, res, spec):
         # strip quoting and an alias qualifier (t.k -> k)
         return c.strip().strip('`"').split(".")[-1]
 
-    keys = [_bare(k) for k in m.group("keys").split(",")]
+    def _norm(t: str) -> str:
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    spark = res.df.sparkSession
+    src = spark.table(next(iter(res.views)))
+    if not src.isStreaming:
+        return None
+
+    _split = r",(?![^()]*\))"  # top-level commas only
+    # SELECT items as (normalized-expr, alias, full-text)
+    sel = []
+    for it in (i.strip() for i in re.split(_split, m.group("items"))):
+        sm = re.match(r"(?is)^(.*?)\s+AS\s+([\w`\"]+)\s*$", it)
+        sel.append((_norm(sm.group(1)) if sm else _norm(it),
+                    sm.group(2).strip('`"') if sm else None, it))
+
+    # the per-key state machine needs keys stable across re-evaluation
+    nondet = re.compile(r"(?i)\b(rand|randn|random|uuid|shuffle|now|"
+                        r"current_timestamp|current_date)\s*\(")
+    keys, derived, key_norms = [], [], set()
+    for kt in (k.strip() for k in re.split(_split, m.group("keys"))):
+        bare = _bare(kt)
+        if re.fullmatch(r"[\w.`\"]+", kt) and bare in src.columns:
+            keys.append(bare)
+            key_norms.update((_norm(kt), _norm(bare)))
+            continue
+        if nondet.search(kt):
+            return None
+        # expression key: the output column takes its SELECT alias
+        # (unaliased expressions keep their text as the column name)
+        name = next((alias or it for nrm, alias, it in sel
+                     if nrm == _norm(kt)), kt)
+        keys.append(name)
+        derived.append((name, kt))
+        key_norms.add(_norm(kt))
+
     aggs = []
-    for item in re.split(r",(?![^()]*\))", m.group("items")):
-        item = item.strip()
-        if _bare(item) in keys:
+    for nrm, _alias, item in sel:
+        if _bare(item) in keys or nrm in key_norms:
             continue
         am = re.match(r"(?i)^(count|sum|min|max|avg)\s*\(\s*(\*|[\w.`\"]+)"
                       r"\s*\)\s+AS\s+([\w`\"]+)$", item)
@@ -275,10 +312,6 @@ def _try_exact_counting(args, res, spec):
                      am.group(3).strip('`"')))
     if not aggs:
         return None
-    spark = res.df.sparkSession
-    src = spark.table(next(iter(res.views)))
-    if not src.isStreaming or any(k not in src.columns for k in keys):
-        return None
     try:
         if m.group("where"):
             # run the WHERE through the dialect rewrites — raw text
@@ -289,6 +322,17 @@ def _try_exact_counting(args, res, spec):
                 rewrite_scalar_expression)
             src = src.filter(rewrite_scalar_expression(
                 m.group("where"), src))
+        if derived:
+            from pyspark.sql import functions as F
+
+            from octosql_spark.sql.transpiler import (
+                rewrite_scalar_expression)
+            for name, expr_text in derived:
+                # rewrite_scalar_expression returns dialect-rewritten
+                # SQL text (filter accepts it; withColumn needs a col)
+                src = src.withColumn(
+                    name, F.expr(rewrite_scalar_expression(expr_text,
+                                                           src)))
         out = counting_trigger_aggregate(src, keys, aggs, n)
     except Exception:
         return None

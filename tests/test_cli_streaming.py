@@ -309,6 +309,31 @@ def test_trigger_counting_exact_with_where_and_alias(spark, tmp_path,
     assert "'y'" not in out
 
 
+def test_trigger_counting_expression_key(spark, tmp_path, capsys):
+    """DEVIATIONS 6 residual closed for expression keys: a
+    deterministic GROUP BY expression (here v % 2) is precomputed
+    into a column, so the counting trigger still fires EXACTLY every
+    n records per computed key (triggers.go:17-87), not per
+    micro-batch."""
+    d = tmp_path / "cnte"
+    d.mkdir()
+    # v=1..7 → parity 1: v∈{1,3,5,7} (4 recs → emissions at 2 and 4);
+    # parity 0: v∈{2,4,6} (3 recs → emission at 2 only)
+    (d / "a.json").write_text(
+        '\n'.join('{"k": "x", "v": %d}' % i for i in range(1, 8)) + '\n')
+    rc = main([f"SELECT v % 2 AS parity, COUNT(v) AS n "
+               f"FROM '{d}/*.json?tail=true' "
+               "GROUP BY v % 2 TRIGGER COUNTING 2",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "{+0001-01-01T00:00:00Z| 1, 2, 2 |}" in out
+    assert "{+0001-01-01T00:00:00Z| 1, 4, 4 |}" in out
+    assert "{+0001-01-01T00:00:00Z| 0, 2, 2 |}" in out
+    # no partial-window emissions (parity 0 has 3 records)
+    assert "| 0, 3, 3 |" not in out
+
+
 def test_trigger_counting_where_uses_dialect_semantics(spark, tmp_path,
                                                        capsys):
     """The exact-counting fast path must run its WHERE through the
