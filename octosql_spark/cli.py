@@ -345,7 +345,13 @@ def _run_poll(args, spark, first) -> int:
     """poll() continuous semantics (table_valued_functions/
     poll.go:104-149): re-run the finite subquery every poll interval;
     each round retracts the previous rows and emits fresh ones. The
-    whole query re-transpiles per round so file sources re-read."""
+    whole query re-transpiles per round so file sources re-read.
+
+    Bounded-result contract: the previous round's rows are held in
+    driver memory to produce the retractions — the same buffering the
+    reference's poll does (it wraps a FINITE subquery for interactive
+    watch-style use; poll.go keeps ``previous`` in memory too). Do not
+    poll an unbounded/corpus-scaled subquery."""
     import time
 
     from octosql_spark import sinks
