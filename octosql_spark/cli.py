@@ -174,6 +174,61 @@ def _csv_decode_error(path: str, sep: str) -> str | None:
     return None
 
 
+def _go_quote(s: str) -> str:
+    """Go's %q for the subset that appears in parse errors: printable
+    ASCII passes through, backslash/quote escape, control chars use
+    Go escapes."""
+    out = ['"']
+    for ch in s:
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\n":
+            out.append("\\n")
+        elif " " <= ch <= "~":
+            out.append(ch)
+        else:
+            out.append("\\u%04x" % ord(ch))
+    out.append('"')
+    return "".join(out)
+
+
+def _json_line_detail(line: str) -> str | None:
+    """The reference's inner error detail for a bad JSON line
+    (datasources/json/workers.go:56-62): a NON-OBJECT but valid value
+    is ``expected JSON object, got '<line>'``; an invalid value gets
+    fastjson's Parse error (``cannot parse JSON: <inner>; unparsed
+    tail: <tail>``) wrapped as ``couldn't parse json:``. Only the
+    high-confidence fastjson class is emulated — a value whose first
+    character routes to the number parser and immediately fails
+    (valyala/fastjson parser.go parseRawNumber, the error1 fixture
+    shape); anything else returns None and the line number alone
+    prints."""
+    import json as _json
+
+    try:
+        v = _json.loads(line)
+        if not isinstance(v, dict):
+            return f"expected JSON object, got '{line}'"
+        return None  # parses for us; don't guess at Spark's complaint
+    except ValueError:
+        pass
+    t = line.lstrip()  # fastjson skips leading whitespace only
+    c = t[:1]
+    if c and c not in '{["tfn-+.0123456789':
+        # fastjson startEndString: >80 chars → first 40 + "..." + last 40
+        tail = t if len(t) <= 80 else t[:40] + "..." + t[-40:]
+        return ("couldn't parse json: cannot parse JSON: "
+                f"cannot parse number: unexpected char: {_go_quote(c)}; "
+                f"unparsed tail: {_go_quote(tail)}")
+    return None
+
+
 def _diagnose_parse_error(spark, res, ex) -> str | None:
     """Map Spark's FAILFAST malformed-record failure onto the
     reference's error shapes: ``couldn't parse line N`` for JSON
@@ -195,8 +250,14 @@ def _diagnose_parse_error(spark, res, ex) -> str | None:
     from octosql_spark.sources.files import read_lines
     for view, desc in res.views.items():
         path = str(desc).strip().strip("'\"").split("?")[0]
+        if "://" in path:
+            continue
+        # absolutize against the CALLER's cwd (like read_file does):
+        # Spark resolves bare relative paths against its own start
+        # cwd, which breaks the probe when the CLI runs elsewhere
+        path = os.path.abspath(path)
         low = path.lower()
-        if "://" in path or not os.path.isfile(path):
+        if not os.path.isfile(path):
             continue
         if low.endswith((".csv", ".tsv")):
             msg = _csv_decode_error(path,
@@ -219,11 +280,13 @@ def _diagnose_parse_error(spark, res, ex) -> str | None:
                          "text", schema,
                          {"columnNameOfCorruptRecord": "_corrupt"}))
                      .filter(F.col("_p._corrupt").isNotNull())
-                     .agg(F.min("number").alias("n")).first())
-            if first is not None and first["n"] is not None:
+                     .orderBy("number").select("number", "text").first())
+            if first is not None and first["number"] is not None:
                 # lines source numbers are 0-based; file lines 1-based
-                return ("couldn't run query: couldn't run source: "
-                        f"couldn't parse line {int(first['n']) + 1}")
+                msg = ("couldn't run query: couldn't run source: "
+                       f"couldn't parse line {int(first['number']) + 1}")
+                detail = _json_line_detail(first["text"])
+                return f"{msg}: {detail}" if detail else msg
         except Exception:
             return None
     return None

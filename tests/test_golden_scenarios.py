@@ -109,6 +109,14 @@ def test_golden_scenario(name, path, spark, capsys, monkeypatch):
     if name in ERROR_SCENARIOS:
         assert rc == 1, captured.err
         assert captured.err.startswith("error:")
+        # JSON parse errors: everything from "couldn't parse line"
+        # onward must match the reference bytes (line number AND the
+        # fastjson/object inner detail — DEVIATIONS 9)
+        exp = open(path[:-3] + ".err").read()
+        em = re.search(r"couldn't parse line .*", exp)
+        if em:
+            assert em.group(0) in captured.err, (
+                f"expected {em.group(0)!r} in {captured.err!r}")
         return
     if name in EXCEEDS_REFERENCE:
         assert rc == 0, captured.err
