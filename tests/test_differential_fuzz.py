@@ -51,6 +51,29 @@ def _ints(depth: int) -> st.SearchStrategy:
             lambda s: (f"len({s[0]})", f"CAST(length({s[1]}) AS INT)")),
         st.sampled_from(["7", "42"]).map(
             lambda s: (f"'{s}'::int", f"'{s}'::BIGINT")),
+        # CASE / COALESCE / NULLIF are front-end constructs, not
+        # registry functions — fuzz them through the transpiler (the
+        # condition is an inline int comparison: _bools here would
+        # recurse back into _ints(1) while strategies construct)
+        st.tuples(sub, sub, sub, sub).map(
+            lambda t: (f"(CASE WHEN {t[0][0]} >= {t[1][0]} THEN {t[2][0]}"
+                       f" ELSE {t[3][0]} END)",
+                       f"(CASE WHEN {t[0][1]} >= {t[1][1]} THEN {t[2][1]}"
+                       f" ELSE {t[3][1]} END)")),
+        st.tuples(sub, sub, sub).map(
+            lambda t: (f"coalesce(nullif({t[0][0]}, {t[1][0]}), {t[2][0]})",
+                       f"coalesce(nullif({t[0][1]}, {t[1][1]}), {t[2][1]})")),
+        st.tuples(sub, sub).map(
+            lambda p: (f"abs({p[0][0]} - {p[1][0]})",
+                       f"abs({p[0][1]} - {p[1][1]})")),
+        sub.map(lambda i: (f"floor(sqrt({i[0]}))",
+                           f"CAST(floor(sqrt({i[1]})) AS INT)")),
+        # 0-based position, NULL when absent (functions.go:757-772)
+        st.tuples(_strs(depth - 1), st.sampled_from(["a", "N", "zz"])).map(
+            lambda p: (f"position({p[0][0]}, '{p[1]}')",
+                       f"(CASE WHEN strpos({p[0][1]}, '{p[1]}') = 0 "
+                       f"THEN NULL ELSE CAST(strpos({p[0][1]}, '{p[1]}')"
+                       f" AS INT) - 1 END)")),
     )
 
 
