@@ -85,8 +85,10 @@ def _run(args, spark) -> int:
         df = res.df
     except Exception as ex:
         # concise one-line errors like the reference's CLI (golden
-        # .err files), not a Py4J traceback
-        msg = str(ex).strip().split("\n")[0]
+        # .err files), not a Py4J traceback. An inference-sample
+        # parse failure renders the reference's full error chain.
+        msg = (_format_json_line_error(ex, args.query)
+               or str(ex).strip().split("\n")[0])
         print(f"error: {msg}", file=sys.stderr)
         return 1
 
@@ -130,7 +132,7 @@ def _run(args, spark) -> int:
         # runtime errors (malformed input under FAILFAST, panics, …)
         # print as one line + nonzero exit, like the reference's
         # "Error: couldn't run query: ..." (.err goldens)
-        msg = (_diagnose_parse_error(df.sparkSession, res, ex)
+        msg = (_diagnose_parse_error(df.sparkSession, res, ex, args.query)
                or str(ex).strip().split("\n")[0])
         print(f"error: {msg}", file=sys.stderr)
         return 1
@@ -229,7 +231,39 @@ def _json_line_detail(line: str) -> str | None:
     return None
 
 
-def _diagnose_parse_error(spark, res, ex) -> str | None:
+def _source_chain(query: str) -> str:
+    """The reference's ``couldn't run source:`` wrapper repeated once
+    per execution node between sink and scan (map/filter/group_by all
+    wrap, execution/nodes/*.go), reconstructed from the query shape:
+    every SELECT has a projection map, GROUP BY/aggregates add
+    simple_group_by, WHERE adds filter. Exact for both reference
+    fixtures (aggregate queries → two wrappers)."""
+    import re as _re
+
+    nsrc = 1
+    if _re.search(r"(?i)\bGROUP\s+BY\b", query) or _re.search(
+            r"(?i)\b(count|sum|min|max|avg)\s*\(", query):
+        nsrc += 1
+    if _re.search(r"(?i)\bWHERE\b", query):
+        nsrc += 1
+    return "couldn't run source: " * nsrc
+
+
+def _format_json_line_error(ex, query: str) -> str | None:
+    """Render a ``JsonLineParseError`` (a bad line inside the
+    inference sample, schema_infer.py) with the reference's full
+    chain and inner detail; None for any other exception."""
+    lineno = getattr(ex, "lineno", None)
+    line = getattr(ex, "line", None)
+    if lineno is None or line is None:
+        return None
+    msg = (f"couldn't run query: {_source_chain(query)}"
+           f"couldn't parse line {lineno}")
+    detail = _json_line_detail(line)
+    return f"{msg}: {detail}" if detail else msg
+
+
+def _diagnose_parse_error(spark, res, ex, query: str = "") -> str | None:
     """Map Spark's FAILFAST malformed-record failure onto the
     reference's error shapes: ``couldn't parse line N`` for JSON
     (datasources/json/execution.go error chain, error1/error2.err
@@ -238,13 +272,15 @@ def _diagnose_parse_error(spark, res, ex) -> str | None:
     57-60, Go encoding/csv). Probes each file-backed view for its
     first unparseable line — one extra scan of the offending file,
     error path only; returns None when the failure isn't a parse
-    error so the generic one-liner still prints."""
+    error so the generic one-liner still prints. The source-wrapper
+    chain comes from ``_source_chain``."""
     import os
     import re as _re
 
     s = str(ex)
     if not _re.search(r"(?i)malformed", s):
         return None
+    chain = _source_chain(query)
     from pyspark.sql import functions as F
 
     from octosql_spark.sources.files import read_lines
@@ -263,7 +299,7 @@ def _diagnose_parse_error(spark, res, ex) -> str | None:
             msg = _csv_decode_error(path,
                                     "\t" if low.endswith(".tsv") else ",")
             if msg:
-                return f"couldn't run query: couldn't run source: {msg}"
+                return f"couldn't run query: {chain}{msg}"
             continue
         if not low.endswith((".json", ".jsonl", ".ndjson")):
             continue
@@ -283,7 +319,7 @@ def _diagnose_parse_error(spark, res, ex) -> str | None:
                      .orderBy("number").select("number", "text").first())
             if first is not None and first["number"] is not None:
                 # lines source numbers are 0-based; file lines 1-based
-                msg = ("couldn't run query: couldn't run source: "
+                msg = (f"couldn't run query: {chain}"
                        f"couldn't parse line {int(first['number']) + 1}")
                 detail = _json_line_detail(first["text"])
                 return f"{msg}: {detail}" if detail else msg

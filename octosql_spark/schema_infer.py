@@ -113,25 +113,37 @@ def _csv_fold(kinds: list[ot.OctoType]) -> ot.OctoType:
     return cur
 
 
+class JsonLineParseError(ValueError):
+    """A JSON line in the inference sample failed to parse. Carries
+    the 1-based ``lineno`` and the raw ``line`` so the CLI error path
+    can render the reference's full error chain (source-wrapper count
+    + fastjson/object inner detail); the message itself is the
+    single-wrapper fallback for non-CLI callers."""
+
+    def __init__(self, lineno: int, line: str):
+        self.lineno = lineno
+        self.line = line
+        super().__init__("couldn't run query: couldn't run source: "
+                         f"couldn't parse line {lineno}")
+
+
 def infer_json(path: str, sample_rows: int = SAMPLE_ROWS) -> dict[str, ot.OctoType]:
     """Key → OctoType from the first ``sample_rows`` JSON lines, with
     per-key TypeSum merge (absent keys become nullable)."""
     per_row: list[dict[str, ot.OctoType]] = []
     with open(path) as f:
-        for lineno, line in zip(range(1, sample_rows + 1), f):
-            line = line.strip()
+        for lineno, raw in zip(range(1, sample_rows + 1), f):
+            line = raw.strip()
             if not line:
                 continue
             try:
                 obj = json.loads(line)
                 if not isinstance(obj, dict):
                     raise ValueError(f"expected JSON object, got {line!r}")
-            except ValueError as ex:
+            except ValueError:
                 # the reference's error chain + 1-based line number
                 # (datasources/json/execution.go; error goldens)
-                raise ValueError(
-                    "couldn't run query: couldn't run source: "
-                    f"couldn't parse line {lineno}: {ex}") from ex
+                raise JsonLineParseError(lineno, raw.rstrip("\n")) from None
             per_row.append({k: _infer_json_value(v) for k, v in obj.items()})
     all_keys: list[str] = []
     for row in per_row:

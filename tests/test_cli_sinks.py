@@ -165,8 +165,10 @@ def test_parse_error_reports_reference_line_number(spark, tmp_path,
     rc = main([f"SELECT COUNT(*) FROM '{p}'", "--output", "csv"])
     err = capsys.readouterr().err
     assert rc == 1
+    # aggregate query → two source wrappers (map + simple_group_by,
+    # the reference fixture chain)
     assert "error: couldn't run query: couldn't run source: " \
-           "couldn't parse line 3" in err
+           "couldn't run source: couldn't parse line 3" in err
 
 
 def test_csv_wrong_field_count_reference_error(spark, tmp_path, capsys):

@@ -109,12 +109,14 @@ def test_golden_scenario(name, path, spark, capsys, monkeypatch):
     if name in ERROR_SCENARIOS:
         assert rc == 1, captured.err
         assert captured.err.startswith("error:")
-        # JSON parse errors: everything from "couldn't parse line"
-        # onward must match the reference bytes (line number AND the
-        # fastjson/object inner detail — DEVIATIONS 9)
+        # JSON parse errors: everything from "couldn't run query"
+        # onward must match the reference bytes — source-wrapper
+        # chain, line number AND the fastjson/object inner detail
+        # (DEVIATIONS 9; the reference's cobra prefix is "Error:" +
+        # a usage banner, ours is the bare "error:" one-liner)
         exp = open(path[:-3] + ".err").read()
-        em = re.search(r"couldn't parse line .*", exp)
-        if em:
+        em = re.search(r"couldn't run query: .*", exp)
+        if em and "couldn't parse line" in em.group(0):
             assert em.group(0) in captured.err, (
                 f"expected {em.group(0)!r} in {captured.err!r}")
         return
