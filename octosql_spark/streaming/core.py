@@ -167,6 +167,115 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
     return df.sparkSession.table(name)
 
 
+def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
+                           index_path: str,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle: int = 3,
+                           jaccard_threshold: float = 0.5,
+                           max_bucket: int = 1000,
+                           checkpoint: str | None = None,
+                           trigger_kwargs: dict | None = None):
+    """Continuous NEAR-duplicate-free corpus ingest — the streaming
+    form of ``datapipe.dedup.minhash_ingest_near_dups`` with the
+    index STORED instead of recomputed: the corpus's LSH band table
+    (corpus_id, band_id, band_hash) is written once per accepted
+    document and probed by every increment, which is the contract
+    that survives a 100 TB corpus (per batch, signature work is
+    O(batch), the probe is one equi-join against the bucketed index,
+    and the corpus text is read only for candidate ids — predicate
+    pushdown keeps that scan candidate-sized).
+
+    Maintains two epoch-partitioned parquet tables:
+    - ``corpus_path``: accepted documents (``epoch=<id>`` dirs, each
+      written with overwrite → foreachBatch replays are idempotent);
+    - ``index_path``: their band table, appended the same way.
+
+    Per micro-batch: (1) within-batch collapse — LSH pairs drop the
+    larger id of every verified pair (greedy min-id representative);
+    (2) batch bands probe the stored index, candidates verify with
+    exact shingle Jaccard against the candidate corpus rows only;
+    (3) survivors and their bands land in this epoch's partitions.
+
+    Returns the started StreamingQuery."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from octosql_spark.datapipe.dedup import (_band_table,
+                                              _word_shingles,
+                                              minhash_lsh_pairs,
+                                              minhash_signatures)
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        batch = (batch.select(id_col, text_col)
+                 .dropDuplicates([id_col]).persist())
+        clean0 = bb = None
+        try:
+            pairs = minhash_lsh_pairs(
+                batch, id_col, text_col, num_hashes, bands, shingle,
+                jaccard_threshold, max_bucket)
+            drop = (pairs.select(F.col("id_b").alias(id_col))
+                    .dropDuplicates([id_col]))
+            clean = batch.join(drop, id_col, "left_anti").persist()
+            clean0 = clean  # the persisted handle (clean is rebound)
+            bs = minhash_signatures(clean, text_col, num_hashes,
+                                    shingle).select(id_col, "minhash")
+            bb = (_band_table(bs, id_col, num_hashes, bands)
+                  .withColumnRenamed(id_col, "batch_id").persist())
+            if os.path.isdir(index_path) and any(
+                    e.startswith("epoch=")
+                    for e in os.listdir(index_path)):
+                idx = sess.read.parquet(index_path)
+                sizes = (idx.groupBy("band_id", "band_hash")
+                         .agg(F.count(F.lit(True)).alias("_n"))
+                         .filter(F.col("_n") <= max_bucket).drop("_n"))
+                cand = (bb.join(idx.join(sizes,
+                                         ["band_id", "band_hash"]),
+                                ["band_id", "band_hash"])
+                        .select("batch_id", "corpus_id")
+                        .dropDuplicates(["batch_id", "corpus_id"]))
+                cids = (cand.select(F.col("corpus_id").alias(id_col))
+                        .dropDuplicates([id_col]))
+                csh = (sess.read.parquet(corpus_path).join(cids, id_col)
+                       .select(F.col(id_col).alias("corpus_id"),
+                               _word_shingles(F.col(text_col), shingle)
+                               .alias("_sb")))
+                bsh = clean.select(
+                    F.col(id_col).alias("batch_id"),
+                    _word_shingles(F.col(text_col), shingle).alias("_sa"))
+                inter = F.size(F.array_intersect("_sa", "_sb"))
+                union = F.size(F.array_union("_sa", "_sb"))
+                matched = (cand.join(bsh, "batch_id")
+                           .join(csh, "corpus_id")
+                           .filter((inter / union) >= jaccard_threshold)
+                           .select(F.col("batch_id").alias(id_col))
+                           .dropDuplicates([id_col]))
+                clean = clean.join(matched, id_col, "left_anti")
+            clean.write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"epoch={epoch_id}"))
+            accepted = (sess.read.parquet(
+                os.path.join(corpus_path, f"epoch={epoch_id}"))
+                .select(F.col(id_col).alias("batch_id")))
+            (bb.join(accepted, "batch_id")
+             .withColumnRenamed("batch_id", "corpus_id")
+             .write.mode("overwrite").parquet(
+                 os.path.join(index_path, f"epoch={epoch_id}")))
+        finally:
+            # per-epoch frames must not accumulate over a long stream
+            for f in (batch, clean0, bb):
+                if f is not None:
+                    f.unpersist()
+
+    w = df.writeStream.foreachBatch(_apply)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    w = w.trigger(**(trigger_kwargs or {"availableNow": True}))
+    return w.start()
+
+
 def stream_dedup(df: DataFrame, keys: Sequence[str],
                  time_field: str | None = None,
                  max_diff: str | None = None) -> DataFrame:

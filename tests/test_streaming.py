@@ -196,6 +196,57 @@ def test_stream_ingest_upsert_partitioned(spark, tmp_path):
                    (3, "b", 30), (4, "b", 40)}
 
 
+def test_stream_near_dup_ingest(spark, tmp_path):
+    """Streaming near-dup-free ingest with a STORED band index: batch
+    1 seeds corpus+index; batch 2's exact copy and one-word-changed
+    near copy of seeded docs are rejected by the index probe, a fresh
+    doc is accepted, and a within-batch near-dup pair collapses to
+    its min id. The index grows only by accepted documents."""
+    import os
+    from pyspark.sql import functions as F
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "sun sets slowly behind the tall green hills of summer")
+    seeded2 = ("many colorful birds sing sweet morning songs in the "
+               "old oak tree near the quiet village river bank today")
+    fresh = ("completely different vocabulary about spacecraft "
+             "engines orbital mechanics and interplanetary travel "
+             "using ion propulsion systems for deep space missions")
+    near = base.replace("lazy", "sleepy")          # near dup of doc 1
+    twin_a = ("gentle ocean waves crash softly against the rocky "
+              "northern shore as seagulls circle high above the old "
+              "wooden fishing boats anchored in the misty harbor")
+    twin_b = twin_a.replace("misty", "foggy")      # near dup of twin_a
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    b1 = [{"doc_id": 1, "text": base}, {"doc_id": 2, "text": seeded2}]
+    b2 = [{"doc_id": 10, "text": base},    # exact copy → rejected
+          {"doc_id": 11, "text": near},    # near copy → rejected
+          {"doc_id": 12, "text": fresh},   # new → accepted
+          {"doc_id": 13, "text": twin_a},  # batch-internal pair:
+          {"doc_id": 14, "text": twin_b}]  # keep 13, drop 14
+    f1, f2 = src / "b1.json", src / "b2.json"
+    f1.write_text("\n".join(json.dumps(r) for r in b1))
+    f2.write_text("\n".join(json.dumps(r) for r in b2))
+    os.utime(f1, (1, 1)); os.utime(f2, (2, 2))
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    stream = (st.read_stream_file(spark, str(src), "json",
+                                  maxFilesPerTrigger=1)
+              .select(F.col("doc_id").cast("long"), "text"))
+    q = st.stream_near_dup_ingest(
+        stream, corpus, index,
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 12, 13}
+    idx_ids = {r.corpus_id for r in spark.read.parquet(index).collect()}
+    assert idx_ids == {1, 2, 12, 13}  # bands only for accepted docs
+
+
 def test_checkpoint_restart_resumes_not_reprocesses(spark, tmp_path):
     """Stop/restart durability: a restarted query with the same
     checkpoint processes ONLY files that arrived while it was down —
