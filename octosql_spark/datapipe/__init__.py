@@ -14,7 +14,7 @@ from octosql_spark.datapipe.dedup import (  # noqa: F401
 )
 from octosql_spark.datapipe.similarity import (  # noqa: F401
     cosine_topk_bruteforce, lsh_bucketed_topk, embedding_norms,
-    ivf_topk, pq_topk,
+    ivf_topk, pq_topk, build_ivf_index, ivf_index_topk,
 )
 from octosql_spark.datapipe.text import (  # noqa: F401
     token_count, quality_metrics, language_id, fingerprint,

@@ -127,6 +127,27 @@ def _hyperplane_signature(vec: Column, dim: int, n_planes: int,
     return sig
 
 
+def _nearest_centroid_ids(vec: Column, centers: list[list[float]],
+                          top: int) -> Column:
+    """Array of the ``top`` nearest centroid ids by squared L2.
+    Centroids enter as ONE nested literal indexed at runtime (same
+    codegen-size rationale as pq_topk: an unrolled per-centroid
+    expression forest makes whole-stage codegen compile time the
+    dominant cost)."""
+    centlit = F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
+                        for ctr in centers])
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+        lambda cid: F.struct(
+            F.aggregate(
+                F.zip_with(vec, F.element_at(centlit, cid + 1),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            cid.alias("cid")))
+    return F.transform(F.slice(F.array_sort(dists), 1, top),
+                       lambda s: s.getField("cid"))
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, n_probe: int = 4,
@@ -153,30 +174,96 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              .fit(train))
     centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
-    # centroids as ONE nested literal indexed at runtime (same
-    # codegen-size rationale as pq_topk: an unrolled per-centroid
-    # expression forest makes whole-stage codegen compile time the
-    # dominant cost)
-    centlit = F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
-                        for ctr in centers])
-
-    def _nearest(vec: Column, top: int) -> Column:
-        """Array of the `top` nearest centroid ids (squared L2)."""
-        dists = F.transform(
-            F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-            lambda cid: F.struct(
-                F.aggregate(
-                    F.zip_with(vec, F.element_at(centlit, cid + 1),
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, v: acc + v).alias("d"),
-                cid.alias("cid")))
-        return F.transform(F.slice(F.array_sort(dists), 1, top),
-                           lambda s: s.getField("cid"))
-
-    c_assigned = c.withColumn("_cell", _nearest(F.col("_cv"), 1)[0])
-    q_probed = (q.withColumn("_cell",
-                             F.explode(_nearest(F.col("_qv"), n_probe))))
+    c_assigned = c.withColumn(
+        "_cell", _nearest_centroid_ids(F.col("_cv"), centers, 1)[0])
+    q_probed = q.withColumn(
+        "_cell",
+        F.explode(_nearest_centroid_ids(F.col("_qv"), centers, n_probe)))
     cand = (c_assigned.join(F.broadcast(q_probed), "_cell")
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    scored = cand.withColumn("cosine", _dot(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def build_ivf_index(corpus: DataFrame, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_centroids: int = 16, train_cap: int = 100_000,
+                    seed: int = 42) -> None:
+    """Write the STORED serving form of ``ivf_topk``'s index:
+    ``<path>/centroids`` (n_centroids rows) and ``<path>/vectors``
+    partitioned by ``cell`` — built ONCE per corpus, so every query
+    batch afterwards reads only its probed cells' partition
+    directories (``ivf_index_topk`` pushes a static partition filter;
+    the scan reads ~n_probe/n_centroids of the data, which is the
+    100 TB serving contract the in-memory ``ivf_topk`` only
+    simulates). K-means trains on a ``train_cap``-bounded persisted
+    sample (quantizer quality saturates long before the corpus is
+    exhausted); assignment is ``model.transform`` — no centroid
+    literals in the write plan."""
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sess = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("vec"))
+    n = c.count()
+    frac = min(1.0, 1.2 * float(train_cap) / max(1, n))
+    tr = ((c if frac >= 1.0 else c.sample(False, frac, seed))
+          .select(array_to_vector("vec").alias("features"))
+          .coalesce(max(2, int(train_cap) // 25_000)).persist())
+    try:
+        model = KMeans(k=n_centroids, seed=seed,
+                       featuresCol="features").fit(tr)
+    finally:
+        tr.unpersist()
+    assigned = (model.transform(c.withColumn("features",
+                                             array_to_vector("vec")))
+                .select("vec_id", "vec",
+                        F.col("prediction").cast("int").alias("cell")))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors"))
+    ctr = sess.createDataFrame(
+        [(i, [float(x) for x in ctr])
+         for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>")
+    ctr.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids"))
+
+
+def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
+                   n_probe: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Top-k probe of a ``build_ivf_index`` index. The query batch's
+    probed cell set (≤ n_probe × |batch| ids, and queries are the
+    small side by definition) collects to the driver and pushes as a
+    STATIC ``cell IN (...)`` partition filter — the vectors scan
+    lists only those partition directories (``PartitionFilters`` in
+    the plan, asserted by tests), never the full corpus. Candidate
+    scoring is exact cosine; recall is the IVF n_probe bound.
+    Returns (query_id, neighbor_id, rank, cosine)."""
+    import os
+
+    centers = [list(map(float, r.centroid)) for r in
+               spark.read.parquet(os.path.join(path, "centroids"))
+               .orderBy("cell").collect()]  # bounded: n_centroids rows
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_qv"))
+    q_probed = q.withColumn(
+        "cell",
+        F.explode(_nearest_centroid_ids(F.col("_qv"), centers, n_probe)))
+    cells = sorted(r.cell for r in
+                   q_probed.select("cell").distinct().collect())
+    vecs = (spark.read.parquet(os.path.join(path, "vectors"))
+            .filter(F.col("cell").isin(cells))
+            .select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("vec").alias("_cv"), "cell"))
+    cand = (vecs.join(F.broadcast(q_probed), "cell")
             .filter(F.col("query_id") != F.col("neighbor_id")))
     scored = cand.withColumn("cosine", _dot(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),

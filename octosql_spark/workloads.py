@@ -3093,6 +3093,24 @@ def ann_ivf_topk_q(spark, sf_dir):
     return _ann_rank_cols(ivf_topk(q, c, k=3, n_centroids=3, n_probe=1))
 
 
+@workload("ann_ivf_index_topk", _ANN_VALUES_SQL)
+def ann_ivf_index_topk_q(spark, sf_dir):
+    """STORED IVF index (datapipe.similarity.build_ivf_index →
+    ivf_index_topk): centroids + cell-partitioned vectors written
+    once, probed with a static partition filter — the serving shape
+    where a query batch reads n_probe/n_centroids of the corpus from
+    disk. Planted-fixture pinned: the probed cell is the query's
+    cluster, so the output must equal the construction's exact
+    ranking (same oracle as ann_ivf_topk)."""
+    import tempfile
+
+    from octosql_spark.datapipe import build_ivf_index, ivf_index_topk
+    c, q = _planted_ann(spark)
+    path = tempfile.mkdtemp(prefix="octosql_ivf_idx_")
+    build_ivf_index(c, path, n_centroids=3)
+    return _ann_rank_cols(ivf_index_topk(spark, path, q, k=3, n_probe=1))
+
+
 @workload("ann_pq_topk", _ANN_VALUES_SQL, cartesian_ok=True)
 def ann_pq_topk_q(spark, sf_dir):
     """Product-quantization ANN with exact rerank (FAISS ADC serving

@@ -48,6 +48,34 @@ def test_simhash_near_dup(spark, docs):
     assert all(h <= 3 for h in got.values())
 
 
+def test_ivf_index_build_and_probe(spark, sf_dir, tmp_path):
+    """Stored IVF index: a full probe (n_probe = n_centroids) must
+    equal brute force exactly — train, partitioned write, centroid
+    store, probe join and exact scoring verified end-to-end — and a
+    partial probe must push a STATIC cell filter into the parquet
+    scan (PartitionFilters: only probed cell directories are read)."""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    idx = str(tmp_path / "ivf_idx")
+    dp.build_ivf_index(emb, idx, n_centroids=8)
+    q = emb.filter(F.col("vec_id") < 5)
+
+    full = dp.ivf_index_topk(spark, idx, q, k=5, n_probe=8)
+    brute = dp.cosine_topk_bruteforce(q, emb, k=5)
+    as_set = lambda df: {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+                         for r in df.collect()}
+    assert as_set(full) == as_set(brute)
+
+    partial = dp.ivf_index_topk(spark, idx, q, k=5, n_probe=2)
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # partial-probe hits carry EXACT cosines (subset of brute force)
+    bf = {(r.query_id, r.neighbor_id): r.cosine for r in brute.collect()}
+    for r in partial.collect():
+        if (r.query_id, r.neighbor_id) in bf:
+            assert r.cosine == bf[(r.query_id, r.neighbor_id)]
+
+
 def test_simhash_md5_60_mode(spark, docs):
     """The engine-neutral md5_60 token hash (used by the gate oracle)
     drives the same banding/verification topology: identical texts
