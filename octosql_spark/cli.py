@@ -380,21 +380,32 @@ def _try_exact_counting(args, res, spec):
     # the per-key state machine needs keys stable across re-evaluation
     nondet = re.compile(r"(?i)\b(rand|randn|random|uuid|shuffle|now|"
                         r"current_timestamp|current_date)\s*\(")
+    # every key must appear in the SELECT list: the exact operator
+    # always emits its keys, so an unselected key would change the
+    # output projection — fall back to the generic mapping there
+    sel_norms = {nrm for nrm, _a, _i in sel}
     keys, derived, key_norms = [], [], set()
     for kt in (k.strip() for k in re.split(_split, m.group("keys"))):
         bare = _bare(kt)
         if re.fullmatch(r"[\w.`\"]+", kt) and bare in src.columns:
+            if _norm(bare) not in sel_norms and _norm(kt) not in sel_norms:
+                return None
             keys.append(bare)
             key_norms.update((_norm(kt), _norm(bare)))
             continue
         if nondet.search(kt):
             return None
-        # expression key: the output column takes its SELECT alias
-        # (unaliased expressions keep their text as the column name)
-        name = next((alias or it for nrm, alias, it in sel
-                     if nrm == _norm(kt)), kt)
-        keys.append(name)
-        derived.append((name, kt))
+        # expression key: computed under a SAFE internal name (raw
+        # expression text as a column name would re-parse inside
+        # groupBy), renamed to its SELECT alias — or the expression
+        # text, like the reference names unaliased outputs — at the end
+        out_name = next((alias or it for nrm, alias, it in sel
+                         if nrm == _norm(kt)), None)
+        if out_name is None:
+            return None
+        safe = f"_gk{len(derived)}"
+        keys.append(safe)
+        derived.append((safe, out_name, kt))
         key_norms.add(_norm(kt))
 
     aggs = []
@@ -426,13 +437,15 @@ def _try_exact_counting(args, res, spec):
 
             from octosql_spark.sql.transpiler import (
                 rewrite_scalar_expression)
-            for name, expr_text in derived:
+            for safe, _out, expr_text in derived:
                 # rewrite_scalar_expression returns dialect-rewritten
                 # SQL text (filter accepts it; withColumn needs a col)
                 src = src.withColumn(
-                    name, F.expr(rewrite_scalar_expression(expr_text,
+                    safe, F.expr(rewrite_scalar_expression(expr_text,
                                                            src)))
         out = counting_trigger_aggregate(src, keys, aggs, n)
+        for safe, out_name, _expr in derived:
+            out = out.withColumnRenamed(safe, out_name)
     except Exception:
         return None
     # emitted_at_count stays in the output: it is the emission marker
