@@ -140,95 +140,29 @@ def _run(args, spark) -> int:
 
 
 def _csv_decode_error(path: str, sep: str) -> str | None:
-    """Replay Go's ``encoding/csv`` structural check driver-side
-    (datasources/csv/execution.go:57-60 wraps the decoder error as
-    ``couldn't decode message: %w``): the first record sets the
-    expected field count (FieldsPerRecord=0 semantics — the header is
-    simply the first record) and any later record with a different
-    count errors as ``record on line N: wrong number of fields`` with
-    N the 1-based physical line the record starts on. One sequential
-    driver-side read, error path only; multi-line (quoted-newline)
-    offenders and pure quoting errors return None — the generic
-    FAILFAST one-liner still prints for those."""
-    import csv as _csv
-    try:
-        with open(path, newline="", encoding="utf-8",
-                  errors="replace") as f:
-            rdr = _csv.reader(f, delimiter=sep)
-            expected = None
-            prev_line = 0
-            for rec in rdr:
-                start = prev_line + 1
-                prev_line = rdr.line_num
-                # Go's csv skips blank lines without counting a record
-                if not rec or (len(rec) == 1 and rec[0] == ""):
-                    continue
-                if expected is None:
-                    expected = len(rec)
-                elif len(rec) != expected and rdr.line_num == start:
-                    return ("couldn't decode message: record on line "
-                            f"{start}: wrong number of fields")
-                elif len(rec) != expected:
-                    return None  # quoted-newline record; Go's two-line
-                                 # error shape is not reproduced
-    except OSError:
-        return None
-    return None
-
-
-def _go_quote(s: str) -> str:
-    """Go's %q for the subset that appears in parse errors: printable
-    ASCII passes through, backslash/quote escape, control chars use
-    Go escapes."""
-    out = ['"']
-    for ch in s:
-        if ch == '"':
-            out.append('\\"')
-        elif ch == "\\":
-            out.append("\\\\")
-        elif ch == "\t":
-            out.append("\\t")
-        elif ch == "\r":
-            out.append("\\r")
-        elif ch == "\n":
-            out.append("\\n")
-        elif " " <= ch <= "~":
-            out.append(ch)
-        else:
-            out.append("\\u%04x" % ord(ch))
-    out.append('"')
-    return "".join(out)
+    """Replay Go's ``encoding/csv`` driver-side on the error path
+    (datasources/csv/execution.go:38-60): full go1.17+ decoder
+    emulation — field counts (``record on line N: wrong number of
+    fields``), bare quotes in non-quoted fields and invalid quoted
+    fields with Go's exact 1-based byte columns (``parse error on
+    line N, column M: …``), quoted-newline records with the
+    two-position ``record on line A; parse error on line B`` shape,
+    and the header-row wrapper. See goemu._GoCSVReader."""
+    from octosql_spark.goemu import gocsv_decode_error
+    return gocsv_decode_error(path, sep)
 
 
 def _json_line_detail(line: str) -> str | None:
     """The reference's inner error detail for a bad JSON line
-    (datasources/json/workers.go:56-62): a NON-OBJECT but valid value
-    is ``expected JSON object, got '<line>'``; an invalid value gets
-    fastjson's Parse error (``cannot parse JSON: <inner>; unparsed
-    tail: <tail>``) wrapped as ``couldn't parse json:``. Only the
-    high-confidence fastjson class is emulated — a value whose first
-    character routes to the number parser and immediately fails
-    (valyala/fastjson parser.go parseRawNumber, the error1 fixture
-    shape); anything else returns None and the line number alone
-    prints."""
-    import json as _json
-
-    try:
-        v = _json.loads(line)
-        if not isinstance(v, dict):
-            return f"expected JSON object, got '{line}'"
-        return None  # parses for us; don't guess at Spark's complaint
-    except ValueError:
-        pass
-    t = line.lstrip()  # fastjson skips leading whitespace only
-    c = t[:1]
-    if c and c not in '{["tfn-+.0123456789':
-        # fastjson startEndString: >80 chars → first 40 + "..." + last 40
-        tail = t if len(t) <= 80 else t[:40] + "..." + t[-40:]
-        return ("couldn't parse json: cannot parse JSON: "
-                f"cannot parse number: unexpected char: {_go_quote(c)}; "
-                f"unparsed tail: {_go_quote(tail)}")
-    return None
+    (datasources/json/workers.go:53-62): fastjson v1.6.3's full Parse
+    error surface (objects/arrays/strings/literals/numbers/depth with
+    the ``; unparsed tail: %q`` suffix) wrapped ``couldn't parse
+    json:``, or ``expected JSON object, got '<line>'`` for valid
+    non-objects; None when fastjson would accept the line (the
+    failure was elsewhere — print the line number alone rather than
+    guess). See goemu.fastjson_parse_error."""
+    from octosql_spark.goemu import json_line_detail
+    return json_line_detail(line)
 
 
 def _source_chain(query: str) -> str:
@@ -275,11 +209,14 @@ def _diagnose_parse_error(spark, res, ex, query: str = "") -> str | None:
     error so the generic one-liner still prints. The source-wrapper
     chain comes from ``_source_chain``."""
     import os
-    import re as _re
 
-    s = str(ex)
-    if not _re.search(r"(?i)malformed", s):
-        return None
+    # No gate on the exception text: FAILFAST failures surface under
+    # several wrappers (MALFORMED_RECORD_IN_PARSING, univocity's
+    # TextParsingException under a bare Py4J 'getResult' error, …).
+    # The probes are one sequential driver-side read per FILE-backed
+    # view on the ERROR path only, and return None on clean files —
+    # and the reference decodes every record, so any Go-rejected file
+    # errors there before whatever this exception was anyway.
     chain = _source_chain(query)
     from pyspark.sql import functions as F
 

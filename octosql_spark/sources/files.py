@@ -142,8 +142,14 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
     # ("couldn't decode message: record on line N: wrong number of
     # fields"), not a silently padded/NULLed row; the CLI error path
     # re-derives the reference's exact line number (cli.py)
+    # unescapedQuoteHandling=RAISE_ERROR: univocity's default silently
+    # tolerates bare quotes in non-quoted fields that Go's csv decoder
+    # rejects ('bare " in non-quoted field'); raising keeps strictness
+    # executor-side — no driver pre-scan — and the CLI error path then
+    # renders Go's exact ParseError (goemu._GoCSVReader)
     opts = {"header": str(header).lower(), "sep": sep,
             "mode": "FAILFAST",
+            "unescapedQuoteHandling": "RAISE_ERROR",
             "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"}
     if tail:
         return _stream_reader(spark, path, "csv", schema, **opts, **_)

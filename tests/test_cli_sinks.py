@@ -189,6 +189,37 @@ def test_csv_wrong_field_count_reference_error(spark, tmp_path, capsys):
             "wrong number of fields" in err)
 
 
+def test_csv_quote_error_reference_text(spark, tmp_path, capsys):
+    """Junk after a closing quote fails the scan (CSV reads set
+    unescapedQuoteHandling=RAISE_ERROR — executor-side strictness, no
+    driver pre-scan) and the CLI renders Go encoding/csv's exact
+    ParseError with its 1-based byte column (goemu._GoCSVReader)."""
+    from octosql_spark.cli import main
+    p = tmp_path / "quote.csv"
+    p.write_text('name,age\nalice,3\nbob,"ab"x\n')
+    rc = main([f"SELECT name, age FROM '{p}'", "--output", "csv"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert ("couldn't decode message: parse error on line 3, column 8: "
+            'extraneous or missing " in quoted-field' in err)
+
+
+def test_csv_multiline_quote_error_two_position_shape(spark, tmp_path,
+                                                      capsys):
+    """A stray quote on a later line of a quoted-newline record gets
+    Go's two-position rendering ('record on line A; parse error on
+    line B, column M')."""
+    from octosql_spark.cli import main
+    p = tmp_path / "ml.csv"
+    p.write_text('a,b\n1,"x\ny"z,3\n')
+    rc = main([f"SELECT a, b FROM '{p}'", "--output", "csv"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert ("couldn't decode message: record on line 2; parse error on "
+            'line 3, column 2: extraneous or missing " in quoted-field'
+            in err)
+
+
 def test_csv_too_few_fields_reference_error(spark, tmp_path, capsys):
     """The short-row shape (fewer fields than the header) errors with
     the same Go-csv text instead of NULL-padding the row — when the
