@@ -265,6 +265,37 @@ def _diagnose_parse_error(spark, res, ex, query: str = "") -> str | None:
     return None
 
 
+def _swap_tvf_call(query: str, name: str, view: str) -> str | None:
+    """Replace ``FROM name( … )`` in the raw query text with the
+    transpiler's materialized view name, so the exact-counting shape
+    match sees a plain relation. Paren matching is quote-aware (the
+    call body may contain ``TABLE(SELECT … FROM 'p.json?tail=true')``
+    with parens inside string literals). None when the call isn't
+    found or is unbalanced."""
+    import re
+
+    m = re.search(rf"(?is)\bFROM\s+({name})\s*\(", query)
+    if not m:
+        return None
+    start = m.start(1)
+    j, depth, quote = m.end() - 1, 0, None
+    while j < len(query):
+        ch = query[j]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return query[:start] + view + query[j + 1:]
+        j += 1
+    return None
+
+
 def _try_exact_counting(args, res, spec):
     """Route any streaming SQL group-by matching the simple shape —
     ``SELECT keys, aggs FROM src [alias] [WHERE cond] GROUP BY keys
@@ -275,22 +306,40 @@ def _try_exact_counting(args, res, spec):
     the reference where the trigger counts records as they enter the
     group-by. Returns None when the query shape doesn't match — the
     caller falls back to the generic mapping (DEVIATIONS 6 then only
-    covers shapes the exact operator can't express: joins and window
-    TVFs under a counting trigger). DETERMINISTIC EXPRESSION keys
-    (``GROUP BY v % 2``, ``GROUP BY date_trunc('hour', ts)``) are
-    precomputed into columns through the dialect rewrites before the
-    stateful operator, so they fire exactly per record too."""
+    covers shapes the exact operator can't express: joins and
+    non-projection TVFs under a counting trigger). DETERMINISTIC
+    EXPRESSION keys (``GROUP BY v % 2``, ``GROUP BY date_trunc(
+    'hour', ts)``) are precomputed into columns through the dialect
+    rewrites before the stateful operator, so they fire exactly per
+    record too. ``FROM tumble(...)`` also routes exactly: tumble is a
+    pure per-record projection (adds window_start/window_end), so the
+    transpiler's materialized TVF view substitutes for the call text
+    and its window columns group like any other columns."""
     import re
 
     from octosql_spark.streaming.counting_trigger import (
         counting_trigger_aggregate)
 
+    query = args.query
+    tvf_views = [v for v, d in res.views.items() if d == "tumble"]
+    if tvf_views:
+        if len(tvf_views) != 1:
+            return None
+        query = _swap_tvf_call(query, "tumble", tvf_views[0])
+        if query is None:
+            return None
+        src_view = tvf_views[0]
+    elif len(res.views) == 1:
+        src_view = next(iter(res.views))
+    else:
+        return None
+
     m = re.match(
         r"(?is)^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+\S+"
         r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b)\w+)?\s+"      # optional alias
         r"(?:WHERE\s+(?P<where>.*?)\s+)?"
-        r"GROUP\s+BY\s+(?P<keys>.*?)\s+TRIGGER\b.*$", args.query)
-    if not m or len(res.views) != 1:
+        r"GROUP\s+BY\s+(?P<keys>.*?)\s+TRIGGER\b.*$", query)
+    if not m:
         return None
     n = int(re.search(r"(?i)COUNTING\s+(\d+)", spec).group(1))
 
@@ -302,7 +351,7 @@ def _try_exact_counting(args, res, spec):
         return re.sub(r"\s+", " ", t.strip().lower())
 
     spark = res.df.sparkSession
-    src = spark.table(next(iter(res.views)))
+    src = spark.table(src_view)
     if not src.isStreaming:
         return None
 

@@ -309,6 +309,36 @@ def test_trigger_counting_exact_with_where_and_alias(spark, tmp_path,
     assert "'y'" not in out
 
 
+def test_trigger_counting_exact_over_tumble(spark, tmp_path, capsys):
+    """DEVIATIONS 6 residual closed for window TVFs that are pure
+    projections: ``FROM tumble(...) GROUP BY window_start TRIGGER
+    COUNTING n`` routes to the exact per-key operator (tumble adds
+    window columns per record — triggers.go:17-87 counting semantics
+    are unaffected), so emissions fire at every n-th record per
+    WINDOW, not per micro-batch."""
+    d = tmp_path / "cntt"
+    d.mkdir()
+    # window 00:00-00:01 has 3 records → emission at 2 only;
+    # window 00:01-00:02 has 2 records → emission at 2
+    rows = ['{"k": "a", "ts": "2024-01-01T00:00:%02d"}' % s
+            for s in (5, 15, 25)] + \
+           ['{"k": "b", "ts": "2024-01-01T00:01:%02d"}' % s
+            for s in (10, 20)]
+    (d / "a.json").write_text("\n".join(rows) + "\n")
+    rc = main(["SELECT window_start, COUNT(*) AS n FROM "
+               f"tumble(source => TABLE(SELECT * FROM '{d}/*.json?tail=true'), "
+               "window_length => INTERVAL 1 MINUTE, "
+               "time_field => DESCRIPTOR(ts)) "
+               "GROUP BY window_start TRIGGER COUNTING 2",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "2024-01-01T00:00:00Z, 2, 2 |}" in out
+    assert "2024-01-01T00:01:00Z, 2, 2 |}" in out
+    # the 3rd record of window 0 never fires (exact, not per-batch)
+    assert ", 3, " not in out
+
+
 def test_trigger_counting_expression_key(spark, tmp_path, capsys):
     """DEVIATIONS 6 residual closed for expression keys: a
     deterministic GROUP BY expression (here v % 2) is precomputed
