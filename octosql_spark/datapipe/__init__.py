@@ -21,6 +21,7 @@ from octosql_spark.datapipe.text import (  # noqa: F401
     redact_pii, tf_idf_top_terms, unigram_logprob, bigram_logprob,
     bm25_scores,
     hashed_linear_score, char_entropy, dsir_importance, dsir_select,
+    heavy_hitters,
 )
 from octosql_spark.datapipe.cluster import (  # noqa: F401
     connected_components, dedup_clusters, semantic_dedup,

@@ -517,3 +517,76 @@ def vocab_oov_rate(docs: DataFrame, vocab_size: int = 100,
             .select(id_col, "n_tokens",
                     F.round(F.coalesce(F.col("_oov"), F.lit(0))
                             / F.col("n_tokens"), 6).alias("oov_rate")))
+
+
+def heavy_hitters(df: DataFrame, item_col: str,
+                  min_frac: float = 0.001,
+                  count_col: str = "n") -> DataFrame:
+    """EXACT frequent-item mining with BOUNDED state — the 100 TB
+    alternative to ``GROUP BY item`` over a vocabulary that doesn't
+    fit anywhere: find every item whose frequency exceeds
+    ``min_frac`` of all rows, with exact counts.
+
+    Two passes (the classical 2-pass exact heavy hitters):
+
+    1. Per-partition Misra-Gries summaries with ``c = ceil(1/
+       min_frac)`` counters, built batch-vectorized inside
+       ``mapInPandas`` (value_counts per Arrow batch, then the
+       mergeable-summaries cap: subtract the (c+1)-th largest count,
+       drop non-positives — Agarwal/Cormode et al., "Mergeable
+       Summaries", PODS'12 §3: error stays ≤ n_p/(c+1) under
+       arbitrary merges). Any item with global frequency >
+       n·min_frac must exceed its local bound in at least one
+       partition (pigeonhole over Σ n_p/(c+1) = n/(c+1) < n·min_frac)
+       — so the candidate union is a SUPERSET of the true answer.
+    2. Exact recount of candidates only: broadcast the candidate set,
+       LEFT SEMI join, one map-side-combined count, filter by the
+       exact threshold. False candidates die here, so the output is
+       exactly ``{item: count(item) > n·min_frac}``.
+
+    The only driver materialization is the candidate summaries —
+    ≤ (c+1)·partitions tiny rows (the same bounded-pull class as
+    lookup_join's stats gate). The corpus is scanned twice but never
+    shuffled on the raw item — the single wide op is the count over
+    the candidate-filtered (tiny-fraction) stream.
+    """
+    import math
+
+    import pandas as pd
+
+    c = int(math.ceil(1.0 / min_frac))
+    item_t = df.schema[item_col].dataType.simpleString()
+
+    def _mg(batches):
+        s = pd.Series(dtype="int64")
+        n_part = 0
+        for pdf in batches:
+            col = pdf[item_col].dropna()
+            n_part += len(col)
+            s = s.add(col.value_counts(), fill_value=0)
+            if len(s) > c:
+                t = s.nlargest(c + 1).iloc[-1]
+                s = s - t
+                s = s[s > 0]
+        out = pd.DataFrame({item_col: s.index.astype(object),
+                            "_pn": [None] * len(s)})
+        out = pd.concat([out, pd.DataFrame({item_col: [None],
+                                            "_pn": [n_part]})])
+        yield out
+
+    summaries = (df.select(item_col)
+                 .mapInPandas(_mg, schema=f"{item_col} {item_t}, _pn long")
+                 .collect())
+    n = sum(r["_pn"] for r in summaries if r["_pn"] is not None)
+    items = sorted({r[item_col] for r in summaries
+                    if r[item_col] is not None})
+    if not items or n == 0:
+        return (df.select(item_col).limit(0)
+                .withColumn(count_col, F.lit(0).cast("long")))
+    spark = df.sparkSession
+    cand = spark.createDataFrame([(i,) for i in items],
+                                 f"{item_col} {item_t}")
+    return (df.join(F.broadcast(cand), item_col, "left_semi")
+            .groupBy(item_col)
+            .agg(F.count(F.lit(1)).alias(count_col))
+            .filter(F.col(count_col) > F.lit(float(n) * min_frac)))

@@ -3740,6 +3740,30 @@ def corpus_top_ngrams_q(spark, sf_dir):
             .orderBy(F.col("n").desc(), "gram").limit(25))
 
 
+@workload("text_heavy_hitters", """
+WITH g AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+           FROM documents),
+w AS (SELECT word FROM g WHERE word <> '')
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY word
+HAVING COUNT(*) > 0.034 * (SELECT COUNT(*) FROM w)
+ORDER BY word
+""")
+def text_heavy_hitters_q(spark, sf_dir):
+    """Exact corpus heavy hitters (frequency > 3.4%) through the
+    bounded-state 2-pass operator (datapipe.heavy_hitters: per-
+    partition Misra-Gries candidates → exact recount of the tiny
+    candidate set) — never a full-vocabulary shuffle, unlike the
+    plain GROUP BY the oracle runs. Output is provably exact, so the
+    plain-SQL oracle matches value-for-value."""
+    from octosql_spark.datapipe import heavy_hitters
+    d = _t(spark, sf_dir, "documents")
+    words = (d.select(F.explode(
+        F.split(F.lower(F.col("text")), r"[^a-z]+")).alias("word"))
+        .filter(F.col("word") != ""))
+    return heavy_hitters(words, "word", min_frac=0.034).orderBy("word")
+
+
 @workload("asof_join_events", """
 WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'

@@ -1218,3 +1218,34 @@ def test_budget_select_invariants(spark):
     # no single-task global window: the cumsum runs per range partition
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """The bounded-state 2-pass operator returns EXACTLY the items
+    with frequency > min_frac, with exact counts — verified against
+    a brute-force GROUP BY on a skewed multi-partition input where
+    the Misra-Gries capacity (c=10) is far below the vocabulary
+    (100+2 items), so summaries really compress and merge."""
+    import pyspark.sql.functions as F
+    rows = (["hot"] * 400 + ["warm"] * 200
+            + [f"cold{i}" for i in range(100) for _ in range(4)])
+    df = spark.createDataFrame([(w,) for w in rows], "item string") \
+              .repartition(8)
+    out = {(r.item, r.n) for r in
+           dp.heavy_hitters(df, "item", min_frac=0.1).collect()}
+    # n=1000: threshold 100 → hot(400) and warm(200) only; every
+    # cold item has 4 ≪ 100
+    assert out == {("hot", 400), ("warm", 200)}
+    # brute force agreement on a second threshold (0.003 → >3 → all
+    # items qualify: capture guarantee must not lose borderline items)
+    out2 = {(r.item, r.n) for r in
+            dp.heavy_hitters(df, "item", min_frac=0.003).collect()}
+    brute = {(r.item, r.n) for r in
+             df.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") > 3.0).collect()}
+    assert out2 == brute
+
+
+def test_heavy_hitters_empty_and_null(spark):
+    df = spark.createDataFrame([(None,), (None,)], "item string")
+    assert dp.heavy_hitters(df, "item", min_frac=0.5).count() == 0
