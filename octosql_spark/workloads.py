@@ -1585,16 +1585,51 @@ def lang_stats_q(spark, sf_dir):
                  F.round(F.avg("n_chars"), 4).alias("avg_chars")))
 
 
-@workload("langid_heuristic", None)
+@workload("langid_heuristic", r"""
+WITH w AS (
+  SELECT doc_id, lang, text,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        x -> lower(x)) AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    len(list_filter(ws, x -> list_contains(
+      ['the','and','of','to','in','is','that','it','was','for'], x))) AS h_en,
+    len(list_filter(ws, x -> list_contains(
+      ['le','la','les','de','et','un','une','est','que','pour'], x))) AS h_fr,
+    len(list_filter(ws, x -> list_contains(
+      ['el','la','los','de','y','un','una','es','que','para'], x))) AS h_es,
+    len(list_filter(ws, x -> list_contains(
+      ['der','die','das','und','ist','ein','eine','nicht','von','zu'], x))) AS h_de,
+    regexp_matches(text, '[一-鿿]') AS han
+  FROM w
+)
+SELECT doc_id, lang,
+  CASE WHEN han THEN 'zh'
+       WHEN greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+       ELSE split_part(greatest(
+         printf('%08d|%s', h_en, 'en'),
+         printf('%08d|%s', h_fr, 'fr'),
+         printf('%08d|%s', h_es, 'es'),
+         printf('%08d|%s', h_de, 'de')), '|', 2)
+  END AS lang_pred
+FROM s ORDER BY doc_id
+""")
 def langid_heuristic_q(spark, sf_dir):
-    """Stopword-vote language ID (datapipe.text.language_id) — not
-    SQL-expressible concisely; rows-only check. Output includes the
-    corpus label for eyeballing accuracy."""
+    """Stopword-vote language ID (datapipe.text.language_id), now
+    VALUE-ORACLED: the DuckDB replica mirrors the heuristic exactly —
+    per-language stopword hit counts, argmax with Spark's
+    struct-array-max tie semantics (highest hits, then
+    lexicographically greatest language code, reproduced via
+    zero-padded printf + greatest), Han shortcut, 'und' on zero
+    votes. Output includes the corpus label for accuracy eyeballing."""
     from octosql_spark.datapipe import language_id
     from pyspark.sql import functions as F
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", "lang",
-                    language_id(F.col("text")).alias("lang_pred"))
+                    language_id(F.col("text")).alias("lang_pred")) \
+            .orderBy("doc_id")
 
 
 @workload("dedup_minhash_lsh", r"""
@@ -2345,15 +2380,41 @@ def curate_pack_bins_planted_q(spark, sf_dir):
     return pack_bins_bfd(docs, max_tokens=512)
 
 
-@workload("curate_pack_bins", None)
+@workload("curate_pack_bins", r"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END)
+            AS BIGINT) AS total_tokens,
+       TRUE AS capacity_ok, TRUE AS halffull_ok
+FROM documents GROUP BY source ORDER BY source
+""")
 def curate_pack_bins_q(spark, sf_dir):
     """BFD bin packing over the real corpus (128-token bins per source
-    shard). No SQL oracle — bin packing is inherently sequential per
-    shard — so the gate records rows-only; exactness is pinned by the
-    planted VALUES entry and invariants tests."""
+    shard), INVARIANT-ORACLED: the packing itself is deterministic
+    (each shard group is sorted n_tokens-desc/id-asc before the BFD
+    loop) but not SQL-replayable, so the entry emits the per-shard
+    conservation and quality contract instead of raw assignments —
+    n_docs and total_tokens (value-compared against DuckDB: every doc
+    packed once, tokens conserved), every multi-doc bin within
+    capacity, and the classic best-fit guarantee that at most ONE bin
+    per shard is ≤ half full (a second half-empty bin could never
+    have opened — its first item would have fit the other). Raw
+    assignments stay demonstrated by curate_pack_bins_planted."""
     from octosql_spark.datapipe import pack_bins_bfd
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    return pack_bins_bfd(docs, max_tokens=128)
+    packed = pack_bins_bfd(docs, max_tokens=128)
+    bins = (packed.groupBy("source", "bin_id")
+            .agg(F.sum("n_tokens").alias("tot"),
+                 F.count(F.lit(1)).alias("nd")))
+    return (bins.groupBy("source").agg(
+        F.sum("nd").alias("n_docs"),
+        F.sum("tot").alias("total_tokens"),
+        (F.max(F.when(F.col("nd") >= 2, F.col("tot")).otherwise(0))
+         <= 128).alias("capacity_ok"),
+        (F.sum(F.when(F.col("tot") <= 64, 1).otherwise(0))
+         <= 1).alias("halffull_ok"))
+        .orderBy("source"))
 
 
 @workload("curate_chunk_documents", """
@@ -3999,21 +4060,50 @@ def pivot_counts_q(spark, sf_dir):
     """)
 
 
-@workload("approx_sketches", None)
+@workload("approx_sketches", """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_partkey,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_orderkey,
+       TRUE AS hll_partkey_ok, TRUE AS hll_orderkey_ok,
+       TRUE AS p50_ok, TRUE AS p99_ok
+FROM lineitem
+""")
 def approx_sketches_q(spark, sf_dir):
     """Mergeable sketch aggregates — the 100 TB cardinality/quantile
     story: approx_count_distinct (HyperLogLog++) and percentile_approx
     (positional sketch) build per-partition sketches that merge
     associatively map-side, replacing the exact-distinct shuffle whose
-    state grows with the key space. Sketch internals are
-    engine-specific → rows-only gate; tests/test_workloads.py bounds
-    the relative error against the exact answers."""
+    state grows with the key space.
+
+    INVARIANT ORACLE (raw sketch values are engine-specific, both
+    sketches are deterministic — hash-based, no randomness): emit the
+    EXACT distinct counts (value-compared against DuckDB) plus
+    booleans pinning each sketch to its error contract — HLL++ within
+    5× rsd of exact (5σ; 3σ is the documented bound), approx
+    percentiles inside the exact [p−0.01, p+0.01] quantile band
+    (accuracy=10000 guarantees rank error ≤ n/10000 ≪ 1%). A sketch
+    regression breaks the contract and fails the gate."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("nd_partkey"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("nd_orderkey"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"))
+    price = F.col("l_extendedprice")
+    a = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ad_pk"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ad_ok"),
+        F.countDistinct("l_partkey").alias("nd_partkey"),
+        F.countDistinct("l_orderkey").alias("nd_orderkey"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("ap99"),
+        F.percentile(price, F.lit(0.49)).alias("lo50"),
+        F.percentile(price, F.lit(0.51)).alias("hi50"),
+        F.percentile(price, F.lit(0.985)).alias("lo99"),
+        F.percentile(price, F.lit(0.995)).alias("hi99"))
+    rel = lambda ad, nd: F.abs(F.col(ad) - F.col(nd)) / F.col(nd)
+    return a.select(
+        "nd_partkey", "nd_orderkey",
+        (rel("ad_pk", "nd_partkey") <= 0.05).alias("hll_partkey_ok"),
+        (rel("ad_ok", "nd_orderkey") <= 0.05).alias("hll_orderkey_ok"),
+        ((F.col("ap50") >= F.col("lo50"))
+         & (F.col("ap50") <= F.col("hi50"))).alias("p50_ok"),
+        ((F.col("ap99") >= F.col("lo99"))
+         & (F.col("ap99") <= F.col("hi99"))).alias("p99_ok"))
 
 
 @workload("tuple_in_subquery", """
