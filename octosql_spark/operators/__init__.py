@@ -16,3 +16,6 @@ from octosql_spark.operators.setops import (  # noqa: F401
     union_all, union_distinct, intersect, except_all,
 )
 from octosql_spark.operators.unnest import unnest, explode_object  # noqa: F401
+from octosql_spark.operators.runtime_filter import (  # noqa: F401
+    build_key_bloom, bloom_might_contain, bloom_prefilter_join,
+)

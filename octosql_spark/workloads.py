@@ -5296,3 +5296,38 @@ def hof_lambda_functions_q(spark, sf_dir):
         F.array_contains(F.transform(ws, F.upper), "SPARK")
         .alias("mentions_spark"))
         .orderBy("doc_id"))
+
+
+# --------------------------------------------- runtime-filtered joins
+
+@workload("join_bloom_runtime_filter", """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+GROUP BY o_year
+ORDER BY o_year
+""")
+def join_bloom_runtime_filter_q(spark, sf_dir):
+    """Selective fact⋈dim with an EXPLICIT bloom runtime filter
+    (operators/runtime_filter.py): the filtered orders side (~10% of
+    orders) builds a constant-size (2^20-bit) bloom mask in one narrow
+    pass; lineitem probes it in whole-stage codegen BEFORE the join
+    shuffle, so ~90% of fact rows never cross the network. Result is
+    row-identical to the plain join (no false negatives) — the oracle
+    is the unfiltered SQL join. The single-process reference
+    (execution/nodes/stream_join.go:40-318) never pays this shuffle,
+    which is exactly why the distributed plan needs the filter."""
+    from octosql_spark.operators.runtime_filter import bloom_prefilter_join
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (_t(spark, sf_dir, "orders")
+           .filter((F.col("o_orderpriority") == "1-URGENT")
+                   & (F.col("o_totalprice") > 250000)))
+    j = bloom_prefilter_join(li, dim, "l_orderkey", "o_orderkey")
+    return (j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("o_year"))

@@ -1,0 +1,75 @@
+"""Bloom runtime pre-filter: no false negatives, bounded FP rate,
+join-result equality, codegen-only probe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from octosql_spark.operators.runtime_filter import (
+    bloom_might_contain, bloom_prefilter_join, build_key_bloom,
+)
+
+
+def test_no_false_negatives(spark):
+    keys = spark.range(0, 5000).select((F.col("id") * 7 + 3).alias("k"))
+    mask = build_key_bloom(keys, "k", m_bits=1 << 16, k=4)
+    hits = keys.filter(bloom_might_contain(mask, F.col("k"), k=4)).count()
+    assert hits == 5000
+
+
+def test_fp_rate_bounded(spark):
+    keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+    mask = build_key_bloom(keys, "k", m_bits=1 << 17, k=4)
+    # disjoint probe set: 20k keys that were never inserted
+    probes = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("k"))
+    fp = probes.filter(bloom_might_contain(mask, F.col("k"), k=4)).count()
+    # n*k/m = 2000*4/131072 ≈ 0.061 load → FP ≈ 0.061^4 ≈ 1.4e-5;
+    # allow two orders of slack
+    assert fp / 20_000 < 1e-3
+
+
+def test_join_equality_and_null_keys(spark):
+    fact = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)] + [(999, None)], "fid long, k long")
+    dim = spark.createDataFrame(
+        [(0, "a"), (3, "b"), (None, "n")], "dk long, tag string")
+    got = (bloom_prefilter_join(fact, dim, "k", "dk", m_bits=1 << 10)
+           .select("fid", "k", "dk", "tag"))
+    want = (fact.join(dim, fact["k"] == dim["dk"], "inner")
+            .select("fid", "k", "dk", "tag"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # semi flavor
+    got_s = bloom_prefilter_join(fact, dim, "k", "dk", how="semi",
+                                 m_bits=1 << 10)
+    want_s = fact.join(dim, fact["k"] == dim["dk"], "left_semi")
+    assert sorted(map(tuple, got_s.collect())) == \
+        sorted(map(tuple, want_s.collect()))
+
+
+def test_empty_dim_yields_empty(spark):
+    fact = spark.range(100).select(F.col("id").alias("k"))
+    dim = spark.range(0).select(F.col("id").alias("dk"))
+    assert bloom_prefilter_join(fact, dim, "k", "dk",
+                                m_bits=1 << 10).count() == 0
+
+
+def test_probe_is_codegen_only(spark):
+    """The probe must stay inside WholeStageCodegen with ONE binary
+    literal — no Python eval, no broadcast exchange for the mask."""
+    fact = spark.range(1000).select(F.col("id").alias("k"))
+    mask = build_key_bloom(fact, "k", m_bits=1 << 13, k=3)
+    plan = (fact.filter(bloom_might_contain(mask, F.col("k"), k=3))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "*(1) Filter" in plan  # the '*' marks WholeStageCodegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_outer_rejected(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    try:
+        bloom_prefilter_join(df, df, "k", "k", how="left")
+        assert False, "outer flavor must be rejected"
+    except ValueError:
+        pass
