@@ -254,3 +254,40 @@ def merge_rollup(spark: SparkSession, rollup_path: str,
     if os.path.exists(rollup_path):
         shutil.rmtree(rollup_path)
     os.replace(tmp, rollup_path)
+
+
+def scd2_build(changes: DataFrame, key_cols: Sequence[str],
+               attr_cols: Sequence[str], ts_col: str = "ts",
+               tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+    """Slowly-changing-dimension Type 2: fold a change feed into
+    versioned validity intervals per key.
+
+    Consecutive records whose tracked ``attr_cols`` are unchanged
+    (null-safe compare) collapse into one version; each surviving
+    version gets ``valid_from`` = its change timestamp, ``valid_to`` =
+    the next version's timestamp (NULL while current), a 1-based
+    ``version`` and an ``is_current`` flag — the standard warehouse
+    shape for as-of dimension lookups (pair with
+    ``operators.temporal.asof_join`` to resolve facts against it).
+
+    Scale shape: ONE hash shuffle on the key; both window passes
+    (change detection on the raw feed, interval stitching on the
+    surviving versions) share that partitioning, so Catalyst plans a
+    single Exchange with partition-local sorts. Ordering inside a key
+    is (``ts_col``, ``tiebreak_cols``) — pass a unique tiebreak for a
+    deterministic fold when timestamps collide.
+    """
+    from pyspark.sql.window import Window
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.row_number().over(w) == 1
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    versions = changes.withColumn("_chg", changed).filter("_chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (versions.select(
+        *key_cols, *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current")))

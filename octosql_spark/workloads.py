@@ -5331,3 +5331,38 @@ def join_bloom_runtime_filter_q(spark, sf_dir):
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .orderBy("o_year"))
+
+
+@workload("storage_scd2_intervals", """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), versions AS (
+  SELECT * FROM seq
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM versions
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+""")
+def storage_scd2_intervals_q(spark, sf_dir):
+    """SCD Type-2 dimension build (storage.scd2_build): the events
+    feed folded into per-user validity intervals of event_type —
+    consecutive unchanged records collapse, each version carries
+    [valid_from, valid_to) + is_current. One hash shuffle on user_id
+    serves both window passes. The reference has no CDC surface; this
+    is the warehouse-standard current/historical dimension shape its
+    users would build downstream."""
+    from octosql_spark.storage import scd2_build
+    e = _t(spark, sf_dir, "events")
+    out = scd2_build(e, ["user_id"], ["event_type"], ts_col="ts",
+                     tiebreak_cols=["event_id"])
+    return out.orderBy("user_id", "version")

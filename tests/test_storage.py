@@ -270,3 +270,39 @@ def test_upsert_partitioned_null_partition_value(spark, tmp_path):
     # pre-fix: (1, None, 10) vanished — the == filter never matched
     # the NULL partition so base row 1 wasn't carried into the rewrite
     assert got == {(1, None, 10), (2, None, 21), (3, "a", 30)}
+
+
+def test_scd2_build_hand_fixture(spark):
+    from octosql_spark.storage import scd2_build
+    rows = [
+        # key 1: a,a,b,b,a  -> versions a(t1..t3), b(t3..t5), a(t5..)
+        (1, "a", 1, 10), (1, "a", 2, 11), (1, "b", 3, 12),
+        (1, "b", 4, 13), (1, "a", 5, 14),
+        # key 2: single record, NULL attr -> one current version
+        (2, None, 1, 20),
+        # key 3: NULL -> NULL collapse (null-safe), then x
+        (3, None, 1, 30), (3, None, 2, 31), (3, "x", 3, 32),
+    ]
+    df = spark.createDataFrame(rows, "k int, attr string, ts int, id int")
+    out = scd2_build(df, ["k"], ["attr"], ts_col="ts",
+                     tiebreak_cols=["id"])
+    got = sorted(map(tuple, out.select(
+        "k", "attr", "valid_from", "valid_to", "version",
+        "is_current").collect()), key=lambda t: (t[0], t[4]))
+    assert got == [
+        (1, "a", 1, 3, 1, False), (1, "b", 3, 5, 2, False),
+        (1, "a", 5, None, 3, True),
+        (2, None, 1, None, 1, True),
+        (3, None, 1, 3, 1, False), (3, "x", 3, None, 2, True),
+    ]
+
+
+def test_scd2_single_shuffle(spark):
+    """Both window passes must share one hash Exchange on the key."""
+    from octosql_spark.storage import scd2_build
+    df = spark.createDataFrame(
+        [(1, "a", 1, 1)], "k int, attr string, ts int, id int")
+    plan = (scd2_build(df, ["k"], ["attr"], ts_col="ts",
+                       tiebreak_cols=["id"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
