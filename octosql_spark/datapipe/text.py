@@ -590,3 +590,58 @@ def heavy_hitters(df: DataFrame, item_col: str,
             .groupBy(item_col)
             .agg(F.count(F.lit(1)).alias(count_col))
             .filter(F.col(count_col) > F.lit(float(n) * min_frac)))
+
+
+def pmi_collocations(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_count: int = 5,
+                     top_k: int = 50) -> DataFrame:
+    """Top collocations (adjacent word pairs) by pointwise mutual
+    information: PMI = ln( p(xy) / (p(x)·p(y)) ) with p(xy) over the
+    bigram count and p(x) over the token count — the standard
+    phrase-mining signal for tokenizer vocab induction and boilerplate
+    detection.
+
+    Returns (w1, w2, c_xy, pmi) for pairs seen >= ``min_count`` times,
+    the ``top_k`` highest-PMI pairs first (ties by words).
+
+    Scale shape: bigrams are built WITHIN each row's token array (a
+    codegen'd transform — the text never self-joins); unigram and
+    bigram counts are two map-side-combined aggregates over
+    vocabulary-bounded keys; the two corpus totals ride along as
+    1-row broadcasts. Ordering compares the exact IEEE ratio (integer
+    counts < 2^53 → one correctly-rounded division chain, identical
+    across engines) so ranking is engine-stable; ln is only applied
+    to the emitted, rounded score.
+    """
+    ws = _lower_words(F.col(text_col))
+    toks = df.select(F.explode(ws).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_w = uni.agg(F.sum("c").cast("long").alias("n_w"))
+    bg_arr = F.when(
+        F.size(ws) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.concat(F.element_at(ws, i), F.lit(" "),
+                                       F.element_at(ws, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    bgc = (df.select(F.explode(bg_arr).alias("bg"))
+           .groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy")))
+    n_bg = bgc.agg(F.sum("c_xy").cast("long").alias("n_bg"))
+    cand = (bgc.filter(F.col("c_xy") >= min_count)
+            .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
+                                           F.lit(1)))
+            .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "),
+                                           F.lit(2)))
+            .join(uni.select(F.col("w").alias("w1"),
+                             F.col("c").alias("c_x")), "w1")
+            .join(uni.select(F.col("w").alias("w2"),
+                             F.col("c").alias("c_y")), "w2")
+            .crossJoin(F.broadcast(n_w))
+            .crossJoin(F.broadcast(n_bg)))
+    ratio = ((F.col("c_xy").cast("double") / F.col("n_bg"))
+             / ((F.col("c_x").cast("double") / F.col("n_w"))
+                * (F.col("c_y").cast("double") / F.col("n_w"))))
+    return (cand.withColumn("_r", ratio)
+            .orderBy(F.col("_r").desc(), "w1", "w2")
+            .limit(top_k)
+            .select("w1", "w2", F.col("c_xy").cast("long").alias("c_xy"),
+                    F.round(F.log("_r"), 6).alias("pmi")))

@@ -5366,3 +5366,44 @@ def storage_scd2_intervals_q(spark, sf_dir):
     out = scd2_build(e, ["user_id"], ["event_type"], ts_col="ts",
                      tiebreak_cols=["event_id"])
     return out.orderBy("user_id", "version")
+
+
+@workload("text_pmi_collocations", """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(ws) AS w FROM toks) t
+  GROUP BY w
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_w FROM uni),
+bgs AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM toks WHERE len(ws) >= 2
+), bgc AS (SELECT bg, COUNT(*) AS c_xy FROM bgs GROUP BY bg),
+btot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bg FROM bgc)
+SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+       CAST(c_xy AS BIGINT) AS c_xy,
+       ROUND(LN((c_xy::DOUBLE / n_bg)
+                / ((u1.c::DOUBLE / n_w) * (u2.c::DOUBLE / n_w))), 6)
+         AS pmi
+FROM bgc, tot, btot
+JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
+JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
+WHERE c_xy >= 5
+ORDER BY (c_xy::DOUBLE / n_bg)
+         / ((u1.c::DOUBLE / n_w) * (u2.c::DOUBLE / n_w)) DESC, w1, w2
+LIMIT 50
+""", cartesian_ok=True)
+def text_pmi_collocations_q(spark, sf_dir):
+    """Collocation mining by PMI (datapipe.text.pmi_collocations):
+    top adjacent word pairs whose joint frequency beats independence.
+    Bigrams form inside each row's token array (no self-join); counts
+    are vocabulary-bounded aggregates; corpus totals are 1-row scalar
+    broadcasts (the allowlisted scalar-cartesian plan). Ranking
+    compares the exact IEEE count ratio, so Spark and DuckDB agree
+    bit-for-bit on order before ln/rounding is ever applied."""
+    from octosql_spark.datapipe.text import pmi_collocations
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_collocations(d, min_count=5, top_k=50)

@@ -1249,3 +1249,24 @@ def test_heavy_hitters_exact_vs_bruteforce(spark):
 def test_heavy_hitters_empty_and_null(spark):
     df = spark.createDataFrame([(None,), (None,)], "item string")
     assert dp.heavy_hitters(df, "item", min_frac=0.5).count() == 0
+
+
+def test_pmi_collocations_hand_fixture(spark):
+    import math
+    from octosql_spark.datapipe.text import pmi_collocations
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): (r["c_xy"], r["pmi"])
+           for r in pmi_collocations(docs, min_count=1,
+                                     top_k=10).collect()}
+    # tokens: a*3 b*3 c*1 x*1 (N_w=8); bigrams: "a b"*3 "b a" "b c"
+    # (N_bg=5); single-token doc contributes no bigram
+    assert set(out) == {("a", "b"), ("b", "a"), ("b", "c")}
+    def pmi(cxy, cx, cy):
+        return round(math.log((cxy / 5) / ((cx / 8) * (cy / 8))), 6)
+    assert out[("a", "b")] == (3, pmi(3, 3, 3))
+    assert out[("b", "c")] == (1, pmi(1, 3, 1))
+    # the pair of two frequent words scores lowest
+    assert out[("b", "a")] == (1, pmi(1, 3, 3))
+    assert out[("b", "a")][1] < out[("a", "b")][1]
