@@ -291,3 +291,55 @@ def scd2_build(changes: DataFrame, key_cols: Sequence[str],
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.row_number().over(w2).alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current")))
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str],
+               bits: int = 16, out_col: str = "zvalue") -> DataFrame:
+    """Morton (Z-order) clustering key over 2+ integer columns.
+
+    Each column is affine-quantized to ``bits`` bits with EXACT
+    integer arithmetic — ``(x - min) * (2^bits - 1) div span`` — and
+    the quantized values' bits are interleaved (column i contributes
+    bit b at position ``b*len(cols)+i``). Rows close in z-value are
+    close in EVERY key dimension, so writing files sorted by z-value
+    gives each file a tight bounding box in all the columns at once;
+    parquet min/max stats then prune scans filtered on ANY of them —
+    multi-dimensional data skipping with one sort, where a plain sort
+    only clusters its leading column. This is the standing layout
+    trick for 100 TB tables queried on several independent keys.
+
+    The min/max per column is ONE driver-collected row; the key
+    itself is a pure codegen'd integer expression (unrolled static
+    shifts — no UDF, no float anywhere, reproducible across engines).
+    """
+    if len(cols) * bits > 63:
+        raise ValueError("len(cols) * bits must fit in a signed long")
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    n = len(cols)
+    mval = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn = stats[f"mn_{i}"]
+        span = max(stats[f"mx_{i}"] - mn, 1)
+        q = F.expr(f"((cast({c} as bigint) - {mn}) * {mval}) div {span}")
+        for b in range(bits):
+            z = z + (F.shiftright(q, b).bitwiseAND(F.lit(1)).cast("long")
+                     * F.lit(1 << (b * n + i)))
+    return df.withColumn(out_col, z)
+
+
+def zorder_write(df: DataFrame, path: str, cols: Sequence[str],
+                 bits: int = 16, n_files: int = 8) -> None:
+    """Persist ``df`` laid out by z-value: range-partition on the
+    Morton key (balanced output files) and sort within each partition
+    so every file covers a tight multi-column bounding box. One
+    shuffle + local sort; the key column itself is dropped from the
+    written schema (it is reconstructible)."""
+    keyed = zorder_key(df, cols, bits=bits)
+    (keyed.repartitionByRange(n_files, "zvalue")
+     .sortWithinPartitions("zvalue")
+     .drop("zvalue")
+     .write.mode("overwrite").parquet(path))

@@ -5407,3 +5407,34 @@ def text_pmi_collocations_q(spark, sf_dir):
     from octosql_spark.datapipe.text import pmi_collocations
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pmi_collocations(d, min_count=5, top_k=50)
+
+
+@workload("storage_zorder_key", """
+WITH stats AS (
+  SELECT MIN(l_partkey) AS mn1, MAX(l_partkey) AS mx1,
+         MIN(l_suppkey) AS mn2, MAX(l_suppkey) AS mx2
+  FROM lineitem
+), q AS (
+  SELECT l_orderkey, l_linenumber,
+         ((l_partkey - mn1) * 65535) // GREATEST(mx1 - mn1, 1) AS q1,
+         ((l_suppkey - mn2) * 65535) // GREATEST(mx2 - mn2, 1) AS q2
+  FROM lineitem, stats
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(list_sum(list_transform(range(0, 16), b ->
+              ((q1 >> b) & 1) * (1::BIGINT << (2*b))
+            + ((q2 >> b) & 1) * (1::BIGINT << (2*b + 1))))
+            AS BIGINT) AS zvalue
+FROM q
+""", cartesian_ok=True)
+def storage_zorder_key_q(spark, sf_dir):
+    """Morton/Z-order clustering key (storage.zorder_key) over
+    (l_partkey, l_suppkey): exact integer quantization + static bit
+    interleave, all codegen — the multi-dimensional file-skipping
+    layout key. The 1-row min/max stats ride as a scalar broadcast;
+    DuckDB replays the identical integer arithmetic, so every row's
+    key is value-oracled."""
+    from octosql_spark.storage import zorder_key
+    li = _t(spark, sf_dir, "lineitem")
+    return (zorder_key(li, ["l_partkey", "l_suppkey"], bits=16)
+            .select("l_orderkey", "l_linenumber", "zvalue"))

@@ -306,3 +306,59 @@ def test_scd2_single_shuffle(spark):
                        tiebreak_cols=["id"])
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_zorder_tightens_file_bounding_boxes(spark, tmp_path):
+    """Z-ordered files must cover far smaller (partkey × suppkey)
+    bounding boxes than a single-column sort — that area is exactly
+    what parquet min/max stats let a 2-predicate scan skip."""
+    import pyspark.sql.functions as F
+    from octosql_spark.catalog import load_table
+    from octosql_spark.storage import zorder_write
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+    nat, zord = str(tmp_path / "nat"), str(tmp_path / "zord")
+    # "natural": sorted by orderkey only (the ingest order layout)
+    (li.repartitionByRange(8, "l_orderkey")
+     .sortWithinPartitions("l_orderkey").write.parquet(nat))
+    zorder_write(li, zord, ["l_partkey", "l_suppkey"], n_files=8)
+
+    def mean_bbox_area(path):
+        df = spark.read.parquet(path)
+        spans = {c: df.agg(F.max(c) - F.min(c)).collect()[0][0] or 1
+                 for c in ("l_partkey", "l_suppkey")}
+        per_file = (df.groupBy(F.input_file_name())
+                    .agg(*[e for c in ("l_partkey", "l_suppkey")
+                           for e in (F.min(c).alias("mn_" + c),
+                                     F.max(c).alias("mx_" + c))])
+                    .collect())
+        areas = [((r["mx_l_partkey"] - r["mn_l_partkey"])
+                  / spans["l_partkey"])
+                 * ((r["mx_l_suppkey"] - r["mn_l_suppkey"])
+                    / spans["l_suppkey"])
+                 for r in per_file]
+        return sum(areas) / len(areas)
+
+    # row set is preserved
+    assert (spark.read.parquet(zord).count() == li.count())
+    nat_area, z_area = mean_bbox_area(nat), mean_bbox_area(zord)
+    # orderkey sort leaves ~full-span boxes (~1.0); z-order boxes
+    # shrink toward 1/n_files — demand at least a 2x tightening
+    assert z_area < nat_area / 2, (nat_area, z_area)
+
+
+def test_zorder_key_guards(spark):
+    from octosql_spark.storage import zorder_key
+    df = spark.range(4).select(F.col("id").alias("a"),
+                               F.col("id").alias("b"))
+    try:
+        zorder_key(df, ["a", "b"], bits=32)
+        assert False, "2*32 bits must be rejected"
+    except ValueError:
+        pass
+    # constant column (span 0) quantizes to 0 without dividing by zero
+    const = spark.range(4).select(F.col("id").alias("a"),
+                                  F.lit(7).alias("b"))
+    vals = [r["zvalue"] for r in
+            zorder_key(const, ["a", "b"], bits=4).collect()]
+    assert len(set(vals)) == 4
