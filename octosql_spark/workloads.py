@@ -5426,7 +5426,7 @@ SELECT l_orderkey, l_linenumber,
             + ((q2 >> b) & 1) * (1::BIGINT << (2*b + 1))))
             AS BIGINT) AS zvalue
 FROM q
-""", cartesian_ok=True)
+""")
 def storage_zorder_key_q(spark, sf_dir):
     """Morton/Z-order clustering key (storage.zorder_key) over
     (l_partkey, l_suppkey): exact integer quantization + static bit
@@ -5438,3 +5438,34 @@ def storage_zorder_key_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (zorder_key(li, ["l_partkey", "l_suppkey"], bits=16)
             .select("l_orderkey", "l_linenumber", "zvalue"))
+
+
+@workload("dedup_jaccard_complete_prefix", """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        for i in range(1, greatest(len(ws) - 2, 1) + 1)])
+           AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+""", cartesian_ok=True)
+def dedup_jaccard_complete_prefix_q(spark, sf_dir):
+    """AllPairs theorem-complete prefix filtering
+    (ngram_jaccard_pairs(complete=True)): every doc indexes its first
+    |s| − ceil(t·|s|) + 1 grams under the global rare-first order, so
+    recall at Jaccard ≥ 0.5 is GUARANTEED, not measured — the exact
+    quadratic all-pairs oracle must match row-for-row, at a threshold
+    where the heuristic top-k prefix would have no such guarantee.
+    Candidate buckets stay small because the prefix order puts rare
+    grams first; no bucket cap is applied (a cap would break the
+    theorem)."""
+    from octosql_spark.datapipe import ngram_jaccard_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, complete=True)

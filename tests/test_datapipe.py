@@ -1270,3 +1270,43 @@ def test_pmi_collocations_hand_fixture(spark):
     # the pair of two frequent words scores lowest
     assert out[("b", "a")] == (1, pmi(1, 3, 3))
     assert out[("b", "a")][1] < out[("a", "b")][1]
+
+
+def test_complete_prefix_guarantees_recall(spark):
+    """Adversarial corpus for prefix filtering: two near-dup docs
+    share ONLY corpus-common grams (their rare grams are disjoint), so
+    the heuristic top-k-rarest prefix misses the pair while the
+    AllPairs-complete prefix must find it — and complete=True must
+    equal the exact quadratic scan on the whole corpus."""
+    from pyspark.sql import functions as F
+    from octosql_spark.datapipe import ngram_jaccard_pairs
+    from octosql_spark.datapipe.dedup import _word_shingles
+
+    core = " ".join(f"core{i}" for i in range(30))
+    rows = [(i, core + " " + " ".join(f"u{i}x{j}" for j in range(6)))
+            for i in range(40)]
+    rows += [(100, core + " " + " ".join(f"ra{j}" for j in range(6))),
+             (101, core + " " + " ".join(f"rb{j}" for j in range(6)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # exact quadratic reference
+    sh = docs.select("doc_id", _word_shingles(F.col("text"), 3)
+                     .alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    j = (F.size(F.array_intersect("sa", "sb"))
+         / F.size(F.array_union("sa", "sb")))
+    exact = {(r["id_a"], r["id_b"]) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("j", j).filter(F.col("j") >= 0.5).collect()}
+    assert (100, 101) in exact
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                               complete=True).collect()}
+    assert got == exact
+
+    heur = {(r["id_a"], r["id_b"]) for r in
+            ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                prefix_k=5).collect()}
+    assert (100, 101) not in heur  # the construction defeats top-k
