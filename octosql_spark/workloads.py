@@ -5469,3 +5469,129 @@ def dedup_jaccard_complete_prefix_q(spark, sf_dir):
     from octosql_spark.datapipe import ngram_jaccard_pairs
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return ngram_jaccard_pairs(d, n=3, threshold=0.5, complete=True)
+
+
+@workload("profile_robust_stats", """
+WITH s AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.5)  AS med,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       ROUND(MAX(med), 4) AS med,
+       ROUND(quantile_cont(abs(l_extendedprice - med), 0.5), 4) AS mad,
+       ROUND(AVG(CASE WHEN l_extendedprice BETWEEN p05 AND p95
+                      THEN l_extendedprice END), 4) AS trimmed_mean
+FROM lineitem l JOIN s USING (l_returnflag)
+GROUP BY l.l_returnflag
+""")
+def profile_robust_stats_q(spark, sf_dir):
+    """Outlier-robust distribution profiling per group: exact median,
+    median absolute deviation, and 5–95% trimmed mean — the quality
+    metrics that survive the heavy-tailed length/score distributions
+    of web-scale corpora where mean/stddev are dominated by spikes.
+    Two narrow aggregation passes over the same hash partitioning;
+    the 3-row per-group quantile table broadcasts back via the
+    auto-gate. Both engines use the type-7 quantile and identical
+    IEEE |x−med|, so every value hash-matches."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"))
+    return (li.join(s, "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.max("med"), 4).alias("med"),
+                 F.round(F.expr(
+                     "percentile(abs(l_extendedprice - med), 0.5)"), 4)
+                 .alias("mad"),
+                 F.round(F.avg(F.when(
+                     F.col("l_extendedprice").between(F.col("p05"),
+                                                      F.col("p95")),
+                     F.col("l_extendedprice"))), 4)
+                 .alias("trimmed_mean")))
+
+
+@workload("profile_equidepth_histogram", """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.50) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT CASE WHEN o_totalprice < q1 THEN 0
+            WHEN o_totalprice < q2 THEN 1
+            WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders, b
+GROUP BY bucket
+ORDER BY bucket
+""", cartesian_ok=True)
+def profile_equidepth_histogram_q(spark, sf_dir):
+    """Equi-depth (quantile-boundary) histogram: quartile cut points
+    from the exact type-7 estimator, then one counting pass — the
+    balanced-bucket profile used for range-partition boundary picks
+    and skew diagnosis (each bucket ≈ 25% of rows by construction,
+    unlike fixed-width bins). The 1-row boundary aggregate rides as a
+    scalar broadcast; boundaries are identical IEEE doubles on both
+    engines so bucket membership is exact."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+              F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+              F.expr("percentile(o_totalprice, 0.75)").alias("q3"))
+    p = F.col("o_totalprice")
+    bucket = (F.when(p < F.col("q1"), 0)
+              .when(p < F.col("q2"), 1)
+              .when(p < F.col("q3"), 2).otherwise(3))
+    return (o.crossJoin(F.broadcast(b))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min(p).alias("lo"), F.max(p).alias("hi"))
+            .orderBy("bucket"))
+
+
+@workload("sketch_rollup_mergeable", """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS merge_equals_full,
+       TRUE AS est_within_5rsd
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def sketch_rollup_mergeable_q(spark, sf_dir):
+    """Incremental distinct-count maintenance via mergeable HLL
+    sketches (Datasketches hll_sketch_agg/hll_union_agg): per-week
+    partial sketches union into the same registers a full-table
+    sketch builds, so a stored rollup refreshes from increments
+    without rescanning history — the O(increment) twin of
+    storage.merge_rollup for COUNT DISTINCT, which (unlike sum/count)
+    has no mergeable exact partial. The entry emits the exact
+    distinct (value-oracled), plus two contract booleans the oracle
+    pins TRUE: merged-increments estimate == full-scan estimate
+    (register-max merge is order- and grouping-insensitive), and the
+    estimate lands within 5 relative-standard-deviations of exact
+    (lgConfigK=12 → rsd ≈ 1.6%)."""
+    e = _t(spark, sf_dir, "events")
+    weekly = (e.groupBy("event_type", F.weekofyear("ts").alias("wk"))
+              .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    merged = (weekly.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("est_inc")))
+    full = (e.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+                 .alias("est_full"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("n_exact")))
+    return (full.join(merged, "event_type")
+            .select("event_type", "n_exact",
+                    (F.col("est_inc") == F.col("est_full"))
+                    .alias("merge_equals_full"),
+                    (F.abs(F.col("est_inc") - F.col("n_exact"))
+                     / F.col("n_exact") <= 0.082)
+                    .alias("est_within_5rsd"))
+            .orderBy("event_type"))
