@@ -5595,3 +5595,57 @@ def sketch_rollup_mergeable_q(spark, sf_dir):
                      / F.col("n_exact") <= 0.082)
                     .alias("est_within_5rsd"))
             .orderBy("event_type"))
+
+
+@workload("scd2_asof_resolve", """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), versions AS (
+  SELECT * FROM seq
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+), dim AS (
+  SELECT user_id, event_type AS dim_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS INT)
+           AS version
+  FROM versions
+)
+SELECT e.event_id, e.user_id, d.version, d.dim_type
+FROM events e JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+ORDER BY e.event_id
+""")
+def scd2_asof_resolve_q(spark, sf_dir):
+    """Point-in-time dimension resolution: every fact row joined to
+    the SCD2 version whose [valid_from, valid_to) interval contains
+    its timestamp — the consuming half of storage.scd2_build and the
+    reason Type-2 history exists (late-arriving facts must see the
+    attribute AS OF their event time, not today's). Equi key
+    (user_id) + band predicate: Catalyst extracts the equi conjunct
+    for the shuffle and evaluates the interval filter inside the
+    sort-merge join, so the plan is a key-partitioned join, never a
+    cartesian. Every event lands in exactly one interval (the dim is
+    derived from the same feed), which the oracle verifies
+    row-for-row."""
+    from octosql_spark.storage import scd2_build
+    e = _t(spark, sf_dir, "events")
+    dim = (scd2_build(e, ["user_id"], ["event_type"], ts_col="ts",
+                      tiebreak_cols=["event_id"])
+           .select(F.col("user_id").alias("d_user"),
+                   F.col("event_type").alias("dim_type"),
+                   "valid_from", "valid_to", "version"))
+    j = e.join(dim, (F.col("user_id") == F.col("d_user"))
+               & (F.col("ts") >= F.col("valid_from"))
+               & (F.col("valid_to").isNull()
+                  | (F.col("ts") < F.col("valid_to"))))
+    return (j.select("event_id", "user_id", "version", "dim_type")
+            .orderBy("event_id"))
