@@ -5649,3 +5649,46 @@ def scd2_asof_resolve_q(spark, sf_dir):
                   | (F.col("ts") < F.col("valid_to"))))
     return (j.select("event_id", "user_id", "version", "dim_type")
             .orderBy("event_id"))
+
+
+@workload("events_pivot_unpivot", """
+WITH wide AS (
+  SELECT user_id,
+         CAST(COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+         CAST(COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+         CAST(COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+         CAST(COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, kind, n FROM (
+  SELECT user_id, 'click' AS kind, click AS n FROM wide UNION ALL
+  SELECT user_id, 'error', error FROM wide UNION ALL
+  SELECT user_id, 'purchase', purchase FROM wide UNION ALL
+  SELECT user_id, 'signup', signup FROM wide UNION ALL
+  SELECT user_id, 'view', view FROM wide
+) t WHERE n > 0
+ORDER BY user_id, kind
+""")
+def events_pivot_unpivot_q(spark, sf_dir):
+    """PIVOT → UNPIVOT round trip (beyond the reference's surface):
+    per-user event counts pivoted to one column per type with an
+    EXPLICIT value list (mandatory at scale — an implicit pivot runs
+    a distinct-scan job and breaks schema stability), then melted
+    back to long via ``unpivot``. The pivot is one hash aggregate
+    with map-side partials (5 conditional counts, no extra shuffle);
+    unpivot is a zero-shuffle generator. Zero counts dropped on both
+    sides so the round trip equals the plain long-format aggregate
+    the oracle computes."""
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = (e.groupBy("user_id")
+            .pivot("event_type", kinds)
+            .agg(F.count(F.lit(1))))
+    long = (wide.unpivot("user_id", kinds, "kind", "n_raw")
+            .withColumn("n", F.coalesce(F.col("n_raw"), F.lit(0))
+                        .cast("long"))
+            .filter(F.col("n") > 0)
+            .select("user_id", "kind", "n")
+            .orderBy("user_id", "kind"))
+    return long
