@@ -465,13 +465,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
       recall is a theorem, not a tuning knob, so the all-pairs oracle
       must match row-for-row. Costlier than ``prefix_k`` (the prefix
       is Θ((1−t)·|s|)) but still far below the quadratic scan, and
-      the rare-first order keeps the inverted buckets small."""
+      the rare-first order keeps the inverted buckets small.
+
+    Complete mode first COLLAPSES identical shingle sets
+    (sorted-array canonical form) to one representative and expands
+    the dup groups back after the pair phase: on a dup-heavy corpus
+    every inverted bucket would otherwise grow by the duplication
+    factor g and candidate pairs by g² — the 10x replica stress
+    (90% verbatim dups) ran minutes without the collapse and seconds
+    with it, while the emitted pair set is identical (dup-group
+    members pair at exactly 1.0)."""
     from pyspark.sql.window import Window
     sh = _word_shingles(F.col(text_col), n)
-    # persisted: the inverted index and both verification sides reuse
-    # the shingle arrays (3 branches — without the persist each one
-    # recomputes every shingle from the raw text)
-    with_sh = df.select(id_col, sh.alias("_sh")).persist()
+    raw = df.select(id_col, sh.alias("_sh"))
+    canon = None
+    if complete:
+        canon = (raw.groupBy(F.array_sort("_sh").alias("_sh"))
+                 .agg(F.min(id_col).alias(id_col),
+                      F.collect_list(id_col).alias("_ids"))
+                 .persist())
+        with_sh = canon.select(id_col, "_sh").persist()
+    else:
+        # persisted: the inverted index and both verification sides
+        # reuse the shingle arrays (3 branches — without the persist
+        # each one recomputes every shingle from the raw text)
+        with_sh = raw.persist()
     inv = with_sh.select(id_col, F.explode("_sh").alias("gram"))
     counts = inv.groupBy("gram").agg(F.count(F.lit(True)).alias("_gc"))
     ranked_all = (inv.join(counts, "gram")
@@ -501,9 +519,36 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
-    return (pairs.withColumn("jaccard", inter / union)
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    result = (pairs.withColumn("jaccard", inter / union)
+              .filter(F.col("jaccard") >= threshold)
+              .select("id_a", "id_b", "jaccard"))
+    if not complete:
+        return result
+    # expand representative pairs back to member pairs
+    members = canon.select(F.col(id_col).alias("_rep"),
+                           F.explode("_ids").alias("_m"))
+    cross = (result
+             .join(members.select(F.col("_rep").alias("id_a"),
+                                  F.col("_m").alias("_ma")), "id_a")
+             .join(members.select(F.col("_rep").alias("id_b"),
+                                  F.col("_m").alias("_mb")), "id_b")
+             .select(F.least("_ma", "_mb").alias("id_a"),
+                     F.greatest("_ma", "_mb").alias("id_b"),
+                     "jaccard"))
+    if threshold > 1.0:
+        return cross
+    ids = F.col("_ids")
+    within_arr = F.filter(
+        F.flatten(F.transform(
+            ids, lambda x: F.transform(
+                ids, lambda y: F.struct(x.alias("a"), y.alias("b"))))),
+        lambda p: p["a"] < p["b"])
+    within = (canon.filter(F.size("_ids") >= 2)
+              .select(F.explode(within_arr).alias("p"))
+              .select(F.col("p.a").alias("id_a"),
+                      F.col("p.b").alias("id_b"),
+                      F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(within)
 
 
 def _dup_span_frames(df: DataFrame, id_col: str, text_col: str,

@@ -613,9 +613,15 @@ def pmi_collocations(df: DataFrame, id_col: str = "doc_id",
     across engines) so ranking is engine-stable; ln is only applied
     to the emitted, rounded score.
     """
-    ws = _lower_words(F.col(text_col))
-    toks = df.select(F.explode(ws).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ws = F.col("_ws")
+    # one tokenization pass feeds the unigram AND bigram branches;
+    # the two count tables persist because each is read twice (its
+    # own 1-row total plus the candidate join) — without these, every
+    # scalar total re-tokenizes the whole corpus
+    with_ws = df.select(_lower_words(F.col(text_col)).alias("_ws")) \
+        .persist()
+    toks = with_ws.select(F.explode(ws).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
     n_w = uni.agg(F.sum("c").cast("long").alias("n_w"))
     bg_arr = F.when(
         F.size(ws) >= 2,
@@ -623,8 +629,9 @@ def pmi_collocations(df: DataFrame, id_col: str = "doc_id",
                     lambda i: F.concat(F.element_at(ws, i), F.lit(" "),
                                        F.element_at(ws, i + 1)))
     ).otherwise(F.array().cast("array<string>"))
-    bgc = (df.select(F.explode(bg_arr).alias("bg"))
-           .groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy")))
+    bgc = (with_ws.select(F.explode(bg_arr).alias("bg"))
+           .groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+           .persist())
     n_bg = bgc.agg(F.sum("c_xy").cast("long").alias("n_bg"))
     cand = (bgc.filter(F.col("c_xy") >= min_count)
             .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),

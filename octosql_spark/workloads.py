@@ -5692,3 +5692,66 @@ def events_pivot_unpivot_q(spark, sf_dir):
             .select("user_id", "kind", "n")
             .orderBy("user_id", "kind"))
     return long
+
+
+@workload("stats_bivariate", """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+       ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+       ROUND(var_pop(l_discount), 8) AS var_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+def stats_bivariate_q(spark, sf_dir):
+    """Bivariate statistics surface (beyond the reference's
+    count/sum/avg/min/max): Pearson correlation, sample covariance,
+    sample stddev and population variance per group — all single-pass
+    mergeable co-moment aggregates (map-side partials, one shuffle of
+    constant-size state per key). Rounding decimals leave ≥4 orders
+    of headroom over the engines' co-moment accumulation differences
+    at this scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+        .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+        .alias("covar_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_pop("l_discount"), 8).alias("var_disc"))
+        .orderBy("l_returnflag"))
+
+
+@workload("date_functions_mix", """
+SELECT o_orderkey,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow0,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30d,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01')
+            AS INT) AS days_to_1999
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+""")
+def date_functions_mix_q(spark, sf_dir):
+    """Calendar-function surface in one codegen'd projection:
+    month-end, end-of-month-clamped month arithmetic (both engines
+    clamp Jan 31 + 1 month to Feb's last day), quarter, day-of-week
+    (normalized to DuckDB's Sunday=0), day offsets and day diffs —
+    emitted as formatted strings so DATE vs TIMESTAMP representation
+    differences can't leak into the hash."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return (o.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.quarter(d).cast("int").alias("q"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow0"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30d"),
+        F.datediff(F.lit("1999-01-01"), d).cast("int")
+        .alias("days_to_1999"))
+        .orderBy("o_orderkey"))

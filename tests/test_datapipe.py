@@ -1310,3 +1310,32 @@ def test_complete_prefix_guarantees_recall(spark):
             ngram_jaccard_pairs(docs, n=3, threshold=0.5,
                                 prefix_k=5).collect()}
     assert (100, 101) not in heur  # the construction defeats top-k
+
+
+def test_complete_prefix_dup_collapse(spark):
+    """Verbatim duplicate groups: complete mode collapses identical
+    shingle sets before the pair phase and expands afterwards — the
+    output must still equal the exact quadratic scan (within-group
+    pairs at exactly 1.0, cross-group pairs verified once per
+    representative)."""
+    from pyspark.sql import functions as F
+    from octosql_spark.datapipe import ngram_jaccard_pairs
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"
+    rows = ([(i, base) for i in (1, 2, 3)]           # dup group of 3
+            + [(10, near), (11, near)]               # dup group of 2
+            + [(20, "totally different words here nothing shared x")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                               complete=True).collect()}
+    # within-group: (1,2),(1,3),(2,3) and (10,11) at exactly 1.0
+    for p in [(1, 2), (1, 3), (2, 3), (10, 11)]:
+        assert got[p] == 1.0
+    # cross-group base~near pairs all present with one shared value
+    cross = {p for p in got if p not in
+             {(1, 2), (1, 3), (2, 3), (10, 11)}}
+    assert cross == {(1, 10), (1, 11), (2, 10), (2, 11),
+                     (3, 10), (3, 11)}
+    vals = {got[p] for p in cross}
+    assert len(vals) == 1 and 0.5 <= vals.pop() < 1.0
