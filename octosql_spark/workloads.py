@@ -5755,3 +5755,61 @@ def date_functions_mix_q(spark, sf_dir):
         F.datediff(F.lit("1999-01-01"), d).cast("int")
         .alias("days_to_1999"))
         .orderBy("o_orderkey"))
+
+
+@workload("stats_linear_regression", """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 2)
+         AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+         AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+def stats_linear_regression_q(spark, sf_dir):
+    """OLS regression aggregates (price ~ quantity per flag):
+    slope/intercept/R²/count as single-pass mergeable co-moment
+    aggregates — the in-database regression surface both engines
+    implement over the same sufficient statistics. Map-side partials,
+    one shuffle of constant-size state per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4)
+        .alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2)
+        .alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6)
+        .alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long")
+        .alias("n_pairs"))
+        .orderBy("l_returnflag"))
+
+
+@workload("agg_bool_bitwise", """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000)   AS all_over_1k,
+       bool_or(o_totalprice > 400000)  AS any_over_400k,
+       CAST(bit_and(o_custkey) AS BIGINT) AS keys_and,
+       CAST(bit_or(o_orderkey % 256) AS BIGINT) AS low_bits_or,
+       CAST(bit_xor(o_orderkey) AS BIGINT) AS keys_xor
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def agg_bool_bitwise_q(spark, sf_dir):
+    """Boolean and bitwise aggregate surface: every/any folds and
+    bit_and/bit_or/bit_xor — commutative-associative integer folds
+    (order-insensitive, so exact cross-engine) used for flag rollups
+    and set-fingerprint checks. One map-side-combined pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.bit_and("o_custkey").cast("long").alias("keys_and"),
+        F.bit_or(F.col("o_orderkey") % 256).cast("long")
+        .alias("low_bits_or"),
+        F.bit_xor("o_orderkey").cast("long").alias("keys_xor"))
+        .orderBy("o_orderpriority"))
