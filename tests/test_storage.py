@@ -362,3 +362,39 @@ def test_zorder_key_guards(spark):
     vals = [r["zvalue"] for r in
             zorder_key(const, ["a", "b"], bits=4).collect()]
     assert len(set(vals)) == 4
+
+
+def test_scd2_build_matches_python_model(spark):
+    """Differential check on randomized feeds: scd2_build must equal a
+    direct Python fold (sort per key by (ts, id), emit on null-safe
+    attr change, stitch valid_to from the next emit)."""
+    import random
+    from collections import defaultdict
+    from octosql_spark.storage import scd2_build
+    rnd = random.Random(7)
+    for _ in range(3):
+        rows = [(rnd.randint(1, 5), rnd.choice(["a", "b", None]),
+                 rnd.randint(1, 20), i) for i in range(120)]
+        per = defaultdict(list)
+        for k, a, ts, i in rows:
+            per[k].append((ts, i, a))
+        want = []
+        for k, evs in per.items():
+            evs.sort(key=lambda t: (t[0], t[1]))
+            vers = []
+            for ts, i, a in evs:
+                if vers and a == vers[-1][1]:
+                    continue
+                vers.append((ts, a))
+            for idx, (ts, a) in enumerate(vers):
+                vt = vers[idx + 1][0] if idx + 1 < len(vers) else None
+                want.append((k, a, ts, vt, idx + 1, vt is None))
+        df = spark.createDataFrame(
+            rows, "k int, attr string, ts int, id int")
+        got = [tuple(r) for r in
+               scd2_build(df, ["k"], ["attr"], ts_col="ts",
+                          tiebreak_cols=["id"])
+               .select("k", "attr", "valid_from", "valid_to",
+                       "version", "is_current").collect()]
+        assert sorted(got, key=lambda t: (t[0], t[4])) == \
+            sorted(want, key=lambda t: (t[0], t[4]))
