@@ -5497,10 +5497,15 @@ def profile_robust_stats_q(spark, sf_dir):
     auto-gate. Both engines use the type-7 quantile and identical
     IEEE |x−med|, so every value hash-matches."""
     li = _t(spark, sf_dir, "lineitem")
-    s = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
-        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"))
+    # array-form percentile: ONE per-group sort for all three cut
+    # points instead of three independent percentile aggregates
+    s = (li.groupBy("l_returnflag")
+         .agg(F.expr("percentile(l_extendedprice, "
+                     "array(0.05, 0.5, 0.95))").alias("_qs"))
+         .select("l_returnflag",
+                 F.element_at("_qs", 2).alias("med"),
+                 F.element_at("_qs", 1).alias("p05"),
+                 F.element_at("_qs", 3).alias("p95")))
     return (li.join(s, "l_returnflag")
             .groupBy("l_returnflag")
             .agg(F.round(F.max("med"), 4).alias("med"),
