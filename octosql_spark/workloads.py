@@ -5818,3 +5818,35 @@ def agg_bool_bitwise_q(spark, sf_dir):
         .alias("low_bits_or"),
         F.bit_xor("o_orderkey").cast("long").alias("keys_xor"))
         .orderBy("o_orderpriority"))
+
+
+@workload("window_range_time_frame", """
+SELECT o_custkey, o_orderkey,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_30d,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS cents_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+""")
+def window_range_time_frame_q(spark, sf_dir):
+    """RANGE window frames over event time: each order's trailing
+    30-day per-customer order count and revenue — the value-based
+    frame (all peers within the time bound, unlike ROWS) behind
+    velocity/fraud features. Spark has no interval RANGE frame on
+    timestamps, so the frame is declared on epoch seconds with a
+    ±seconds bound — semantically identical. Sums run in exact
+    integer cents: per-row running float sums would be
+    frame-iteration-order dependent across engines, integers are
+    not."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.unix_timestamp("o_orderdate"))
+         .rangeBetween(-30 * 86400, 0))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (o.select(
+        "o_custkey", "o_orderkey",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_30d"),
+        F.sum(cents).over(w).cast("long").alias("cents_30d"))
+        .orderBy("o_custkey", "o_orderkey"))
