@@ -23,6 +23,16 @@ Shape:
 - **guarantee**: no false negatives (every built key probes true), so
   ``prefilter → exact join`` returns exactly the plain join's rows;
   false positives only waste shuffle on ~(n·k/m_bits)^k of the fact.
+
+Measured honestly (sf0.1, local[32], urgent-orders dim, shuffle join
+forced): the filter drops 89.9% of fact rows before the exchange, but
+the LOCAL A/B is a loss (median 0.30 s vs 0.13 s + 1.14 s one-time
+build) — an in-process shuffle moves no network bytes, so only the
+probe CPU shows. The operator exists for the cluster regime where
+shuffle bytes are the bottleneck: there the 10x row reduction is the
+win, and the build amortizes as one narrow pass. Use it when the dim
+predicate is selective AND the join genuinely shuffles; let the
+auto-broadcast gate handle small dims instead.
 """
 
 from __future__ import annotations
