@@ -156,8 +156,64 @@ def _dur_ratios() -> st.SearchStrategy:
                    f"(CAST({p[1]} AS DOUBLE) / 1000000000)"))
 
 
+def _floats(depth: int) -> st.SearchStrategy:
+    """Dialect Floats whose values are IEEE-identical across engines:
+    exact decimal literals, float(int)/int division, +/*/abs, and the
+    correctly-rounded sqrt — no transcendentals (libm log/exp may
+    differ in the last ulp between JVM and DuckDB)."""
+    atoms = st.one_of(
+        st.tuples(st.integers(0, 99), st.integers(1, 9)).map(
+            lambda p: (f"(float({p[0]}) / {p[1]})",
+                       f"(CAST({p[0]} AS DOUBLE) / {p[1]})")),
+        st.sampled_from([("2.5", "2.5"), ("0.125", "0.125"),
+                         ("7.0", "7.0")]),
+    )
+    if depth == 0:
+        return atoms
+    sub = _floats(depth - 1)
+    return st.one_of(
+        atoms,
+        st.tuples(sub, sub).map(
+            lambda p: (f"({p[0][0]} + {p[1][0]})",
+                       f"({p[0][1]} + {p[1][1]})")),
+        st.tuples(sub, sub).map(
+            lambda p: (f"({p[0][0]} * {p[1][0]})",
+                       f"({p[0][1]} * {p[1][1]})")),
+        sub.map(lambda s: (f"abs({s[0]})", f"abs({s[1]})")),
+        sub.map(lambda s: (f"sqrt(abs({s[0]}))",
+                           f"sqrt(abs({s[1]}))")),
+        _ints(depth - 1).map(
+            lambda i: (f"float({i[0]})", f"CAST({i[1]} AS DOUBLE)")),
+    )
+
+
+def _unix_times() -> st.SearchStrategy:
+    """parse_time with Go reference layouts → time_to_unix: the
+    layout translation (2006-01-02 15:04:05 → strptime directives)
+    and the UTC epoch math must agree exactly as BIGINT seconds."""
+    layouts = st.sampled_from([
+        ("2006-01-02", "%Y-%m-%d",
+         "{y:04d}-{m:02d}-{d:02d}"),
+        ("02.01.2006", "%d.%m.%Y",
+         "{d:02d}.{m:02d}.{y:04d}"),
+        ("2006/01/02 15:04:05", "%Y/%m/%d %H:%M:%S",
+         "{y:04d}/{m:02d}/{d:02d} {hh:02d}:{mm:02d}:{ss:02d}"),
+    ])
+    comps = st.tuples(st.integers(2001, 2020), st.integers(1, 12),
+                      st.integers(1, 28), st.integers(0, 23),
+                      st.integers(0, 59), st.integers(0, 59))
+
+    def mk(t):
+        (go, duckfmt, pat), (y, m, d, hh, mm, ss) = t
+        s = pat.format(y=y, m=m, d=d, hh=hh, mm=mm, ss=ss)
+        return (f"time_to_unix(parse_time('{s}', '{go}'))",
+                f"CAST(epoch(strptime('{s}', '{duckfmt}')) AS BIGINT)")
+    return st.tuples(layouts, comps).map(mk)
+
+
 def _exprs() -> st.SearchStrategy:
-    return st.one_of(_ints(2), _strs(2), _bools(2), _dur_ratios())
+    return st.one_of(_ints(2), _strs(2), _bools(2), _dur_ratios(),
+                     _floats(2), _unix_times())
 
 
 @settings(max_examples=40, deadline=None,
