@@ -5850,3 +5850,73 @@ def window_range_time_frame_q(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("long").alias("n_30d"),
         F.sum(cents).over(w).cast("long").alias("cents_30d"))
         .orderBy("o_custkey", "o_orderkey"))
+
+
+@workload("dedup_exact_ingest", """
+WITH corpus AS (SELECT md5(text) AS fp FROM documents
+                WHERE doc_id % 10 <> 0),
+     batch AS (SELECT doc_id, md5(text) AS fp FROM documents
+               WHERE doc_id % 10 = 0)
+SELECT b.doc_id
+FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+WHERE c.fp IS NULL
+ORDER BY b.doc_id
+""")
+def dedup_exact_ingest_q(spark, sf_dir):
+    """Exact incremental-ingest dedup: a new crawl batch anti-joined
+    against the existing corpus on a text fingerprint — the narrow
+    (fp-only) shuffle that gates every ingest before the LSH/vector
+    probes run (minhash_ingest_near_dups / embedding_ingest_near_dups
+    are its fuzzy twins). Only fingerprints move: the anti-join
+    shuffles 16-byte hashes, never text. Returns batch docs safe to
+    ingest."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = (d.filter(F.col("doc_id") % 10 != 0)
+              .select(F.md5("text").alias("fp")))
+    batch = (d.filter(F.col("doc_id") % 10 == 0)
+             .select("doc_id", F.md5("text").alias("fp")))
+    return (batch.join(corpus, "fp", "left_anti")
+            .select("doc_id").orderBy("doc_id"))
+
+
+@workload("profile_column_stats", """
+SELECT 'o_custkey' AS col,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+ORDER BY col
+""")
+def profile_column_stats_q(spark, sf_dir):
+    """ANALYZE-style column profile (null count, exact distinct,
+    min/max rendered as strings for a type-stable long format) — the
+    table-stats pass behind join-strategy and partition decisions.
+    One aggregate per column over a single cached scan; at 100 TB
+    the same shape runs with approx_count_distinct, exact here so the
+    oracle can value-check."""
+    o = _t(spark, sf_dir, "orders")
+
+    def one(c):
+        return o.agg(
+            F.lit(c).alias("col"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            F.min(c).cast("string").alias("min_val"),
+            F.max(c).cast("string").alias("max_val"))
+    out = one("o_custkey")
+    for c in ["o_orderstatus", "o_orderpriority"]:
+        out = out.unionByName(one(c))
+    return out.orderBy("col")
