@@ -1,0 +1,77 @@
+"""Positive plan evidence: one JSON line per gate workload with the
+physical-plan properties that matter at cluster scale — shuffle
+(Exchange) count, broadcast joins, whole-stage-codegen coverage,
+Python-eval presence, and parquet pushdown — plus a suite summary.
+
+Where tools/plan_audit.py FLAGS anti-patterns, this report RECORDS the
+plan budget so a reviewer (or a later round) can diff it: a new
+Exchange in a previously 1-shuffle workload is a regression even when
+no audit rule fires.
+
+Run: python tools/plan_report.py [sf_dir] > PLAN_REPORT.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def describe(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", plan))
+    ops = [ln.lstrip(" :+-") for ln in plan.splitlines() if ln.strip()]
+    n_ops = sum(1 for o in ops if o and o[0].isupper() or o.startswith("*("))
+    return {
+        "shuffles": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "codegen_spans": len(codegen_ids),
+        "python_eval": plan.count("BatchEvalPython")
+        + plan.count("ArrowEvalPython"),
+        "pandas_stages": plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("AggregateInPandas"),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "scans": plan.count("FileScan"),
+        "ops": n_ops,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from octosql_spark.session import get_spark
+    from octosql_spark.workloads import REGISTRY
+    spark = get_spark("plan-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    report, errors = {}, 0
+    for name, w in REGISTRY.items():
+        try:
+            report[name] = describe(w.build(spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001 — report, don't die
+            errors += 1
+            report[name] = {"error": str(ex)[:200]}
+    good = [r for r in report.values() if "error" not in r]
+    summary = {
+        "workloads": len(report),
+        "errors": errors,
+        "total_shuffles": sum(r["shuffles"] for r in good),
+        "total_broadcasts": sum(r["broadcasts"] for r in good),
+        "row_python_eval_plans":
+            sum(1 for r in good if r["python_eval"]),
+        "pandas_plans": sum(1 for r in good if r["pandas_stages"]),
+        "zero_shuffle_plans":
+            sum(1 for r in good if r["shuffles"] == 0),
+    }
+    print(json.dumps({"summary": summary, "plans": report}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
