@@ -635,3 +635,53 @@ def assign_splits(docs: DataFrame, test_frac: float = 0.05,
              .when(u < test_frac + valid_frac, F.lit("valid"))
              .otherwise(F.lit("train")))
     return docs.withColumn("split", split)
+
+
+def chunk_sentences(docs: DataFrame, max_tokens: int = 64,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sentence-boundary chunking: split on sentence punctuation and
+    greedily pack CONSECUTIVE sentences into chunks of ≤ ``max_tokens``
+    whitespace tokens, never splitting a sentence (an over-long
+    sentence becomes its own chunk) — the retrieval-passage shape
+    where ``chunk_documents``'s fixed token windows would cut
+    mid-sentence.
+
+    Returns (id_col, chunk, n_sentences, n_tokens), chunk 1-based.
+
+    Scale shape: the greedy sequential fold is a WITHIN-ROW
+    ``aggregate`` over the sentence array (struct accumulator:
+    current chunk, running tokens, per-sentence assignment) — pure
+    codegen, zero Python, and the only shuffle is the final per-chunk
+    count. The same fold is sequential-by-nature, which is exactly
+    why it lives inside the row instead of a window: a reset-on-
+    overflow running sum is not window-expressible, and a cross-row
+    implementation would serialize the document stream.
+    """
+    sents = F.filter(
+        F.split(F.trim(F.col(text_col)), r"[.!?]+\s+"),
+        lambda s: F.length(F.trim(s)) > 0)
+    nts = F.transform(
+        sents, lambda s: F.size(F.filter(F.split(F.trim(s), r"\s+"),
+                                         lambda w: w != F.lit(""))))
+    acc0 = F.struct(F.lit(0).alias("chunk"), F.lit(0).alias("running"),
+                    F.array().cast("array<int>").alias("out"))
+    fits = lambda a, nt: (a["running"] + nt <= max_tokens) \
+        & (a["running"] > 0)  # noqa: E731 — shared by both branches
+    fold = F.aggregate(
+        nts, acc0,
+        lambda a, nt: F.struct(
+            F.when(fits(a, nt), a["chunk"]).otherwise(a["chunk"] + 1)
+            .alias("chunk"),
+            F.when(fits(a, nt), a["running"] + nt).otherwise(nt)
+            .alias("running"),
+            F.concat(a["out"], F.array(
+                F.when(fits(a, nt), a["chunk"])
+                .otherwise(a["chunk"] + 1))).alias("out")))
+    pairs = F.arrays_zip(fold["out"].alias("chunk"), nts.alias("nt"))
+    return (docs
+            .filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col), F.explode(pairs).alias("p"))
+            .groupBy(id_col, F.col("p.chunk").cast("long").alias("chunk"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sentences"),
+                 F.sum("p.nt").cast("long").alias("n_tokens")))

@@ -5920,3 +5920,49 @@ def profile_column_stats_q(spark, sf_dir):
     for c in ["o_orderstatus", "o_orderpriority"]:
         out = out.unionByName(one(c))
     return out.orderBy("col")
+
+
+@workload("curate_chunk_sentences", """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '[.!?]+\\s+'),
+                     s -> len(trim(s)) > 0) AS ss
+  FROM documents WHERE len(trim(text)) > 0
+), sent AS (
+  SELECT doc_id, p[2] AS i,
+         len(list_filter(regexp_split_to_array(trim(p[1]), '\\s+'),
+                         w -> w <> '')) AS nt
+  FROM (SELECT doc_id, unnest(list_zip(ss, range(1, len(ss) + 1))) AS p
+        FROM d) t
+), steps AS (
+  SELECT doc_id, i, 1 AS chunk, nt AS running, nt
+  FROM sent WHERE i = 1
+  UNION ALL
+  SELECT s.doc_id, s.i,
+         CASE WHEN st.running + s.nt <= 64 AND st.running > 0
+              THEN st.chunk ELSE st.chunk + 1 END,
+         CASE WHEN st.running + s.nt <= 64 AND st.running > 0
+              THEN st.running + s.nt ELSE s.nt END,
+         s.nt
+  FROM steps st JOIN sent s
+    ON s.doc_id = st.doc_id AND s.i = st.i + 1
+)
+SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM steps
+GROUP BY doc_id, chunk
+ORDER BY doc_id, chunk
+""")
+def curate_chunk_sentences_q(spark, sf_dir):
+    """Sentence-boundary passage chunking (curate.chunk_sentences):
+    greedy packing of consecutive sentences into ≤64-token chunks as
+    a WITHIN-ROW codegen'd fold (reset-on-overflow running sums are
+    not window-expressible; putting the fold inside the row keeps
+    the corpus parallel). The oracle replays the exact sequential
+    fold as a DuckDB recursive CTE stepping sentence-by-sentence —
+    every chunk's sentence count and token total value-checked."""
+    from octosql_spark.datapipe.curate import chunk_sentences
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (chunk_sentences(d, max_tokens=64)
+            .orderBy("doc_id", "chunk"))

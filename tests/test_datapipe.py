@@ -1339,3 +1339,22 @@ def test_complete_prefix_dup_collapse(spark):
                      (3, 10), (3, 11)}
     vals = {got[p] for p in cross}
     assert len(vals) == 1 and 0.5 <= vals.pop() < 1.0
+
+
+def test_chunk_sentences_greedy_edges(spark):
+    from octosql_spark.datapipe.curate import chunk_sentences
+    docs = spark.createDataFrame(
+        [(1, "a b c. d e. f g h i. j k"),     # sizes 3,2,4,2 @ max 5
+         (2, "one two three four five six seven. x y"),  # 7 > max alone
+         (3, "nopunct just one sentence here")],         # exactly max
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk"]): (r["n_sentences"], r["n_tokens"])
+           for r in chunk_sentences(docs, max_tokens=5).collect()}
+    assert out == {
+        (1, 1): (2, 5),  # "a b c"+"d e" exact fit
+        (1, 2): (1, 4),  # "f g h i" overflows, opens chunk 2
+        (1, 3): (1, 2),  # 4+2 > 5 so "j k" opens chunk 3
+        (2, 1): (1, 7),  # over-long sentence is its own chunk
+        (2, 2): (1, 2),
+        (3, 1): (1, 5),
+    }
