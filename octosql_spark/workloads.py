@@ -5966,3 +5966,116 @@ def curate_chunk_sentences_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return (chunk_sentences(d, max_tokens=64)
             .orderBy("doc_id", "chunk"))
+
+
+@workload("basket_association_pairs", """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 50 AS item
+  FROM lineitem
+), n_orders AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+), pair_counts AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY a.item, b.item
+), item_counts AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY item
+)
+SELECT item_a, item_b, c_ab,
+       ROUND(c_ab * 1.0 / n, 6) AS support,
+       ROUND(c_ab * 1.0 / ia.c, 6) AS confidence,
+       ROUND((c_ab * 1.0 / n) / ((ia.c * 1.0 / n) * (ib.c * 1.0 / n)),
+             4) AS lift
+FROM pair_counts
+JOIN item_counts ia ON ia.item = item_a
+JOIN item_counts ib ON ib.item = item_b
+CROSS JOIN n_orders
+WHERE c_ab >= 20
+ORDER BY item_a, item_b
+""", cartesian_ok=True)
+def basket_association_pairs_q(spark, sf_dir):
+    """Market-basket association mining: support / confidence / lift
+    for item pairs co-occurring in an order (items bucketed to a
+    50-key catalog so pairs repeat at this SF). The pair join is
+    WITHIN-basket — a self-join keyed on the order id, so fan-out is
+    bounded by items-per-basket squared, never corpus-squared; the
+    1-row basket total rides as a scalar broadcast. All ratios are
+    single IEEE divisions of exact counts, rounded identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = (li.select("l_orderkey",
+                       (F.col("l_partkey") % 50).alias("item"))
+             .distinct().persist())
+    n_orders = items.agg(F.countDistinct("l_orderkey").cast("long")
+                         .alias("n"))
+    a = items.select(F.col("l_orderkey"), F.col("item").alias("item_a"))
+    b = items.select(F.col("l_orderkey"), F.col("item").alias("item_b"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+             .filter(F.col("c_ab") >= 20))
+    counts = (items.groupBy("item")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    out = (pairs
+           .join(counts.select(F.col("item").alias("item_a"),
+                               F.col("c").alias("ca")), "item_a")
+           .join(counts.select(F.col("item").alias("item_b"),
+                               F.col("c").alias("cb")), "item_b")
+           .crossJoin(F.broadcast(n_orders)))
+    sup = F.col("c_ab") * 1.0 / F.col("n")
+    return (out.select(
+        "item_a", "item_b", "c_ab",
+        F.round(sup, 6).alias("support"),
+        F.round(F.col("c_ab") * 1.0 / F.col("ca"), 6)
+        .alias("confidence"),
+        F.round(sup / ((F.col("ca") * 1.0 / F.col("n"))
+                       * (F.col("cb") * 1.0 / F.col("n"))), 4)
+        .alias("lift"))
+        .orderBy("item_a", "item_b"))
+
+
+@workload("customer_rfm_segments", """
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_c
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(NTILE(5) OVER (ORDER BY last_order, o_custkey) AS INT)
+         AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS INT)
+         AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_c, o_custkey) AS INT)
+         AS m_score
+FROM rfm
+ORDER BY o_custkey
+""")
+def customer_rfm_segments_q(spark, sf_dir):
+    """RFM segmentation: recency/frequency/monetary quintiles per
+    customer — the classic lifecycle-marketing rollup. One aggregate
+    pass builds the per-customer triple (monetary in exact integer
+    cents); three NTILE windows with a customer-id tiebreak make the
+    quintile boundaries fully deterministic cross-engine. The global
+    windows sort the CUSTOMER rollup (orders-of-magnitude smaller
+    than the fact table); at deployment scale swap NTILE for
+    percentile-boundary bucketing (profile_equidepth_histogram) to
+    avoid the single-partition sort."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = (o.groupBy("o_custkey")
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count(F.lit(1)).cast("long").alias("frequency"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .alias("monetary_c")))
+    return (rfm.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey"))
+        .cast("int").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+        .cast("int").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary_c", "o_custkey"))
+        .cast("int").alias("m_score"))
+        .orderBy("o_custkey"))
