@@ -5562,7 +5562,7 @@ def profile_equidepth_histogram_q(spark, sf_dir):
 @workload("sketch_rollup_mergeable", """
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
-       TRUE AS merge_equals_full,
+       TRUE AS merge_within_tol,
        TRUE AS est_within_5rsd
 FROM events
 GROUP BY event_type
@@ -5571,16 +5571,18 @@ ORDER BY event_type
 def sketch_rollup_mergeable_q(spark, sf_dir):
     """Incremental distinct-count maintenance via mergeable HLL
     sketches (Datasketches hll_sketch_agg/hll_union_agg): per-week
-    partial sketches union into the same registers a full-table
-    sketch builds, so a stored rollup refreshes from increments
-    without rescanning history — the O(increment) twin of
+    partial sketches union into a rollup that refreshes from
+    increments without rescanning history — the O(increment) twin of
     storage.merge_rollup for COUNT DISTINCT, which (unlike sum/count)
     has no mergeable exact partial. The entry emits the exact
     distinct (value-oracled), plus two contract booleans the oracle
-    pins TRUE: merged-increments estimate == full-scan estimate
-    (register-max merge is order- and grouping-insensitive), and the
-    estimate lands within 5 relative-standard-deviations of exact
-    (lgConfigK=12 → rsd ≈ 1.6%)."""
+    pins TRUE: the merged-increments estimate tracks the full-scan
+    estimate within 2% of exact (NOT bit-equal — a full-scan sketch
+    can still sit in sparse/coupon mode while a union promotes to
+    dense HLL, so the two are different-but-both-valid estimators;
+    verified at sf0.001/0.01/0.1), and the merged estimate lands
+    within 5 relative-standard-deviations of exact (lgConfigK=12 →
+    rsd ≈ 1.6%)."""
     e = _t(spark, sf_dir, "events")
     weekly = (e.groupBy("event_type", F.weekofyear("ts").alias("wk"))
               .agg(F.hll_sketch_agg("user_id").alias("sk")))
@@ -5594,8 +5596,9 @@ def sketch_rollup_mergeable_q(spark, sf_dir):
                  .alias("n_exact")))
     return (full.join(merged, "event_type")
             .select("event_type", "n_exact",
-                    (F.col("est_inc") == F.col("est_full"))
-                    .alias("merge_equals_full"),
+                    (F.abs(F.col("est_inc") - F.col("est_full"))
+                     / F.col("n_exact") <= 0.02)
+                    .alias("merge_within_tol"),
                     (F.abs(F.col("est_inc") - F.col("n_exact"))
                      / F.col("n_exact") <= 0.082)
                     .alias("est_within_5rsd"))
