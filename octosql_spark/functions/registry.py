@@ -96,8 +96,10 @@ _fn("string_repeat", ["(String, Int) -> String"])(lambda a, n: F.repeat(a, n))
 
 _fn("abs", ["(Int) -> Int", "(Float) -> Float", "(Duration) -> Duration"])(F.abs)
 _fn("sqrt", ["(Int) -> Float", "(Float) -> Float"])(F.sqrt)
-_fn("ceil", ["(Float) -> Int"])(F.ceil)
-_fn("floor", ["(Float) -> Int"])(F.floor)
+# the reference types ceil/floor Float -> FLOAT
+# (functions.go:394-412); Spark's return LONG, so cast back
+_fn("ceil", ["(Float) -> Float"])(lambda a: F.ceil(a).cast("double"))
+_fn("floor", ["(Float) -> Float"])(lambda a: F.floor(a).cast("double"))
 _fn("log2", ["(Float) -> Float"])(F.log2)
 _fn("log", ["(Float) -> Float"], "natural log, like the reference")(
     lambda a: F.log(a))

@@ -373,6 +373,27 @@ def _rewrite_functions(toks: list[Tok],
                 toks[i] = Tok("IDENT", _SIMPLE_RENAMES[name])
                 changed = True
                 break
+            if name in ("floor", "ceil"):
+                # the reference returns FLOAT (functions.go:394-412);
+                # Spark's floor/ceil return LONG → wrap in CAST(..
+                # AS DOUBLE). Guard: skip a call we already wrapped
+                # (its immediate parent is the CAST we emitted).
+                if (si >= 2 and toks[sig[si - 1]].text == "("
+                        and toks[sig[si - 2]].kind == "IDENT"
+                        and toks[sig[si - 2]].text.upper() == "CAST"):
+                    continue
+                open_i = sig[si + 1]
+                close_i = _match_paren(toks, open_i, 1)
+                toks = (toks[:i]
+                        + [Tok("IDENT", "CAST"), Tok("PUNCT", "("),
+                           Tok("IDENT", name), Tok("PUNCT", "(")]
+                        + toks[open_i + 1:close_i]
+                        + [Tok("PUNCT", ")"), Tok("WS", " "),
+                           Tok("IDENT", "AS"), Tok("WS", " "),
+                           Tok("IDENT", "DOUBLE"), Tok("PUNCT", ")")]
+                        + toks[close_i + 1:])
+                changed = True
+                break
             if name == "len":
                 # len dispatches on the runtime type in the reference
                 # (functions.go:774-831): String → length, List → size.
@@ -560,12 +581,22 @@ _FN_RESULT_CAT = {
     "substring": "string", "replace": "string", "trim": "string",
     "string": "string", "concat_ws": "string",
     "len": "int", "length": "int", "size": "int", "instr": "int",
-    "int": "int", "abs": None, "float": "float", "sqrt": "float",
+    "int": "int", "float": "float", "sqrt": "float",
     "pow": "float", "log": "float", "log2": "float", "log10": "float",
     # nanosecond-carrying Duration (division results): see
     # _rewrite_arith_pass "durdiv_int" and _expand_durns_markers
     "__durns__": "durns",
 }
+
+# Polymorphic functions whose result category is derived from their
+# argument categories (the reference types them per-overload —
+# functions.go:357-380 abs, and coalesce/nullif/greatest/least get
+# the union of their argument types in its planner). Without this,
+# ``coalesce(nullif(0, 0), 1) / 2`` lost the Int/Int integer-division
+# overload and float-divided (found by the long differential-fuzz
+# sweep).
+_POLY_FNS = {"coalesce", "nullif", "ifnull", "nvl", "greatest",
+             "least", "abs"}
 
 
 _CAST_TARGET_CAT = {
@@ -623,6 +654,56 @@ def _span_cat(toks: list[Tok], lo: int, hi: int,
             return "duration"
         return None
     t = toks[sig[0]]
+    if (t.kind == "IDENT" and t.text.upper() == "CASE"
+            and toks[sig[-1]].kind == "IDENT"
+            and toks[sig[-1]].text.upper() == "END"):
+        # CASE result category = combined category of the THEN/ELSE
+        # result expressions (the reference's planner types CASE as
+        # the union of its branch types, so Int branches keep the
+        # Int/Int division overload — found by the differential-fuzz
+        # sweep via "(CASE WHEN 0 >= 0 THEN 1 ELSE 0 END) / 2")
+        depth = 0
+        casedepth = 0
+        results: list[tuple[int, int]] = []
+        cur: int | None = None
+        mode = ""
+        last = sig[0]
+        for idx in sig:
+            tt = toks[idx]
+            up = tt.text.upper() if tt.kind == "IDENT" else ""
+            if tt.text in ("(", "["):
+                depth += 1
+            elif tt.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and up == "CASE":
+                casedepth += 1
+                if casedepth == 1:
+                    continue
+            elif depth == 0 and up == "END":
+                casedepth -= 1
+                if casedepth == 0:
+                    if mode in ("then", "else") and cur is not None:
+                        results.append((cur, last))
+                    break
+            elif (depth == 0 and casedepth == 1
+                  and up in ("WHEN", "THEN", "ELSE")):
+                if mode in ("then", "else") and cur is not None:
+                    results.append((cur, last))
+                cur = None
+                mode = up.lower()
+                last = idx
+                continue
+            if mode in ("then", "else") and cur is None:
+                cur = idx
+            last = idx
+        cats = {_span_cat(toks, s, e, types) for s, e in results}
+        if not cats or None in cats:
+            return None
+        if cats == {"int"}:
+            return "int"
+        if cats <= {"int", "float"}:
+            return "float"
+        return cats.pop() if len(cats) == 1 else None
     if t.kind == "STRING":
         return "string" if len(sig) == 1 else None
     if t.kind == "NUMBER":
@@ -645,7 +726,25 @@ def _span_cat(toks: list[Tok], lo: int, hi: int,
                 # determines the category: '7'::Int / 2 must still be
                 # Int/Int integer division (functions.go:320-355).
                 return _CAST_TARGET_CAT.get(toks[sig[-2]].text.upper())
-            return _FN_RESULT_CAT.get(t.text.lower())
+            fname = t.text.lower()
+            if fname in _POLY_FNS:
+                args = _split_call_args(toks, sig[1], sig[-1])
+                if not args:
+                    return None
+                if fname == "nullif":
+                    # result type = first argument (second only
+                    # compares)
+                    return _span_cat(toks, args[0][0], args[0][1],
+                                     types)
+                cats = {_span_cat(toks, a, b, types) for a, b in args}
+                if None in cats:
+                    return None
+                if cats == {"int"}:
+                    return "int"
+                if cats <= {"int", "float"}:
+                    return "float"
+                return cats.pop() if len(cats) == 1 else None
+            return _FN_RESULT_CAT.get(fname)
         # dotted chain t.col → category of the final identifier
         if all(toks[i].kind in ("IDENT", "QIDENT") or toks[i].text == "."
                for i in sig):

@@ -66,8 +66,6 @@ def _ints(depth: int) -> st.SearchStrategy:
         st.tuples(sub, sub).map(
             lambda p: (f"abs({p[0][0]} - {p[1][0]})",
                        f"abs({p[0][1]} - {p[1][1]})")),
-        sub.map(lambda i: (f"floor(sqrt({i[0]}))",
-                           f"CAST(floor(sqrt({i[1]})) AS INT)")),
         # 0-based position, NULL when absent (functions.go:757-772)
         st.tuples(_strs(depth - 1), st.sampled_from(["a", "N", "zz"])).map(
             lambda p: (f"position({p[0][0]}, '{p[1]}')",
@@ -165,8 +163,12 @@ def _floats(depth: int) -> st.SearchStrategy:
         st.tuples(st.integers(0, 99), st.integers(1, 9)).map(
             lambda p: (f"(float({p[0]}) / {p[1]})",
                        f"(CAST({p[0]} AS DOUBLE) / {p[1]})")),
-        st.sampled_from([("2.5", "2.5"), ("0.125", "0.125"),
-                         ("7.0", "7.0")]),
+        # duck side casts literals to DOUBLE: DuckDB types bare
+        # decimals as DECIMAL, whose ceil/floor/str forms differ from
+        # the dialect's double floats
+        st.sampled_from([("2.5", "CAST(2.5 AS DOUBLE)"),
+                         ("0.125", "CAST(0.125 AS DOUBLE)"),
+                         ("7.0", "CAST(7.0 AS DOUBLE)")]),
     )
     if depth == 0:
         return atoms
@@ -182,6 +184,12 @@ def _floats(depth: int) -> st.SearchStrategy:
         sub.map(lambda s: (f"abs({s[0]})", f"abs({s[1]})")),
         sub.map(lambda s: (f"sqrt(abs({s[0]}))",
                            f"sqrt(abs({s[1]}))")),
+        # the reference types floor/ceil as Float -> Float
+        # (functions.go:394-412), so they live in the FLOAT grammar:
+        # floor(x)/2 must stay float division on both sides (a prior
+        # _ints strategy cast them to INT, which was unfaithful)
+        sub.map(lambda s: (f"floor({s[0]})", f"floor({s[1]})")),
+        sub.map(lambda s: (f"ceil({s[0]})", f"ceil({s[1]})")),
         _ints(depth - 1).map(
             lambda i: (f"float({i[0]})", f"CAST({i[1]} AS DOUBLE)")),
     )
@@ -223,6 +231,14 @@ def _exprs() -> st.SearchStrategy:
 # regression: a ::Int cast result must count as an Int operand so the
 # Int/Int integer-division overload still fires (found by this fuzzer)
 @example(expr=("('7'::int / 2)", "('7'::BIGINT // 2)"))
+# regression: polymorphic functions (coalesce/nullif/abs/greatest)
+# must propagate their arguments' Int category so the Int/Int
+# integer-division overload still fires (found by this fuzzer)
+@example(expr=("(coalesce(nullif(0, 0), 1) / 2)",
+               "(coalesce(nullif(0, 0), 1) // 2)"))
+@example(expr=("(abs(3 - 5) / 2)", "(abs(3 - 5) // 2)"))
+@example(expr=("((CASE WHEN 0 >= 0 THEN 1 ELSE 0 END) / 2)",
+               "((CASE WHEN 0 >= 0 THEN 1 ELSE 0 END) // 2)"))
 # regression: a mixed durns chain (marker + interval) must collapse
 # via the additive pass BEFORE an enclosing durns division consumes
 # it (found by this fuzzer)

@@ -302,3 +302,28 @@ def test_duration_chain_left_associativity(spark, views):
     for _ in range(10):
         deep = f"(({deep}) + INTERVAL 1 SECOND / 1) * 1"
     assert cell(f"SELECT ({deep}) / INTERVAL 1 SECOND") == "11"
+
+
+def test_overload_category_polymorphic_functions(spark):
+    """coalesce/nullif/abs/greatest/CASE propagate their arguments'
+    Int category so the dialect's Int/Int integer division fires
+    (found by the differential-fuzz long sweep); float args keep
+    float division; floor/ceil return FLOAT like the reference
+    (functions.go:394-412)."""
+    from octosql_spark.sql import run_query
+    spark.range(1).createOrReplaceTempView("one")
+    cases = [
+        ("coalesce(nullif(0, 0), 1) / 2", 0),
+        ("abs(3 - 5) / 2", 1),
+        ("greatest(7, 3) / 2", 3),
+        ("(CASE WHEN 0 >= 0 THEN 1 ELSE 0 END) / 2", 0),
+        ("coalesce(1.0, 2.0) / 2", 0.5),
+        ("floor(2.5)", 2.0),
+        ("ceil(2.3)", 3.0),
+        ("floor(2.5) / 2", 1.0),
+    ]
+    for expr, want in cases:
+        got = run_query(spark, f"SELECT {expr} AS v FROM one").df \
+            .collect()[0][0]
+        assert got == want and type(got) is type(want), \
+            (expr, got, want)
