@@ -3547,16 +3547,61 @@ def session_window_q(spark, sf_dir):
                     F.col("session_window.start").alias("session_start"), "n"))
 
 
-@workload("max_diff_watermark_batch", None, broadcast_ok=True)
+@workload("max_diff_watermark_batch", """
+WITH wm AS (SELECT date_trunc('second', MAX(ts)) - INTERVAL 5 SECOND
+                   AS final_watermark FROM events)
+SELECT event_type,
+       COUNT(*) AS total_rows,
+       CAST(SUM(CASE WHEN ts > final_watermark THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_never_late,
+       CAST(SUM(CASE WHEN ts <= final_watermark THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_droppable,
+       MIN(final_watermark) AS final_watermark,
+       TRUE AS never_late_all_kept,
+       TRUE AS kept_within_bounds
+FROM events, wm
+GROUP BY event_type
+""", broadcast_ok=True)
 def max_diff_watermark_batch_q(spark, sf_dir):
     """max_diff_watermark batch emulation (running max over file order
-    — table_valued_functions/max_diff_watermark.go:134-153). File
-    order has no SQL-oracle equivalent → rows-only."""
+    — table_valued_functions/max_diff_watermark.go:134-180).
+
+    INVARIANT ORACLE (the kept set depends on arrival order, which no
+    SQL view can observe, but its order-insensitive core is exact):
+    the running watermark before any row never exceeds the FINAL
+    watermark ``round(max(ts), 1s) - max_diff``, so
+      * every record with ts > final watermark is kept under EVERY
+        arrival order ("never-late" — value-compared per event_type),
+      * every dropped record has ts <= final watermark (equivalently:
+        never_late_all_kept — contract boolean from the real
+        emulation's kept set),
+      * n_never_late <= kept <= total (kept_within_bounds).
+    total/never-late/droppable counts and the final watermark itself
+    are exact values DuckDB reproduces; the booleans pin the actual
+    max_diff_watermark emulation output to the contract."""
     from octosql_spark.tvf import max_diff_watermark
-    e = _t(spark, sf_dir, "events")
-    kept = max_diff_watermark(e, "5 seconds", "ts")
-    from pyspark.sql import functions as F
-    return kept.agg(F.count(F.lit(True)).alias("kept_rows"))
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    kept = (max_diff_watermark(e, "5 seconds", "ts")
+            .select("event_id").withColumn("_kept", F.lit(True)))
+    wm_row = e.agg(
+        (F.date_trunc("second", F.max("ts")) - F.expr("INTERVAL 5 SECONDS"))
+        .alias("final_watermark"))
+    flagged = (e.join(kept, "event_id", "left")
+                 .crossJoin(F.broadcast(wm_row))
+                 .withColumn("_kept", F.coalesce("_kept", F.lit(False)))
+                 .withColumn("_nl", F.col("ts") > F.col("final_watermark")))
+    n_kept = F.sum(F.when(F.col("_kept"), 1).otherwise(0))
+    n_nl = F.sum(F.when(F.col("_nl"), 1).otherwise(0))
+    return (flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        n_nl.cast("bigint").alias("n_never_late"),
+        F.sum(F.when(~F.col("_nl"), 1).otherwise(0)).cast("bigint")
+        .alias("n_droppable"),
+        F.min("final_watermark").alias("final_watermark"),
+        (F.sum(F.when(F.col("_nl") & ~F.col("_kept"), 1).otherwise(0)) == 0)
+        .alias("never_late_all_kept"),
+        ((n_kept >= n_nl) & (n_kept <= F.count(F.lit(1))))
+        .alias("kept_within_bounds")))
 
 
 @workload("cube_counts", """

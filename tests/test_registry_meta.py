@@ -38,9 +38,10 @@ def test_every_oracle_binds_in_duckdb(duck):
 
 
 def test_registry_shape():
-    # exactly one rows-only entry (batch file-order watermark);
+    # every entry carries an oracle (max_diff_watermark_batch was the
+    # last rows-only one; it now ships an invariant oracle);
     # every name is a valid identifier; headline set is non-empty
     rows_only = [n for n, w in REGISTRY.items() if w.oracle is None]
-    assert rows_only == ["max_diff_watermark_batch"]
+    assert rows_only == []
     assert all(n.replace("_", "").isalnum() for n in REGISTRY)
     assert any(w.headline for w in REGISTRY.values())
