@@ -544,11 +544,15 @@ def heavy_hitters(df: DataFrame, item_col: str,
        exact threshold. False candidates die here, so the output is
        exactly ``{item: count(item) > n·min_frac}``.
 
-    The only driver materialization is the candidate summaries —
-    ≤ (c+1)·partitions tiny rows (the same bounded-pull class as
-    lookup_join's stats gate). The corpus is scanned twice but never
-    shuffled on the raw item — the single wide op is the count over
-    the candidate-filtered (tiny-fraction) stream.
+    The per-partition summaries are merged DISTRIBUTED before any
+    driver pull (PODS'12 §3: MG summaries are mergeable — add
+    weights, re-apply the (c+1)-th-largest cap — with total error
+    still ≤ n/(c+1) under any merge tree): a √P-way merge round,
+    then a final 1-partition merge, so the driver collects exactly
+    ONE c-sized summary regardless of input partition count. The
+    corpus is scanned twice but never shuffled on the raw item — the
+    only summary shuffles move ≤ (c+1)·P tiny rows, and the single
+    wide op is the count over the candidate-filtered stream.
     """
     import math
 
@@ -556,6 +560,20 @@ def heavy_hitters(df: DataFrame, item_col: str,
 
     c = int(math.ceil(1.0 / min_frac))
     item_t = df.schema[item_col].dataType.simpleString()
+    summ_schema = f"{item_col} {item_t}, _wt long, _pn long"
+
+    def _cap(s: "pd.Series") -> "pd.Series":
+        if len(s) > c:
+            t = s.nlargest(c + 1).iloc[-1]
+            s = s - t
+            s = s[s > 0]
+        return s
+
+    def _emit(s, n_total):
+        yield pd.DataFrame({
+            item_col: list(s.index.astype(object)) + [None],
+            "_wt": [int(v) for v in s] + [None],
+            "_pn": [None] * len(s) + [int(n_total)]})
 
     def _mg(batches):
         s = pd.Series(dtype="int64")
@@ -563,20 +581,33 @@ def heavy_hitters(df: DataFrame, item_col: str,
         for pdf in batches:
             col = pdf[item_col].dropna()
             n_part += len(col)
-            s = s.add(col.value_counts(), fill_value=0)
-            if len(s) > c:
-                t = s.nlargest(c + 1).iloc[-1]
-                s = s - t
-                s = s[s > 0]
-        out = pd.DataFrame({item_col: s.index.astype(object),
-                            "_pn": [None] * len(s)})
-        out = pd.concat([out, pd.DataFrame({item_col: [None],
-                                            "_pn": [n_part]})])
-        yield out
+            s = _cap(s.add(col.value_counts(), fill_value=0))
+        yield from _emit(s, n_part)
 
-    summaries = (df.select(item_col)
-                 .mapInPandas(_mg, schema=f"{item_col} {item_t}, _pn long")
+    def _merge(batches):
+        s = pd.Series(dtype="float64")
+        n_total = 0
+        for pdf in batches:
+            pn = pdf["_pn"].dropna()
+            if len(pn):
+                n_total += int(pn.sum())
+            rows = pdf[pdf[item_col].notna()]
+            if len(rows):
+                add = rows.groupby(item_col)["_wt"].sum()
+                s = _cap(s.add(add, fill_value=0))
+        yield from _emit(s, n_total)
+
+    summ = df.select(item_col).mapInPandas(_mg, schema=summ_schema)
+    n_parts = df.select(item_col).rdd.getNumPartitions()
+    if n_parts > 4:
+        # √P-way intermediate merge keeps every merge task's input at
+        # ≤ √P·(c+1) rows even at 10⁵ input partitions
+        summ = (summ.repartition(max(2, math.isqrt(n_parts)))
+                .mapInPandas(_merge, schema=summ_schema))
+    summaries = (summ.repartition(1)
+                 .mapInPandas(_merge, schema=summ_schema)
                  .collect())
+    assert len(summaries) <= c + 2, "MG merge cap violated"
     n = sum(r["_pn"] for r in summaries if r["_pn"] is not None)
     items = sorted({r[item_col] for r in summaries
                     if r[item_col] is not None})

@@ -1251,6 +1251,21 @@ def test_heavy_hitters_empty_and_null(spark):
     assert dp.heavy_hitters(df, "item", min_frac=0.5).count() == 0
 
 
+def test_heavy_hitters_driver_pull_is_one_summary(spark):
+    """The distributed MG merge bounds the driver collect at ONE
+    c-sized summary (≤ c+2 rows incl. the total marker) regardless of
+    input partition count — the in-source assert trips otherwise.
+    With c=2 (min_frac=0.5) over 32 partitions of a 3-item stream the
+    un-merged union would be up to 3·32 rows; the merged pull is ≤4,
+    and correctness (exact majority item) is unaffected."""
+    rows = ["maj"] * 600 + ["b"] * 200 + ["c"] * 199
+    df = spark.createDataFrame([(w,) for w in rows], "item string") \
+              .repartition(32)
+    got = {(r.item, r.n) for r in
+           dp.heavy_hitters(df, "item", min_frac=0.5).collect()}
+    assert got == {("maj", 600)}
+
+
 def test_pmi_collocations_hand_fixture(spark):
     import math
     from octosql_spark.datapipe.text import pmi_collocations
