@@ -36,3 +36,58 @@ def order_by_limit(df: DataFrame,
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def global_ntile(df: DataFrame, n_tiles: int,
+                 order: Sequence[Column],
+                 out_col: str = "tile") -> DataFrame:
+    """Exact NTILE over a global ordering WITHOUT a single-partition
+    sort of the data.
+
+    ``F.ntile(k).over(Window.orderBy(...))`` compiles to ``Exchange
+    SinglePartition`` — one task sorts everything, the classic scale
+    ceiling. This computes the identical result distributed:
+
+    1. range-partition on the sort key (one shuffle, parallel sort),
+    2. per-partition ``row_number`` + a broadcast #partitions-row
+       offset table (the same parallel-prefix decomposition as
+       ``datapipe.curate.budget_select`` / ``tvf.max_diff_watermark``)
+       → exact global 1-based rank,
+    3. NTILE's bucket arithmetic on the rank: with n rows and k tiles
+       the first ``n % k`` tiles hold ``n//k + 1`` rows and the rest
+       ``n//k`` (both Spark and DuckDB implement exactly this), so
+       tile(r) is a closed-form expression.
+
+    Bit-equal to the window NTILE whenever ``order`` is a TOTAL order
+    (pass a unique tiebreak column); with duplicate keys the window
+    NTILE is itself nondeterministic. The only single-partition work
+    left is over the #partitions-row offset table.
+    """
+    from pyspark.sql.window import Window
+
+    d = (df.repartitionByRange(*order)
+           .withColumn("_pid", F.spark_partition_id())
+           .persist())
+    cnt = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    w_pid = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    # #partitions rows — bounded by parallelism, not data
+    prior = cnt.select(
+        "_pid",
+        F.coalesce(F.sum("_pc").over(w_pid), F.lit(0)).alias("_prior"),
+        F.sum("_pc").over(
+            Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+        .alias("_n"))
+    w_in = Window.partitionBy("_pid").orderBy(*order)
+    rank = (F.col("_prior") + F.row_number().over(w_in)).cast("long")
+    base = F.floor(F.col("_n") / n_tiles).cast("long")
+    rem = (F.col("_n") % n_tiles).cast("long")
+    big = rem * (base + 1)
+    tile = (F.when(base == 0, rank)
+             .when(rank <= big, F.floor((rank - 1) / (base + 1)) + 1)
+             .otherwise(rem + F.floor((rank - big - 1) / base) + 1))
+    return (d.join(F.broadcast(prior), "_pid")
+            .withColumn(out_col, tile.cast("int"))
+            .drop("_pid", "_prior", "_n"))

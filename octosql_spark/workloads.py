@@ -6106,24 +6106,25 @@ def customer_rfm_segments_q(spark, sf_dir):
     """RFM segmentation: recency/frequency/monetary quintiles per
     customer — the classic lifecycle-marketing rollup. One aggregate
     pass builds the per-customer triple (monetary in exact integer
-    cents); three NTILE windows with a customer-id tiebreak make the
-    quintile boundaries fully deterministic cross-engine. The global
-    windows sort the CUSTOMER rollup (orders-of-magnitude smaller
-    than the fact table); at deployment scale swap NTILE for
-    percentile-boundary bucketing (profile_equidepth_histogram) to
-    avoid the single-partition sort."""
+    cents); each quintile score comes from ``global_ntile`` — the
+    DISTRIBUTED exact NTILE (range partition + parallel-prefix rank
+    offsets + closed-form bucket arithmetic) — with a customer-id
+    tiebreak making each ordering total, so the scores are bit-equal
+    to the oracle's window NTILE at any scale WITHOUT the
+    single-partition sort a global window would compile to."""
+    from octosql_spark.operators.order_limit import global_ntile
     o = _t(spark, sf_dir, "orders")
     rfm = (o.groupBy("o_custkey")
            .agg(F.max("o_orderdate").alias("last_order"),
                 F.count(F.lit(1)).cast("long").alias("frequency"),
                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
                 .alias("monetary_c")))
-    return (rfm.select(
-        "o_custkey",
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey"))
-        .cast("int").alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
-        .cast("int").alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary_c", "o_custkey"))
-        .cast("int").alias("m_score"))
-        .orderBy("o_custkey"))
+    key = F.col("o_custkey").asc()
+    scored = global_ntile(rfm, 5, [F.col("last_order").asc(), key],
+                          "r_score")
+    scored = global_ntile(scored, 5, [F.col("frequency").asc(), key],
+                          "f_score")
+    scored = global_ntile(scored, 5, [F.col("monetary_c").asc(), key],
+                          "m_score")
+    return (scored.select("o_custkey", "r_score", "f_score", "m_score")
+            .orderBy("o_custkey"))

@@ -335,3 +335,44 @@ def test_rolling_zscore_matches_bruteforce_random(spark):
                 assert abs(got[t][2] - round((v - mean) / std, 6)) < 1e-9
             else:
                 assert got[t][2] is None
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile is bit-equal to F.ntile over a total order, for
+    sizes that hit every bucket-arithmetic branch (n % k == 0, n < k,
+    ragged), across multiple partitions — without compiling the data
+    path to a single-partition window."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from octosql_spark.operators.order_limit import global_ntile
+
+    rng = random.Random(42)
+    for n, k in [(1000, 5), (7, 10), (23, 4), (100, 5)]:
+        rows = [(i, rng.randint(0, 50)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+        order = [F.col("v").asc(), F.col("id").asc()]
+        got = {r.id: r.tile
+               for r in global_ntile(df, k, order, "tile").collect()}
+        want = {r.id: r.tile for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy("v", "id"))
+            .alias("tile")).collect()}
+        assert got == want, (n, k)
+
+
+def test_rfm_plan_has_no_data_singlepartition_sort(spark):
+    """The RFM gate entry's quintiles run on the distributed NTILE:
+    every Exchange SinglePartition left in the executed plan feeds a
+    #partitions-row offset table (its input is a partial_count
+    aggregate), never the customer rollup itself."""
+    from octosql_spark.workloads import REGISTRY
+
+    df = REGISTRY["customer_rfm_segments"].build(
+        spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # the data path must not window-sort on a single partition: no
+    # ntile over an empty partition spec survives in the plan
+    assert "ntile" not in plan.lower()
