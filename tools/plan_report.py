@@ -21,14 +21,61 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _dedupe_cached(plan: str) -> str:
+    """Keep ONE copy of each distinct InMemoryRelation child subtree.
+
+    ``executedPlan().toString()`` re-prints a persisted subtree at
+    every InMemoryTableScan that reads it, so a plan that caches a
+    rollup and consumes it from k branches prints the rollup's
+    exchanges k times while executing them once. Budgets count what
+    executes."""
+    lines = plan.splitlines()
+    out, seen, i = [], set(), 0
+    pre = re.compile(r"^[\s:+|-]*")
+
+    def norm(ln: str) -> str:
+        # self-join dedup re-aliases attribute/plan ids per reference,
+        # so the SAME cached plan prints with different #ids — strip
+        # ids (and AQE plan_ids) before keying
+        return re.sub(r"#\d+L?", "#", re.sub(r"plan_id=\d+", "",
+                                             pre.sub("", ln)))
+
+    while i < len(lines):
+        ln = lines[i]
+        if "InMemoryRelation" in ln:
+            ind = len(pre.match(ln).group(0))
+            j = i + 1
+            block = [ln]
+            while j < len(lines) and len(pre.match(lines[j]).group(0)) > ind:
+                block.append(lines[j])
+                j += 1
+            key = "\n".join(norm(b) for b in block)
+            if key in seen:
+                i = j  # duplicate cached subtree: executes 0 more times
+            else:
+                seen.add(key)
+                out.append(ln)
+                i += 1  # descend: inner cached subtrees dedupe too
+        else:
+            out.append(ln)
+            i += 1
+    return "\n".join(out)
+
+
 def describe(df) -> dict:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _dedupe_cached(
+        df._jdf.queryExecution().executedPlan().toString())
     codegen_ids = set(re.findall(r"\*\((\d+)\)", plan))
     ops = [ln.lstrip(" :+-") for ln in plan.splitlines() if ln.strip()]
     n_ops = sum(1 for o in ops if o and o[0].isupper() or o.startswith("*("))
     return {
-        "shuffles": plan.count("Exchange hashpartitioning")
-        + plan.count("Exchange rangepartitioning"),
+        # every non-broadcast Exchange: hash/range (keyed shuffles),
+        # RoundRobin (repartition(n)), SinglePartition (global
+        # window/limit funnels — tiny-table ones included: growth in
+        # ANY exchange class is a budget event)
+        "shuffles": len(re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|"
+            r"RoundRobinPartitioning|SinglePartition)", plan)),
         "broadcasts": plan.count("BroadcastExchange"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
