@@ -81,11 +81,27 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if a != "--contracts"]
+    contracts_only = "--contracts" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1].split(",") if len(args) > 1 else None
 
     import __spark_entry__ as e
     qs, oracles = e.queries(), e.oracle_sql()
+
+    if contracts_only:
+        # The invariant/contract subset (oracles asserting TRUE
+        # booleans): these pin APPROXIMATE operators to their error
+        # contracts, and some contracts only break at larger scale
+        # (the r5 HLL merge-vs-full-scan bug was invisible at sf0.01,
+        # 1488 vs 1494 first diverged on 1500 distinct at sf0.1).
+        # Round checklist: python tools/check_correctness.py
+        #   /root/testdata/sf0.1 --contracts
+        import re as _re
+        only = [n for n in qs
+                if n in oracles
+                and _re.search(r"\bTRUE\s+AS\s+\w+", oracles[n], _re.I)]
+        print(f"contracts subset: {sorted(only)}")
 
     spark = get_spark("correctness")
     con = duckdb.connect()
