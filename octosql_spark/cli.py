@@ -139,7 +139,7 @@ def _run(args, spark) -> int:
     return 0
 
 
-def _csv_decode_error(path: str, sep: str) -> str | None:
+def _csv_decode_error(path: str, sep: str, header: bool = True) -> str | None:
     """Replay Go's ``encoding/csv`` driver-side on the error path
     (datasources/csv/execution.go:38-60): full go1.17+ decoder
     emulation — field counts (``record on line N: wrong number of
@@ -149,7 +149,7 @@ def _csv_decode_error(path: str, sep: str) -> str | None:
     two-position ``record on line A; parse error on line B`` shape,
     and the header-row wrapper. See goemu._GoCSVReader."""
     from octosql_spark.goemu import gocsv_decode_error
-    return gocsv_decode_error(path, sep)
+    return gocsv_decode_error(path, sep, header=header)
 
 
 def _json_line_detail(line: str) -> str | None:
@@ -165,20 +165,37 @@ def _json_line_detail(line: str) -> str | None:
     return json_line_detail(line)
 
 
-def _source_chain(query: str) -> str:
+def _source_chain(query: str, df=None) -> str:
     """The reference's ``couldn't run source:`` wrapper repeated once
     per execution node between sink and scan (map/filter/group_by all
-    wrap, execution/nodes/*.go), reconstructed from the query shape:
-    every SELECT has a projection map, GROUP BY/aggregates add
-    simple_group_by, WHERE adds filter. Exact for both reference
-    fixtures (aggregate queries → two wrappers)."""
+    wrap, execution/nodes/*.go): every SELECT has a projection map,
+    GROUP BY/aggregates add simple_group_by, WHERE adds filter.
+    Exact for both reference fixtures (aggregate queries → two
+    wrappers).
+
+    When the transpiled DataFrame exists, node presence comes from
+    its ANALYZED plan (Aggregate/Filter nodes) — keywords inside
+    string literals or subquery text can't miscount. The raw-text
+    fallback (inference failed before a plan exists) strips string
+    literals first for the same reason."""
     import re as _re
 
     nsrc = 1
-    if _re.search(r"(?i)\bGROUP\s+BY\b", query) or _re.search(
-            r"(?i)\b(count|sum|min|max|avg)\s*\(", query):
+    if df is not None:
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+            if _re.search(r"(?m)^[\s:+-]*Aggregate ", plan):
+                nsrc += 1
+            if _re.search(r"(?m)^[\s:+-]*Filter ", plan):
+                nsrc += 1
+            return "couldn't run source: " * nsrc
+        except Exception:  # noqa: BLE001 — fall back to query text
+            nsrc = 1
+    stripped = _re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", "''", query)
+    if _re.search(r"(?i)\bGROUP\s+BY\b", stripped) or _re.search(
+            r"(?i)\b(count|sum|min|max|avg)\s*\(", stripped):
         nsrc += 1
-    if _re.search(r"(?i)\bWHERE\b", query):
+    if _re.search(r"(?i)\bWHERE\b", stripped):
         nsrc += 1
     return "couldn't run source: " * nsrc
 
@@ -217,12 +234,25 @@ def _diagnose_parse_error(spark, res, ex, query: str = "") -> str | None:
     # view on the ERROR path only, and return None on clean files —
     # and the reference decodes every record, so any Go-rejected file
     # errors there before whatever this exception was anyway.
-    chain = _source_chain(query)
+    chain = _source_chain(query, df=getattr(res, "df", None))
     from pyspark.sql import functions as F
 
     from octosql_spark.sources.files import read_lines
-    for view, desc in res.views.items():
-        path = str(desc).strip().strip("'\"").split("?")[0]
+
+    # Attribution: when several views exist, probe the ones whose
+    # path appears in the exception text FIRST — a parse error in one
+    # file must not be reported against a different view that merely
+    # iterates earlier and also fails Go's decoder
+    ex_text = str(ex)
+    views = sorted(
+        res.views.items(),
+        key=lambda kv: (os.path.basename(
+            str(kv[1]).strip().strip("'\"").split("?")[0]) not in ex_text))
+    for view, desc in views:
+        desc = str(desc).strip().strip("'\"")
+        path, _, qs = desc.partition("?")
+        opts = dict(p.split("=", 1) for p in qs.split("&")
+                    if "=" in p) if qs else {}
         if "://" in path:
             continue
         # absolutize against the CALLER's cwd (like read_file does):
@@ -233,8 +263,9 @@ def _diagnose_parse_error(spark, res, ex, query: str = "") -> str | None:
         if not os.path.isfile(path):
             continue
         if low.endswith((".csv", ".tsv")):
-            msg = _csv_decode_error(path,
-                                    "\t" if low.endswith(".tsv") else ",")
+            msg = _csv_decode_error(
+                path, "\t" if low.endswith(".tsv") else ",",
+                header=str(opts.get("header", "true")).lower() != "false")
             if msg:
                 return f"couldn't run query: {chain}{msg}"
             continue

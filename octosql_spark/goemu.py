@@ -429,26 +429,29 @@ class _GoCSVReader:
         return fields
 
 
-def gocsv_decode_error(path: str, sep: str) -> str | None:
+def gocsv_decode_error(path: str, sep: str,
+                       header: bool = True) -> str | None:
     """Replay Go's ``encoding/csv`` over the file exactly as the
     reference's CSV datasource drives it (datasources/csv/
-    execution.go:38-60): ``Comma`` set, header row read first (its
-    failure wraps as ``couldn't decode csv header row: <err>``), then
-    records until the first error (``couldn't decode message:
-    <err>``). Returns the wrapped reference message for the first
-    failure, or None if Go's decoder accepts the whole file (the
-    Spark failure was something else — keep the generic error)."""
+    execution.go:38-60): ``Comma`` set, header row read first WHEN
+    the source is configured with one (``d.header`` — its failure
+    wraps as ``couldn't decode csv header row: <err>``), then records
+    until the first error (``couldn't decode message: <err>``).
+    Returns the wrapped reference message for the first failure, or
+    None if Go's decoder accepts the whole file (the Spark failure
+    was something else — keep the generic error)."""
     try:
         with open(path, "rb") as f:
             data = f.read()
     except OSError:
         return None
     rdr = _GoCSVReader(data, sep)
-    try:
-        if rdr.read() is None:      # header (sets the field count)
-            return None
-    except _CSVParseError as e:
-        return f"couldn't decode csv header row: {e.render()}"
+    if header:
+        try:
+            if rdr.read() is None:  # header (sets the field count)
+                return None
+        except _CSVParseError as e:
+            return f"couldn't decode csv header row: {e.render()}"
     while True:
         try:
             if rdr.read() is None:

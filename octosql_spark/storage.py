@@ -322,9 +322,27 @@ def zorder_key(df: DataFrame, cols: Sequence[str],
     mval = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        mn = stats[f"mn_{i}"]
-        span = max(stats[f"mx_{i}"] - mn, 1)
-        q = F.expr(f"((cast({c} as bigint) - {mn}) * {mval}) div {span}")
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"zorder_key: column {c!r} has no non-null values — "
+                "cannot quantize an empty domain")
+        span = max(int(mx) - int(mn), 1)
+        if span <= ((1 << 63) - 1) // mval:
+            # exact multiply-then-div keeps full sub-bucket resolution
+            q = F.expr(f"((cast({c} as bigint) - {mn}) * {mval}) "
+                       f"div {span}")
+        elif span < (1 << 63):
+            # wide span (e.g. epoch-nanos keys): (x-mn)*mval would
+            # silently wrap in int64 under non-ANSI mode — pre-scale
+            # by a bucket width instead: d > span/2^bits guarantees
+            # (x-mn) div d <= mval, still pure int64 codegen
+            d = span // (mval + 1) + 1
+            q = F.expr(f"(cast({c} as bigint) - {mn}) div {d}")
+        else:
+            raise ValueError(
+                f"zorder_key: span of {c!r} ({span}) exceeds int64 — "
+                "rescale the column before z-ordering")
         for b in range(bits):
             z = z + (F.shiftright(q, b).bitwiseAND(F.lit(1)).cast("long")
                      * F.lit(1 << (b * n + i)))

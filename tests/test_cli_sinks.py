@@ -265,3 +265,73 @@ def test_cli_version_and_profile_flags(spark, capsys):
                "--profile", "cpu"])
     cap = capsys.readouterr()
     assert rc == 0 and "cumulative" in cap.err
+
+
+def test_source_chain_ignores_keywords_in_string_literals(spark,
+                                                          tmp_path,
+                                                          capsys):
+    """A WHERE/aggregate keyword INSIDE a string literal must not add
+    a 'couldn't run source:' wrapper: node presence comes from the
+    analyzed plan (advisor r5). This projection-only query mentions
+    both in a literal — exactly ONE wrapper."""
+    from octosql_spark.cli import main
+    p = tmp_path / "bad.json"
+    p.write_text('{"a": 1}\nnope\n')
+    rc = main([
+        f"SELECT a, 'WHERE count(x) GROUP BY' AS lit FROM '{p}'",
+        "--output", "csv"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert ("error: couldn't run query: couldn't run source: "
+            "couldn't parse line 2" in err)
+    assert "source: couldn't run source:" not in err
+
+
+def test_parse_error_attributed_to_the_failing_file(spark, tmp_path,
+                                                    capsys):
+    """With several file views where MORE than one would fail Go's
+    decoder, the diagnosis probes the view named in the exception
+    text first (advisor r5) — the reported line must belong to the
+    file Spark actually choked on, not whichever view iterates
+    first."""
+    from octosql_spark.cli import main
+    # aaa is CLEAN and iterates first; zzz is malformed — the probe
+    # must still surface zzz's line, and the exception-text ordering
+    # means zzz is probed first rather than relying on aaa's probe
+    # returning None
+    a = tmp_path / "aaa.json"
+    a.write_text('{"k": 1}\n{"k": 2}\n')
+    z = tmp_path / "zzz.json"
+    z.write_text('{"k": 1}\n###\n{"k": 3}\n')
+    rc = main([
+        f"SELECT COUNT(*) AS n FROM '{a}' x, '{z}' y",
+        "--output", "csv"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "couldn't parse line 2" in err
+
+
+def test_csv_headerless_first_record_error_not_header_wrapped():
+    """gocsv_decode_error with header=False labels a first-record
+    failure 'couldn't decode message', not 'couldn't decode csv
+    header row' (the reference only reads a header when d.header is
+    set — advisor r5)."""
+    import tempfile
+
+    from octosql_spark.goemu import gocsv_decode_error
+    with tempfile.NamedTemporaryFile("w", suffix=".csv",
+                                     delete=False) as f:
+        f.write('alice,3\nbob,"x"y\n')
+        p = f.name
+    with_header = gocsv_decode_error(p, ",", header=True)
+    without = gocsv_decode_error(p, ",", header=False)
+    assert without.startswith("couldn't decode message:")
+    assert with_header.startswith("couldn't decode message:")
+    with tempfile.NamedTemporaryFile("w", suffix=".csv",
+                                     delete=False) as f:
+        f.write('na"me,age\nalice,3\n')
+        p2 = f.name
+    assert gocsv_decode_error(p2, ",", header=True).startswith(
+        "couldn't decode csv header row:")
+    assert gocsv_decode_error(p2, ",", header=False).startswith(
+        "couldn't decode message:")

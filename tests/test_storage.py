@@ -362,6 +362,29 @@ def test_zorder_key_guards(spark):
     vals = [r["zvalue"] for r in
             zorder_key(const, ["a", "b"], bits=4).collect()]
     assert len(set(vals)) == 4
+    # empty / all-null input: clear error, not 'None' spliced into SQL
+    empty = spark.createDataFrame([(None, None)], "a long, b long")
+    try:
+        zorder_key(empty, ["a", "b"], bits=4)
+        assert False, "all-null column must be rejected"
+    except ValueError as ex:
+        assert "non-null" in str(ex)
+
+
+def test_zorder_key_wide_span_no_overflow(spark):
+    """bigint spans beyond 2^47 (epoch-nanos keys) take the pre-scale
+    path: quantization must stay monotone in [0, 2^bits) instead of
+    wrapping negative under the multiply-then-div formula."""
+    from octosql_spark.storage import zorder_key
+    lo, hi = 0, 1_700_000_000_000_000_000  # ~2^60.6 nanos span
+    vals = [lo, hi // 4, hi // 2, hi - 1, hi]
+    df = spark.createDataFrame([(v, 1) for v in vals], "a long, b long")
+    got = {r["a"]: r["zvalue"]
+           for r in zorder_key(df, ["a", "b"], bits=16).collect()}
+    assert all(v >= 0 for v in got.values())
+    ordered = [got[v] for v in vals]
+    assert ordered == sorted(ordered)  # monotone in the single dim
+    assert got[hi] > got[lo]  # spread across buckets, not collapsed
 
 
 def test_scd2_build_matches_python_model(spark):
