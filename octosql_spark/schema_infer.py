@@ -127,6 +127,21 @@ class JsonLineParseError(ValueError):
                          f"couldn't parse line {lineno}")
 
 
+def _nesting(obj) -> int:
+    """Max container-nesting depth, iteratively (deep adversarial
+    lines must not blow Python's recursion limit here)."""
+    mx, stack = 1, [(obj, 1)]
+    while stack:
+        o, d = stack.pop()
+        if d > mx:
+            mx = d
+        if isinstance(o, dict):
+            stack.extend((v, d + 1) for v in o.values())
+        elif isinstance(o, list):
+            stack.extend((v, d + 1) for v in o)
+    return mx
+
+
 def infer_json(path: str, sample_rows: int = SAMPLE_ROWS) -> dict[str, ot.OctoType]:
     """Key → OctoType from the first ``sample_rows`` JSON lines, with
     per-key TypeSum merge (absent keys become nullable)."""
@@ -140,7 +155,18 @@ def infer_json(path: str, sample_rows: int = SAMPLE_ROWS) -> dict[str, ot.OctoTy
                 obj = json.loads(line)
                 if not isinstance(obj, dict):
                     raise ValueError(f"expected JSON object, got {line!r}")
-            except ValueError:
+                if _nesting(obj) > 250:
+                    # Python json has no depth cap but fastjson
+                    # rejects >300 (parser.go MaxDepth); defer the
+                    # exact boundary + message to the goemu replay.
+                    # Sample-only check — like every inference-sample
+                    # error, a deep line past the sample parses
+                    # (DEVIATIONS: Spark scans have no depth limit).
+                    from octosql_spark.goemu import fastjson_parse_error
+                    deep_err, _ = fastjson_parse_error(line)
+                    if deep_err:
+                        raise ValueError(deep_err)
+            except (ValueError, RecursionError):
                 # the reference's error chain + 1-based line number
                 # (datasources/json/execution.go; error goldens)
                 raise JsonLineParseError(lineno, raw.rstrip("\n")) from None

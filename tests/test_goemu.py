@@ -174,3 +174,34 @@ def test_csv_crlf_and_tsv(tmp_path):
     assert gocsv_decode_error(p, "\t") == (
         "couldn't decode message: record on line 3: "
         "wrong number of fields")
+
+
+def test_fastjson_class_corpus_frozen(spark, tmp_path, capsys):
+    """Every emulated fastjson Parse error class, end-to-end through
+    the CLI (wrapper chain + line number + inner detail), frozen in
+    tests/fixtures/fastjson_classes.json. No Go toolchain or
+    reference binary exists in this container, so these are NOT
+    reference-captured bytes (the two classes that are —
+    error1/error2.err — stay byte-exact in test_golden_scenarios);
+    they freeze the source-derived emulation so any drift in ANY
+    class fails here. Regenerate deliberately with
+    tools/make_fastjson_fixtures.py."""
+    import json as _json
+    import os
+
+    from octosql_spark.cli import main
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "fastjson_classes.json")
+    with open(fix) as f:
+        corpus = _json.load(f)
+    assert len(corpus) >= 17
+    for name, rec in sorted(corpus.items()):
+        p = tmp_path / f"{name}.json"
+        p.write_text('{"a": 1}\n' + rec["bad_line"] + "\n")
+        rc = main([f"SELECT COUNT(*) AS n FROM '{p}'",
+                   "--output", "csv"])
+        err_lines = capsys.readouterr().err.strip().splitlines()
+        got = err_lines[0] if err_lines else ""
+        assert rc == rec["rc"], name
+        assert got == rec["stderr"], (name, got, rec["stderr"])
