@@ -13,6 +13,12 @@ from hypothesis import strategies as st
 
 NATION = "/root/testdata/sf0.001/nation.parquet"
 
+# long-sweep knob (round checklist): SPARK_GRAFT_FUZZ_EXAMPLES=400
+# python -m pytest tests/test_differential_fuzz.py
+import os as _os
+_N = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -72,6 +78,13 @@ def _ints(depth: int) -> st.SearchStrategy:
                        f"(CASE WHEN strpos({p[0][1]}, '{p[1]}') = 0 "
                        f"THEN NULL ELSE CAST(strpos({p[0][1]}, '{p[1]}')"
                        f" AS INT) - 1 END)")),
+        # scalar subquery: the category-propagation logic must treat
+        # its result as an Int operand (e.g. for / overloads above)
+        st.sampled_from(["n_nationkey", "n_regionkey"]).map(
+            lambda c: (
+                f"(SELECT min({c}) FROM nation WHERE {c} >= 3)",
+                f"(SELECT CAST(min({c}) AS BIGINT) FROM nation "
+                f"WHERE {c} >= 3)")),
     )
 
 
@@ -102,6 +115,20 @@ def _strs(depth: int) -> st.SearchStrategy:
                   st.sampled_from(["", "z", "qq"])).map(
             lambda p: (f"replace({p[0][0]}, '{p[1]}', '{p[2]}')",
                        f"replace({p[0][1]}, '{p[1]}', '{p[2]}')")),
+        # substr∘position chain: 0-based position feeds 0-based
+        # substr (both off-by-one translations compose); NULL position
+        # (absent needle) must flow through as NULL, matching the
+        # coalesce-free reference semantics
+        st.tuples(sub, st.sampled_from(["a", "N", "e"])).map(
+            lambda p: (
+                f"substr({p[0][0]}, position({p[0][0]}, '{p[1]}'))",
+                f"(CASE WHEN strpos({p[0][1]}, '{p[1]}') = 0 THEN NULL "
+                f"ELSE substr({p[0][1]}, strpos({p[0][1]}, '{p[1]}')) "
+                f"END)")),
+        # three-arg substr with an expression length
+        st.tuples(sub, st.integers(0, 3), st.integers(0, 4)).map(
+            lambda p: (f"substr({p[0][0]}, {p[1]}, {p[2]})",
+                       f"substr({p[0][1]}, {p[1]} + 1, {p[2]})")),
     )
 
 
@@ -119,6 +146,11 @@ def _bools(depth: int) -> st.SearchStrategy:
         st.tuples(_strs(1), st.sampled_from(["N", "[0-9]", "ION"])).map(
             lambda p: (f"({p[0][0]} ~ '{p[1]}')",
                        f"regexp_matches({p[0][1]}, '{p[1]}')")),
+        # IN-list over random int expressions (tuple membership)
+        st.tuples(_ints(1), st.lists(st.integers(0, 9), min_size=1,
+                                     max_size=4)).map(
+            lambda p: (f"({p[0][0]} IN ({', '.join(map(str, p[1]))}))",
+                       f"({p[0][1]} IN ({', '.join(map(str, p[1]))}))")),
     )
     if depth == 0:
         return atoms
@@ -132,6 +164,20 @@ def _bools(depth: int) -> st.SearchStrategy:
             lambda p: (f"({p[0][0]} OR {p[1][0]})",
                        f"({p[0][1]} OR {p[1][1]})")),
         sub.map(lambda b: (f"(NOT {b[0]})", f"(NOT {b[1]})")),
+        # IN / NOT IN subqueries: the inner WHERE is itself fuzzed
+        # (subquery values are non-null, so NOT IN's 3VL is safe to
+        # compare); EXISTS with a correlated-free inner filter
+        st.tuples(_ints(depth - 1), sub, st.booleans()).map(
+            lambda t: (
+                f"({t[0][0]} {'NOT ' if t[2] else ''}IN "
+                f"(SELECT n_regionkey FROM nation WHERE {t[1][0]}))",
+                f"({t[0][1]} {'NOT ' if t[2] else ''}IN "
+                f"(SELECT CAST(n_regionkey AS BIGINT) FROM nation "
+                f"WHERE {t[1][1]}))")),
+        sub.map(
+            lambda b: (
+                f"(EXISTS (SELECT 1 FROM nation WHERE {b[0]}))",
+                f"(EXISTS (SELECT 1 FROM nation WHERE {b[1]}))")),
     )
 
 
@@ -224,7 +270,7 @@ def _exprs() -> st.SearchStrategy:
                      _floats(2), _unix_times())
 
 
-@settings(max_examples=40, deadline=None,
+@settings(max_examples=_N or 40, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(_exprs())
@@ -259,7 +305,7 @@ def test_dialect_matches_duckdb(spark, duck, nation_view, expr):
 
 # ---------------- query-level fuzz: WHERE / GROUP BY / aggregates ----
 
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=_N or 25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(_exprs(), _bools(1))
@@ -276,7 +322,7 @@ def test_dialect_where_matches_duckdb(spark, duck, nation_view, expr, cond):
     assert got == want, f"dialect={de} WHERE {dc}"
 
 
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=_N or 25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(_ints(1), st.booleans())
