@@ -88,6 +88,7 @@ def _run(args, spark) -> int:
         # .err files), not a Py4J traceback. An inference-sample
         # parse failure renders the reference's full error chain.
         msg = (_format_json_line_error(ex, args.query)
+               or _format_gocsv_error(ex, args.query)
                or str(ex).strip().split("\n")[0])
         print(f"error: {msg}", file=sys.stderr)
         return 1
@@ -212,6 +213,18 @@ def _format_json_line_error(ex, query: str) -> str | None:
            f"couldn't parse line {lineno}")
     detail = _json_line_detail(line)
     return f"{msg}: {detail}" if detail else msg
+
+
+def _format_gocsv_error(ex, query: str) -> str | None:
+    """Render a read-time ``GoCSVDecodeError`` (the strict-quote
+    replay in sources/files.read_csv: damage univocity tolerates but
+    Go rejects, so FAILFAST never fires and the runtime diagnosis
+    can't see it) with the reference's wrapper chain; None for any
+    other exception."""
+    go_msg = getattr(ex, "go_msg", None)
+    if go_msg is None:
+        return None
+    return f"couldn't run query: {_source_chain(query)}{go_msg}"
 
 
 def _diagnose_parse_error(spark, res, ex, query: str = "") -> str | None:

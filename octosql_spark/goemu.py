@@ -458,3 +458,19 @@ def gocsv_decode_error(path: str, sep: str,
                 return None
         except _CSVParseError as e:
             return f"couldn't decode message: {e.render()}"
+
+
+class GoCSVDecodeError(ValueError):
+    """A CSV file Go's decoder rejects, caught at READ time by the
+    strict-quote replay (sources/files.read_csv): univocity accepts
+    two damage classes Go errors on — a bare ``"`` mid-field
+    (ErrBareQuote: univocity only treats a field as quoted when it
+    STARTS with a quote) and an unterminated quote running to EOF —
+    so FAILFAST never fires and the runtime error path can't render
+    them. Carries the already-wrapped reference message
+    (``couldn't decode message: …`` / ``couldn't decode csv header
+    row: …``) for the CLI chain."""
+
+    def __init__(self, msg: str):
+        self.go_msg = msg
+        super().__init__(msg)

@@ -150,9 +150,39 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
     opts = {"header": str(header).lower(), "sep": sep,
             "mode": "FAILFAST",
             "unescapedQuoteHandling": "RAISE_ERROR",
+            # RFC-4180 / Go-csv escaping: a doubled "" inside a quoted
+            # field is a literal quote (univocity's default escape is
+            # backslash, which mis-reads Go-written files)
+            "escape": '"',
             "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"}
     if tail:
         return _stream_reader(spark, path, "csv", schema, **opts, **_)
+    # Strict quote parity (DEVIATIONS 9 residual, closed r6 for
+    # bounded files): univocity diverges from Go csv on three quote
+    # shapes — a bare `"` mid-field and an unterminated quote to EOF
+    # parse as DATA (so FAILFAST never fires), and a quoted embedded
+    # newline SPLITS into two rows unless multiLine is on. Probe the
+    # file head (≤64 MB) for a quote char: quote-free files (the
+    # common machine-written case, incl. the bench anchor) pay one
+    # ~ms memchr and keep the fast splittable scan; quote-bearing
+    # files turn on multiLine (per-file reads, like Go's own
+    # single-threaded decode — still parallel ACROSS files) and, when
+    # the whole file fits the probe, get the exact Go-decoder replay
+    # driver-side so Go-rejected damage errors at read time. Larger
+    # quoted files keep the documented deviation rather than
+    # serializing a 100 TB scan through one driver.
+    if "://" not in path and os.path.isfile(path):
+        cap = 64 << 20
+        with open(path, "rb") as f:
+            head = f.read(cap + 1)
+        if b'"' in head:
+            opts["multiLine"] = "true"
+            if len(head) <= cap:
+                from octosql_spark.goemu import (GoCSVDecodeError,
+                                                 gocsv_decode_error)
+                msg = gocsv_decode_error(path, sep, header=header)
+                if msg:
+                    raise GoCSVDecodeError(msg)
     reader = spark.read
     for k, v in opts.items():
         reader = reader.option(k, v)

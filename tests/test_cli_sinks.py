@@ -335,3 +335,47 @@ def test_csv_headerless_first_record_error_not_header_wrapped():
         "couldn't decode csv header row:")
     assert gocsv_decode_error(p2, ",", header=False).startswith(
         "couldn't decode message:")
+
+
+def test_csv_bare_quote_midfield_now_errors(spark, tmp_path, capsys):
+    """A bare `"` mid-field (Go ErrBareQuote) parses as DATA under
+    univocity (it only treats a field as quoted when it STARTS with
+    one), so FAILFAST never fires — the r6 strict-quote replay
+    rejects it at read time with Go's exact ParseError (reference
+    errors on this input; DEVIATIONS 9 residual closed for ≤64 MB
+    files)."""
+    from octosql_spark.cli import main
+    p = tmp_path / "bare.csv"
+    p.write_text('name,age\nal"ice,3\nbob,5\n')
+    rc = main([f"SELECT name, age FROM '{p}'", "--output", "csv"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert ("error: couldn't run query: couldn't run source: "
+            "couldn't decode message: parse error on line 2, column 3: "
+            'bare " in non-quoted field' in err)
+
+
+def test_csv_unterminated_quote_to_eof_now_errors(spark, tmp_path,
+                                                  capsys):
+    """An unterminated quoted field running to EOF parses as data
+    under univocity; Go errors (ErrQuote/EOF-in-quote class) — the
+    strict replay surfaces it."""
+    from octosql_spark.cli import main
+    p = tmp_path / "eof.csv"
+    p.write_text('name,age\nbob,"unterminated\n')
+    rc = main([f"SELECT name, age FROM '{p}'", "--output", "csv"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "couldn't decode message:" in err
+
+
+def test_csv_legit_quotes_still_read(spark, tmp_path, capsys):
+    """Properly quoted fields (incl. escaped quotes and embedded
+    newlines/commas) pass the strict replay and return rows."""
+    from octosql_spark.cli import main
+    p = tmp_path / "ok.csv"
+    p.write_text('name,age\n"a,b",3\n"say ""hi""",5\n"two\nlines",7\n')
+    rc = main([f"SELECT COUNT(*) AS n FROM '{p}'", "--output", "csv"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "3" in out
