@@ -95,6 +95,69 @@ def _stage_growing_file(path: str, poll_s: float = 0.5,
     return d
 
 
+def _stage_growing_dir(pattern: str, poll_s: float = 0.5) -> str:
+    """Directory/glob ``lines`` tail: the `_stage_growing_file` loop
+    generalized to many files — per-file (offset, next line number)
+    state, each growth burst staged as JSON rows with numbers that
+    are 0-based WITHIN their file (datasources/lines/impl.go:13-63
+    numbering, applied per file). New files join the watch set on the
+    next poll; rotated/removed files stay at their last offset. Same
+    cost model as the single-file stager: one glob + one stat per
+    file per poll, sequential reads only on growth."""
+    import glob as _glob
+    import json
+    import threading
+    import time
+
+    d = tempfile.mkdtemp(prefix="octosql_tail_dir_")
+    state: dict[str, dict[str, int]] = {}
+    seq = [0]
+
+    def matches() -> list[str]:
+        root = pattern
+        if os.path.isdir(root):
+            root = os.path.join(root, "*")
+        return sorted(p for p in _glob.glob(root) if os.path.isfile(p))
+
+    def stage_one(p: str) -> None:
+        st = state.setdefault(p, {"off": 0, "line": 0})
+        try:
+            if os.path.getsize(p) <= st["off"]:
+                return
+            with open(p, "rb") as f:
+                f.seek(st["off"])
+                chunk = f.read()
+        except OSError:
+            return
+        cut = chunk.rfind(b"\n") + 1
+        if not cut:
+            return
+        name = os.path.join(d, f"part-{seq[0]:08d}")
+        tmp = name + ".tmp"
+        with open(tmp, "wb") as out:
+            for ln in chunk[:cut].split(b"\n")[:-1]:
+                row = {"number": st["line"],
+                       "text": ln.decode("utf-8", "replace")}
+                out.write(json.dumps(row).encode() + b"\n")
+                st["line"] += 1
+        os.rename(tmp, name)  # atomic: the stream never sees partials
+        st["off"] += cut
+        seq[0] += 1
+
+    for p0 in matches():
+        stage_one(p0)
+
+    def loop() -> None:
+        while True:
+            time.sleep(poll_s)
+            for p in matches():
+                stage_one(p)
+
+    threading.Thread(target=loop, daemon=True,
+                     name="octosql-tail-dir").start()
+    return d
+
+
 def _stream_reader(spark: SparkSession, path: str, fmt: str, schema,
                    **options) -> DataFrame:
     """``?tail=true`` → Structured Streaming file source
@@ -240,13 +303,16 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
             return (spark.readStream
                     .schema("number long, text string").json(path)
                     .select("number", "text"))
-        # directory/glob tail: a global line number is inherently
-        # sequential and cannot be assigned over an unbounded MULTI-file
-        # stream (no arrival order) — NULL numbers (documented
-        # deviation; the reference is single-file and can count).
-        return (spark.readStream.text(path)
-                .select(F.lit(None).cast("long").alias("number"),
-                        F.col("value").alias("text")))
+        # directory/glob tail: numbers are PER FILE 0-based via the
+        # same driver-side stager — deterministic regardless of
+        # multi-file arrival order (the reference only tails one file,
+        # where its 0-based numbering and this coincide; a GLOBAL
+        # number over an unordered multi-file stream would not be
+        # well-defined)
+        staged = _stage_growing_dir(path)
+        return (spark.readStream
+                .schema("number long, text string").json(staged)
+                .select("number", "text"))
     reader = spark.read
     if sep is not None and sep != "\n":
         # custom separator → the text source's lineSep option: still a

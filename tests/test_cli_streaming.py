@@ -381,3 +381,33 @@ def test_trigger_counting_where_uses_dialect_semantics(spark, tmp_path,
     assert rc == 0
     # v=2 and v=3 both pass under integer division → emission at 2
     assert "{+0001-01-01T00:00:00Z| 'x', 2, 2 |}" in out
+
+
+def test_cli_tail_directory_lines_numbered_per_file(spark, tmp_path,
+                                                    capsys):
+    """DEVIATIONS 8 fully closed (r6): a DIRECTORY lines tail numbers
+    each file 0-based independently (deterministic under any
+    multi-file arrival order; the single-file reference numbering is
+    the one-file special case). New files appearing mid-stream join
+    the watch set."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.lines").write_text("a0\na1\n")
+
+    def append():
+        time.sleep(6)  # after batch 0
+        (d / "b.lines").write_text("b0\n")
+        with open(d / "a.lines", "a") as f:
+            f.write("a2\n")
+
+    t = threading.Thread(target=append)
+    t.start()
+    rc = main([f"SELECT number, text FROM '{d}/*.lines?tail=true'",
+               "--output", "stream_native", "--duration", "20"])
+    t.join()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "| 0, 'a0' |" in out
+    assert "| 1, 'a1' |" in out
+    assert "| 2, 'a2' |" in out   # continues a.lines' own numbering
+    assert "| 0, 'b0' |" in out   # b.lines starts at 0
