@@ -3561,7 +3561,7 @@ SELECT event_type,
        TRUE AS kept_within_bounds
 FROM events, wm
 GROUP BY event_type
-""", broadcast_ok=True)
+""", broadcast_ok=True, cartesian_ok=True)
 def max_diff_watermark_batch_q(spark, sf_dir):
     """max_diff_watermark batch emulation (running max over file order
     — table_valued_functions/max_diff_watermark.go:134-180).
@@ -6101,7 +6101,7 @@ SELECT o_custkey,
          AS m_score
 FROM rfm
 ORDER BY o_custkey
-""")
+""", broadcast_ok=True)
 def customer_rfm_segments_q(spark, sf_dir):
     """RFM segmentation: recency/frequency/monetary quintiles per
     customer — the classic lifecycle-marketing rollup. One aggregate
