@@ -81,7 +81,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--contracts"]
+    args = [a for a in sys.argv[1:]
+            if a != "--contracts" and not a.startswith("--jobs=")]
     contracts_only = "--contracts" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = args[1].split(",") if len(args) > 1 else None
@@ -110,37 +111,54 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    failed, passed, rows_only = [], [], []
-    for name, build in qs.items():
-        if only and name not in only:
-            continue
+    # --jobs N: entries run in a thread pool (Spark actions are
+    # thread-safe and the scheduler interleaves jobs; each worker
+    # gets its own DuckDB cursor). Wall time is dominated by per-job
+    # scheduling latency, so 4 threads roughly halve the full run.
+    jobs = int(os.environ.get("SPARK_GRAFT_CHECK_JOBS", "1"))
+    for a in sys.argv[1:]:
+        if a.startswith("--jobs="):
+            jobs = int(a.split("=", 1)[1])
+
+    names = [n for n in qs if not only or n in only]
+
+    def run_one(name):
+        lines = []
         try:
-            sdf = build(spark, sf_dir)
-            spdf = sdf.toPandas()
-        except Exception as ex:
-            failed.append(name)
-            print(f"FAIL  {name}: spark error: {ex}")
-            continue
+            spdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            return name, "fail", [f"FAIL  {name}: spark error: {ex}"]
         if name not in oracles:
-            rows_only.append(name)
-            print(f"rows  {name}: {len(spdf)} rows (no oracle)")
-            continue
+            return name, "rows", [f"rows  {name}: {len(spdf)} rows (no oracle)"]
         try:
-            opdf = con.execute(oracles[name]).df()
-        except Exception as ex:
-            failed.append(name)
-            print(f"FAIL  {name}: oracle error: {ex}")
-            continue
+            opdf = con.cursor().execute(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            return name, "fail", [f"FAIL  {name}: oracle error: {ex}"]
         problems = compare(name, spdf, opdf)
-        if problems:
-            failed.append(name)
-            print(f"FAIL  {name}: " + "; ".join(problems))
-        else:
-            passed.append(name)
-            print(f"ok    {name} ({len(spdf)} rows)")
+        status = "fail" if problems else "ok"
+        lines.append(f"FAIL  {name}: " + "; ".join(problems) if problems
+                     else f"ok    {name} ({len(spdf)} rows)")
         types = dtype_mismatches(spdf, opdf)
         if types:
-            print(f"TYPE  {name}: " + "; ".join(types))
+            lines.append(f"TYPE  {name}: " + "; ".join(types))
+        return name, status, lines
+
+    failed, passed, rows_only = [], [], []
+
+    def record(res):
+        name, status, lines = res
+        for ln in lines:
+            print(ln, flush=True)
+        {"fail": failed, "ok": passed, "rows": rows_only}[status].append(name)
+
+    if jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            for res in pool.map(run_one, names):
+                record(res)
+    else:
+        for name in names:
+            record(run_one(name))
 
     print(f"\n{len(passed)} ok, {len(failed)} failed, {len(rows_only)} rows-only")
     return 1 if failed else 0
