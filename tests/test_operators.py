@@ -376,3 +376,31 @@ def test_rfm_plan_has_no_data_singlepartition_sort(spark):
     # the data path must not window-sort on a single partition: no
     # ntile over an empty partition spec survives in the plan
     assert "ntile" not in plan.lower()
+
+
+def test_global_ntile_property_random(spark):
+    """Property check on random multisets (with heavy ties broken by
+    id) and random k: global_ntile equals the window NTILE exactly.
+    Driven by a seeded RNG over 12 cases rather than hypothesis —
+    each case costs two Spark jobs."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from octosql_spark.operators.order_limit import global_ntile
+
+    rng = random.Random(7)
+    for _ in range(12):
+        n = rng.randint(1, 400)
+        k = rng.randint(2, 12)
+        dup = rng.choice([1, 3, 50])  # tie density
+        rows = [(i, rng.randint(0, max(1, n // dup))) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long") \
+                  .repartition(rng.choice([1, 4, 16]))
+        order = [F.col("v").asc(), F.col("id").asc()]
+        got = {r.id: r.tile
+               for r in global_ntile(df, k, order, "tile").collect()}
+        want = {r.id: r.tile for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy("v", "id"))
+            .alias("tile")).collect()}
+        assert got == want, (n, k, dup)
