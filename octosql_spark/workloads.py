@@ -2912,13 +2912,19 @@ WHERE list_dot_product(a.v, b.v)
 def dedup_embedding_cosine_lsh_q(spark, sf_dir):
     """LSH-bucketed variant (the scale path), value-oracled against
     the exact all-pairs cosine: precision is exact by construction
-    (candidates re-verify with true cosine) and the multi-table
-    hyperplane LSH recovers every >= 0.45 pair the quadratic scan
-    finds on this corpus — the oracle verifies recall too, turning a
-    previously rows-only entry into a value check."""
+    (candidates re-verify with true cosine); RECALL is the
+    probabilistic multi-table bound, so the gate parameters must be
+    sized for the threshold — at cos 0.45 (θ≈1.10 rad) one 4-plane
+    table collides with p=(1−θ/π)⁴≈0.18, and the old 8 tables left a
+    ~21% miss rate AT the threshold (perfect at sf0.01 by luck;
+    26/144 pairs missed at sf0.1 — caught by the r6 full-registry
+    sf0.1 sweep). 3 planes × 24 tables puts the per-pair miss at
+    (1−0.27)²⁴≈5e-4 and is exhaustive (deterministic: hyperplanes are
+    hash-seeded) on this corpus at BOTH sf0.01 and sf0.1."""
     from octosql_spark.datapipe import embedding_near_dup_pairs
     e = _t(spark, sf_dir, "embeddings")
-    return (embedding_near_dup_pairs(e, threshold=0.45, method="lsh")
+    return (embedding_near_dup_pairs(e, threshold=0.45, method="lsh",
+                                     n_planes=3, n_tables=24)
             .select("id_a", "id_b"))
 
 
@@ -2943,7 +2949,11 @@ def dedup_embedding_ingest_q(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     batch = e.filter(F.col("vec_id") >= 250)
     corpus = e.filter(F.col("vec_id") < 250)
-    return (embedding_ingest_near_dups(batch, corpus, threshold=0.45)
+    # 3 planes x 24 tables: exhaustive recall at this threshold on
+    # both SFs (see dedup_embedding_cosine_lsh — the r6 sf0.1 sweep
+    # caught the default 4x8 missing 6/31 batch-corpus pairs)
+    return (embedding_ingest_near_dups(batch, corpus, threshold=0.45,
+                                       n_planes=3, n_tables=24)
             .select("batch_id", "corpus_id"))
 
 

@@ -82,8 +82,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 def main() -> int:
     args = [a for a in sys.argv[1:]
-            if a != "--contracts" and not a.startswith("--jobs=")]
+            if a != "--contracts" and not a.startswith(("--jobs=",
+                                                        "--skip="))]
     contracts_only = "--contracts" in sys.argv[1:]
+    skip: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--skip="):
+            # scale sweeps: the all-pairs recall oracles are
+            # sf0.01-quadratic by design (README); skip them at sf0.1
+            skip.update(a.split("=", 1)[1].split(","))
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = args[1].split(",") if len(args) > 1 else None
 
@@ -120,7 +127,7 @@ def main() -> int:
         if a.startswith("--jobs="):
             jobs = int(a.split("=", 1)[1])
 
-    names = [n for n in qs if not only or n in only]
+    names = [n for n in qs if (not only or n in only) and n not in skip]
 
     def run_one(name):
         lines = []
