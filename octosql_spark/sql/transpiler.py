@@ -1765,9 +1765,23 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
             if tf and tf.upper().startswith("DESCRIPTOR"):
                 tf = tf[tf.index("(") + 1:tf.rindex(")")].strip()
             resolution = _str_arg("resolution")
-            res = tvfmod.max_diff_watermark(
-                df, _interval_to_spark(_str_arg("max_diff")), tf,
-                resolution=_interval_to_spark(resolution) if resolution else None)
+            if df.isStreaming:
+                # streaming source (?tail=true): this TVF IS
+                # Structured Streaming's event-time watermark — the
+                # batch emulation's windows would be rejected at
+                # stream start (r6 fix: it used to be applied
+                # unconditionally and failed there). Late rows drop
+                # at the downstream stateful operator, which is where
+                # the reference's drop is observable too (a
+                # pass-through select has no state to be late FOR).
+                from octosql_spark.streaming.core import with_watermark
+                res = with_watermark(
+                    df, tf, _interval_to_spark(_str_arg("max_diff")))
+            else:
+                res = tvfmod.max_diff_watermark(
+                    df, _interval_to_spark(_str_arg("max_diff")), tf,
+                    resolution=_interval_to_spark(resolution)
+                    if resolution else None)
             # the time field becomes the record event time
             # (max_diff_watermark.go:14-180)
             out.event_time = tf

@@ -104,7 +104,8 @@ def test_cli_tail_single_file_lines_numbered(spark, tmp_path, capsys):
     ``lines`` file gets the reference's sequential 0-based numbers
     (datasources/lines/impl.go:13-63) — the staged-append loop sees
     chunks in file order and numbers them as it stages. (Directory
-    tails still carry NULL numbers: multi-file arrival is unordered.)"""
+    tails number per-file — see
+    test_cli_tail_directory_lines_numbered_per_file.)"""
     p = tmp_path / "grow.lines"
     p.write_text("alpha\nbeta\n")
 
@@ -411,3 +412,31 @@ def test_cli_tail_directory_lines_numbered_per_file(spark, tmp_path,
     assert "| 1, 'a1' |" in out
     assert "| 2, 'a2' |" in out   # continues a.lines' own numbering
     assert "| 0, 'b0' |" in out   # b.lines starts at 0
+
+
+def test_cli_streaming_max_diff_watermark_runs(spark, tmp_path, capsys):
+    """max_diff_watermark over a ?tail=true source maps to
+    withWatermark (r6 fix: the batch emulation's windows used to be
+    applied unconditionally and were rejected at stream start).
+    On-time records aggregate normally."""
+    p = tmp_path / "ev.json"
+    p.write_text('{"ts": "2024-01-01T00:00:01", "v": 1}\n'
+                 '{"ts": "2024-01-01T00:00:02", "v": 1}\n')
+
+    def append():
+        time.sleep(6)
+        with open(p, "a") as f:
+            f.write('{"ts": "2024-01-01T00:00:03", "v": 2}\n')
+
+    t = threading.Thread(target=append)
+    t.start()
+    rc = main([
+        "SELECT v, COUNT(*) AS n FROM max_diff_watermark("
+        f"source => TABLE(SELECT * FROM '{p}?tail=true'), "
+        "max_diff => INTERVAL 5 SECOND, "
+        "time_field => DESCRIPTOR(ts)) GROUP BY v",
+        "--output", "stream_native", "--duration", "20"])
+    t.join()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "1, 2 |" in out.replace("1.0", "1")  # v=1 count 2
