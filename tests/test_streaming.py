@@ -341,3 +341,53 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     got = {(r.user, r.user_r) for r in _mem(joined).collect()}
     assert ("a", "a") in got          # matched pair
     assert ("b", None) in got         # unmatched left emitted with NULLs
+
+
+def test_nested_tvfs_streaming_front_door(spark, tmp_path):
+    """tumble(max_diff_watermark(tail source)) through the SQL front
+    door: nested TVF materialization composes and the result streams
+    (r6 — pinned alongside the withWatermark dispatch fix)."""
+    import time
+
+    from octosql_spark.sql import run_query
+    p = tmp_path / "ev.json"
+    p.write_text('{"ts": "2024-01-01T00:00:01", "v": 1}\n')
+    r = run_query(
+        spark,
+        "SELECT window_end, COUNT(*) AS n FROM tumble("
+        "source => TABLE(SELECT * FROM max_diff_watermark("
+        f"source => TABLE(SELECT * FROM '{p}?tail=true'), "
+        "max_diff => INTERVAL 5 SECOND, time_field => DESCRIPTOR(ts))), "
+        "window_length => INTERVAL 1 MINUTE) GROUP BY window_end")
+    assert r.df.isStreaming
+    q = (r.df.writeStream.outputMode("update")
+         .format("memory").queryName("nested_tvf").start())
+    try:
+        time.sleep(8)
+    finally:
+        q.stop()
+    assert spark.sql("SELECT * FROM nested_tvf").count() == 1
+
+
+def test_stream_stream_join_front_door(spark, tmp_path):
+    """Two ?tail=true sources joined via comma-FROM: the transpiled
+    plan is a stream-stream inner join and produces rows."""
+    import time
+
+    from octosql_spark.sql import run_query
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text('{"k": 1, "v": 10}\n')
+    b.write_text('{"k": 1, "w": 20}\n')
+    r = run_query(
+        spark,
+        f"SELECT x.v AS v, y.w AS w FROM '{a}?tail=true' x, "
+        f"'{b}?tail=true' y WHERE x.k = y.k")
+    assert r.df.isStreaming
+    q = (r.df.writeStream.outputMode("append")
+         .format("memory").queryName("ssj").start())
+    try:
+        time.sleep(8)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ssj").collect()
+    assert [(r.v, r.w) for r in rows] == [(10, 20)]
