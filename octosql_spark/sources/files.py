@@ -292,10 +292,18 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
     """lines source → {number: Int (0-based), text: String}
     (datasources/lines/impl.go:13-63).
 
-    Row numbering must follow file order: zipWithIndex preserves
-    partition-then-offset order, which is file order for a single
-    file. (At 100 TB you would not want a global line number at all —
-    it is inherently sequential; the reference is single-machine.)"""
+    Row numbering must follow file order. The numbering is a pure-JVM
+    parallel prefix (the same decomposition as
+    ``operators.order_limit.global_ntile``):
+    ``monotonically_increasing_id`` encodes (scan partition id << 33)
+    | row-within-partition — partition-then-offset order, which is
+    byte order for a single file — then a #partitions-row prefix-sum
+    of per-partition counts broadcasts back as rank offsets. No
+    ``zipWithIndex``: that form pickled every line through a Python
+    worker (~100 MB/s/core) on what is otherwise a GB/s splittable
+    JVM text scan. (At 100 TB you would not want a global line number
+    at all — it is inherently sequential; the reference is
+    single-machine.)"""
     if tail:
         if "://" not in path and os.path.isfile(path):
             # single growing file: the staged-append loop sees chunks
@@ -321,12 +329,27 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
         # SPLITTABLE scan (vs. wholetext, which materializes the whole
         # file as one row and breaks on multi-GB inputs)
         reader = reader.option("lineSep", sep)
+    from pyspark.sql.window import Window
     df = reader.text(path)
-    # zipWithIndex = per-partition count + offset merge: two narrow
-    # jobs, no single-task stage — the distributed form of a global
-    # sequential number
-    rdd = df.rdd.zipWithIndex().map(lambda p: (p[1], p[0]["value"]))
-    return spark.createDataFrame(rdd, "number long, text string")
+    # per-partition count + broadcast offset merge — the distributed
+    # form of a global sequential number, with every stage JVM-side.
+    # The scan subtree evaluates twice (counts + final join); a text
+    # FileScan plans its splits deterministically, so both passes see
+    # identical (partition, row) positions.
+    d = df.select(F.monotonically_increasing_id().alias("_mid"),
+                  F.col("value").alias("text"))
+    d = d.withColumn("_lpid", F.shiftrightunsigned("_mid", 33))
+    cnt = d.groupBy("_lpid").agg(F.count(F.lit(1)).alias("_pc"))
+    w = (Window.orderBy("_lpid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    # #partitions rows — the only single-partition work
+    prior = cnt.select(
+        "_lpid",
+        F.coalesce(F.sum("_pc").over(w), F.lit(0)).alias("_prior"))
+    in_part = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (d.join(F.broadcast(prior), "_lpid")
+            .select((F.col("_prior") + in_part).cast("long")
+                    .alias("number"), "text"))
 
 
 def read_parquet(spark: SparkSession, path: str, tail: bool = False,

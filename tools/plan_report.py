@@ -82,6 +82,13 @@ def describe(df) -> dict:
         "codegen_spans": len(codegen_ids),
         "python_eval": plan.count("BatchEvalPython")
         + plan.count("ArrowEvalPython"),
+        # RDD-backed scans: a `df.rdd`/`createDataFrame(rdd)` round
+        # trip shows as `Scan ExistingRDD`/`PythonRDD`, NOT as a
+        # Python-eval node — the r6 `read_lines` zipWithIndex path hid
+        # from the budget exactly this way. Count it so the frozen
+        # gate catches any future Python data path.
+        "rdd_scans": plan.count("Scan ExistingRDD")
+        + plan.count("PythonRDD"),
         "pandas_stages": plan.count("MapInPandas")
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("AggregateInPandas"),
@@ -112,6 +119,8 @@ def main() -> int:
         "total_broadcasts": sum(r["broadcasts"] for r in good),
         "row_python_eval_plans":
             sum(1 for r in good if r["python_eval"]),
+        "rdd_scan_plans":
+            sum(1 for r in good if r.get("rdd_scans")),
         "pandas_plans": sum(1 for r in good if r["pandas_stages"]),
         "zero_shuffle_plans":
             sum(1 for r in good if r["shuffles"] == 0),
