@@ -570,10 +570,15 @@ def heavy_hitters(df: DataFrame, item_col: str,
         return s
 
     def _emit(s, n_total):
+        # _wt/_pn are kept NULL-FREE (0 on the complementary rows, not
+        # None): a long column with nulls crosses Arrow→pandas as
+        # float64, which corrupts counts past 2^53 BEFORE any cast
+        # could save them (ADVICE r6) — null-free longs stay int64
+        # end-to-end. The summary row is marked by item_col IS NULL.
         yield pd.DataFrame({
             item_col: list(s.index.astype(object)) + [None],
-            "_wt": [int(v) for v in s] + [None],
-            "_pn": [None] * len(s) + [int(n_total)]})
+            "_wt": [int(v) for v in s] + [0],
+            "_pn": [0] * len(s) + [int(n_total)]})
 
     def _mg(batches):
         s = pd.Series(dtype="int64")
@@ -581,20 +586,24 @@ def heavy_hitters(df: DataFrame, item_col: str,
         for pdf in batches:
             col = pdf[item_col].dropna()
             n_part += len(col)
-            s = _cap(s.add(col.value_counts(), fill_value=0))
+            # concat+groupby, NOT Series.add(fill_value=0): add's
+            # index alignment passes through float64, which silently
+            # loses precision above 2^53 (ADVICE r6) — weights are
+            # exact counts and must stay int64 at every step
+            s = _cap(pd.concat([s, col.value_counts()])
+                     .groupby(level=0).sum())
         yield from _emit(s, n_part)
 
     def _merge(batches):
-        s = pd.Series(dtype="float64")
+        s = pd.Series(dtype="int64")
         n_total = 0
         for pdf in batches:
-            pn = pdf["_pn"].dropna()
-            if len(pn):
-                n_total += int(pn.sum())
+            n_total += int(pdf["_pn"].sum())  # int64: null-free column
             rows = pdf[pdf[item_col].notna()]
             if len(rows):
                 add = rows.groupby(item_col)["_wt"].sum()
-                s = _cap(s.add(add, fill_value=0))
+                # concat+groupby keeps int64 exact — see _mg
+                s = _cap(pd.concat([s, add]).groupby(level=0).sum())
         yield from _emit(s, n_total)
 
     summ = df.select(item_col).mapInPandas(_mg, schema=summ_schema)
@@ -607,7 +616,9 @@ def heavy_hitters(df: DataFrame, item_col: str,
     summaries = (summ.repartition(1)
                  .mapInPandas(_merge, schema=summ_schema)
                  .collect())
-    assert len(summaries) <= c + 2, "MG merge cap violated"
+    if len(summaries) > c + 2:  # explicit: survives python -O
+        raise AssertionError(
+            f"MG merge cap violated: {len(summaries)} > {c + 2}")
     n = sum(r["_pn"] for r in summaries if r["_pn"] is not None)
     items = sorted({r[item_col] for r in summaries
                     if r[item_col] is not None})

@@ -62,6 +62,14 @@ def global_ntile(df: DataFrame, n_tiles: int,
     (pass a unique tiebreak column); with duplicate keys the window
     NTILE is itself nondeterministic. The only single-partition work
     left is over the #partitions-row offset table.
+
+    Cache contract: the range-partitioned frame is persisted because
+    the offset table and the final join must observe the SAME sampled
+    partition boundaries — it cannot be unpersisted before the
+    CALLER's action runs, so this function does not release it.
+    Long-lived sessions release between units of work via
+    ``octosql_spark.session.release_cached(spark)`` (the registry
+    checker does).
     """
     from pyspark.sql.window import Window
 

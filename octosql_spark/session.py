@@ -64,6 +64,28 @@ def get_spark(app_name: str = "octosql_spark", master: str | None = None,
     return spark
 
 
+def cached_rdd_count(spark: SparkSession) -> int:
+    """Number of RDDs currently registered as persistent in the
+    session — the leak metric for the session-hygiene contract."""
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def release_cached(spark: SparkSession) -> int:
+    """Release every cached DataFrame/table in the session.
+
+    Several operators persist intermediates whose lifetime must cover
+    the CONSUMING action (e.g. ``global_ntile``'s range-partitioned
+    frame: the broadcast offsets and the final join must see the SAME
+    sampled partitioning, so the cache cannot be dropped before the
+    caller's action runs — ADVICE r6). The operator therefore cannot
+    unpersist its own cache; a long-lived session (service, REPL, the
+    registry checker) calls this between units of work instead.
+    Returns the number of persistent RDDs that were registered."""
+    n = cached_rdd_count(spark)
+    spark.catalog.clearCache()
+    return n
+
+
 def apply_runtime_confs(spark: SparkSession) -> None:
     """Apply the runtime-settable subset of our confs to an existing
     session (the verify driver passes us its own SparkSession)."""

@@ -101,7 +101,13 @@ def _stage_growing_dir(pattern: str, poll_s: float = 0.5) -> str:
     state, each growth burst staged as JSON rows with numbers that
     are 0-based WITHIN their file (datasources/lines/impl.go:13-63
     numbering, applied per file). New files join the watch set on the
-    next poll; rotated/removed files stay at their last offset. Same
+    next poll; a file that SHRINKS below its stored offset
+    (truncate-then-rewrite rotation) is treated as new — offset and
+    numbering reset to 0; a removed file stays at its last offset in
+    case it reappears unchanged. (A rewrite only ever OBSERVED at a
+    size past the old offset is indistinguishable from an append —
+    the same limitation as ``tail -f`` on a rotated-in-place file.)
+    Same
     cost model as the single-file stager: one glob + one stat per
     file per poll, sequential reads only on growth."""
     import glob as _glob
@@ -122,7 +128,15 @@ def _stage_growing_dir(pattern: str, poll_s: float = 0.5) -> str:
     def stage_one(p: str) -> None:
         st = state.setdefault(p, {"off": 0, "line": 0})
         try:
-            if os.path.getsize(p) <= st["off"]:
+            size = os.path.getsize(p)
+            if size < st["off"]:
+                # truncate-then-regrow rotation: the file shrank below
+                # our offset, so the old content is gone — treat the
+                # rewritten file as NEW (offset 0, numbering restarts
+                # at 0) instead of resuming mid-content at a stale
+                # offset with continued (wrong) numbers (ADVICE r6)
+                st["off"], st["line"] = 0, 0
+            if size <= st["off"]:
                 return
             with open(p, "rb") as f:
                 f.seek(st["off"])

@@ -1774,9 +1774,26 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
                 # at the downstream stateful operator, which is where
                 # the reference's drop is observable too (a
                 # pass-through select has no state to be late FOR).
+                #
+                # resolution: the reference advances its watermark
+                # from FLOOR(ts, resolution) (max_diff_watermark.go:
+                # 148-160), i.e. its watermark sits up to one
+                # resolution unit LOWER than max(ts) - max_diff.
+                # withWatermark can only track the raw column, so fold
+                # resolution into the delay (max_diff + resolution):
+                # the resulting watermark is ≤ the reference's —
+                # conservative, never drops a row the reference keeps
+                # (Spark's late-drop is per-micro-batch best-effort in
+                # that direction anyway). Default resolution is
+                # 1 second, like the reference (:108).
                 from octosql_spark.streaming.core import with_watermark
-                res = with_watermark(
-                    df, tf, _interval_to_spark(_str_arg("max_diff")))
+                from octosql_spark.tvf import interval_micros
+                delay_us = (interval_micros(
+                    _interval_to_spark(_str_arg("max_diff")))
+                    + interval_micros(
+                        _interval_to_spark(resolution)
+                        if resolution else "1 second"))
+                res = with_watermark(df, tf, f"{delay_us} microseconds")
             else:
                 res = tvfmod.max_diff_watermark(
                     df, _interval_to_spark(_str_arg("max_diff")), tf,

@@ -440,3 +440,54 @@ def test_cli_streaming_max_diff_watermark_runs(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "1, 2 |" in out.replace("1.0", "1")  # v=1 count 2
+
+
+def test_streaming_max_diff_watermark_folds_resolution(spark, tmp_path):
+    """The streaming watermark folds ``resolution`` into the delay
+    (ADVICE r6): the reference advances its watermark from
+    FLOOR(ts, resolution) (max_diff_watermark.go:148-160), so the
+    Spark delay must be max_diff + resolution — conservative by at
+    most one resolution unit, never dropping a row the reference
+    keeps. Default resolution is 1 second (:108)."""
+    from octosql_spark.sql import run_query
+    p = tmp_path / "ev.json"
+    p.write_text('{"ts": "2024-01-01T00:00:01", "v": 1}\n')
+
+    q = ("SELECT v, COUNT(*) AS n FROM max_diff_watermark("
+         f"source => TABLE(SELECT * FROM '{p}?tail=true'), "
+         "max_diff => INTERVAL 5 SECOND, "
+         "time_field => DESCRIPTOR(ts){res}) GROUP BY v")
+    plan_default = run_query(
+        spark, q.format(res="")).df._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "-T6000ms" in plan_default  # 5s + default 1s
+    plan_minute = run_query(
+        spark, q.format(res=", resolution => INTERVAL 1 MINUTE")) \
+        .df._jdf.queryExecution().analyzed().toString()
+    assert "-T65000ms" in plan_minute  # 5s + 60s
+
+
+def test_tail_dir_truncate_regrow_resets(tmp_path):
+    """A tailed file that shrinks below its stored offset
+    (truncate-then-rewrite rotation) restarts as a new file — offset
+    and per-file numbering reset to 0 (ADVICE r6: the stager used to
+    resume mid-content at the stale offset once the file regrew)."""
+    import glob
+    import json
+    import time
+
+    from octosql_spark.sources.files import _stage_growing_dir
+
+    p = tmp_path / "a.lines"
+    p.write_text("x0\nx1\n")
+    d = _stage_growing_dir(str(tmp_path))
+    time.sleep(1.2)
+    p.write_text("y0\n")  # 3 bytes < stored offset 6 → rotation
+    time.sleep(1.5)
+    rows = []
+    for f in sorted(glob.glob(d + "/part-*")):
+        with open(f) as fh:
+            rows += [json.loads(ln) for ln in fh]
+    assert {"number": 0, "text": "x0"} in rows
+    assert {"number": 1, "text": "x1"} in rows
+    assert {"number": 0, "text": "y0"} in rows  # reset, not garbled

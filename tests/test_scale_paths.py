@@ -238,3 +238,20 @@ def test_semantic_dedup_two_level_assignment(spark):
     # k = ceil(600/10) = 60 > 16 → two-level path (k1=8, k2=8)
     assert len(out) == 600
     assert len({r.vec_id for r in out}) == 600
+
+
+def test_session_hygiene_release_cached(spark, sf_dir):
+    """Session-hygiene contract (ADVICE r6): cache-heavy entries
+    (global_ntile's range-partitioned frame, the LSH persists) pin
+    their caches only until the consuming action; a long-lived session
+    releases them via release_cached, after which the session holds
+    ZERO persistent RDDs."""
+    from octosql_spark.session import cached_rdd_count, release_cached
+    from octosql_spark.workloads import REGISTRY
+
+    release_cached(spark)  # start clean regardless of test order
+    df = REGISTRY["customer_rfm_segments"].build(spark, sf_dir)
+    assert df.count() > 0  # consuming action: caches materialize
+    assert cached_rdd_count(spark) > 0  # persists really registered
+    release_cached(spark)
+    assert cached_rdd_count(spark) == 0

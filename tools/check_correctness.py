@@ -106,9 +106,13 @@ def main() -> int:
         # Round checklist: python tools/check_correctness.py
         #   /root/testdata/sf0.1 --contracts
         import re as _re
-        only = [n for n in qs
-                if n in oracles
-                and _re.search(r"\bTRUE\s+AS\s+\w+", oracles[n], _re.I)]
+        contracts = [n for n in qs
+                     if n in oracles
+                     and _re.search(r"\bTRUE\s+AS\s+\w+", oracles[n], _re.I)]
+        # intersect with a positional `only` filter when both are
+        # given (ADVICE r6: --contracts used to silently overwrite it)
+        only = ([n for n in contracts if n in only] if only
+                else contracts)
         print(f"contracts subset: {sorted(only)}")
 
     spark = get_spark("correctness")
@@ -158,14 +162,24 @@ def main() -> int:
             print(ln, flush=True)
         {"fail": failed, "ok": passed, "rows": rows_only}[status].append(name)
 
+    from octosql_spark.session import cached_rdd_count, release_cached
     if jobs > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=jobs) as pool:
             for res in pool.map(run_one, names):
                 record(res)
+        # concurrent mode: releasing per-entry would unpersist frames
+        # other threads are mid-query on (range-partition caches must
+        # stay pinned until their consuming action) — release once at
+        # sweep end instead
+        release_cached(spark)
     else:
         for name in names:
             record(run_one(name))
+            release_cached(spark)  # session hygiene: no cache leaks
+    leaked = cached_rdd_count(spark)
+    if leaked:
+        print(f"HYGIENE: {leaked} persistent RDDs leaked after release")
 
     print(f"\n{len(passed)} ok, {len(failed)} failed, {len(rows_only)} rows-only")
     return 1 if failed else 0
