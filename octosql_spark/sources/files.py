@@ -194,6 +194,76 @@ def _stream_reader(spark: SparkSession, path: str, fmt: str, schema,
     return reader.load(path)
 
 
+_CSV_PROBE_CACHE: dict[tuple, tuple[bool, str | None]] = {}
+_CSV_PROBE_CACHE_MAX = 256
+
+
+def _read_head(path: str, cap: int) -> bytes:
+    """First ``cap + 1`` bytes (separate function so tests can count
+    probe reads)."""
+    with open(path, "rb") as f:
+        return f.read(cap + 1)
+
+
+def _csv_probe_worker(path: str, sep: str,
+                      header: bool) -> tuple[bool, str | None]:
+    """Chunked quote memchr + (only when a quote exists) the full
+    Go-decoder replay. Runs on an executor for large files; the
+    replay holds the file's bytes in that worker — quote-FREE files
+    never replay (the memchr streams in 16 MB chunks), and a
+    single multi-GB quoted CSV file is already the slow path in the
+    reference too (its decoder is single-threaded per file)."""
+    has_quote = False
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(16 << 20)
+            if not b:
+                break
+            if b'"' in b:
+                has_quote = True
+                break
+    if not has_quote:
+        return False, None
+    from octosql_spark.goemu import gocsv_decode_error
+    return True, gocsv_decode_error(path, sep, header=header)
+
+
+def _csv_quote_probe(spark: SparkSession, path: str, sep: str,
+                     header: bool) -> tuple[bool, str | None]:
+    """(file contains a quote char, Go-decoder rejection message or
+    None), memoized per (path, size, mtime, sep, header) — the probe
+    and the full-file Go replay run once per distinct file content,
+    not once per read (r6 What's-wrong #2). Files ≤64 MB probe and
+    replay driver-side; larger files run the ENTIRE probe (chunked
+    memchr over the full file, not just a head — a quote first
+    appearing past any head cap still counts) + replay EXECUTOR-side
+    as one task (r6 Next #7): the reference decodes each file
+    single-threaded anyway, so a per-file task loses nothing and the
+    driver never streams the bytes."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns,
+           sep, header)
+    if key in _CSV_PROBE_CACHE:
+        return _CSV_PROBE_CACHE[key]
+    cap = 64 << 20
+    if st.st_size <= cap:
+        head = _read_head(path, cap)
+        has_quote = b'"' in head
+        msg = None
+        if has_quote:
+            from octosql_spark.goemu import gocsv_decode_error
+            msg = gocsv_decode_error(path, sep, header=header)
+    else:
+        has_quote, msg = (spark.sparkContext.parallelize([path], 1)
+                          .map(lambda p: _csv_probe_worker(
+                              p, sep, header))
+                          .collect()[0])
+    if len(_CSV_PROBE_CACHE) >= _CSV_PROBE_CACHE_MAX:
+        _CSV_PROBE_CACHE.pop(next(iter(_CSV_PROBE_CACHE)))
+    _CSV_PROBE_CACHE[key] = (has_quote, msg)
+    return has_quote, msg
+
+
 def read_csv(spark: SparkSession, path: str, header: bool = True,
              sep: str = ",", octosql_infer: bool = True,
              tail: bool = False, **_: object) -> DataFrame:
@@ -234,34 +304,31 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
             "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"}
     if tail:
         return _stream_reader(spark, path, "csv", schema, **opts, **_)
-    # Strict quote parity (DEVIATIONS 9 residual, closed r6 for
-    # bounded files): univocity diverges from Go csv on three quote
-    # shapes — a bare `"` mid-field and an unterminated quote to EOF
-    # parse as DATA (so FAILFAST never fires), and a quoted embedded
-    # newline SPLITS into two rows unless multiLine is on. Probe the
-    # file head (≤64 MB) for a quote char: quote-free files (the
-    # common machine-written case, incl. the bench anchor) pay one
-    # ~ms memchr and keep the fast splittable scan; quote-bearing
-    # files turn on multiLine (per-file reads, like Go's own
-    # single-threaded decode — still parallel ACROSS files) and, when
-    # the whole file fits the probe, get the exact Go-decoder replay
-    # driver-side so Go-rejected damage errors at read time (measured
-    # ~11 MB/s pure-Python → ≤ ~6 s at the 64 MB cap, the same order
-    # as the reference's own single-threaded decode of that file).
-    # Larger quoted files keep the documented deviation rather than
-    # serializing a 100 TB scan through one driver.
+    # Strict quote parity (DEVIATIONS 9, closed): univocity diverges
+    # from Go csv on three quote shapes — a bare `"` mid-field and an
+    # unterminated quote to EOF parse as DATA (so FAILFAST never
+    # fires), and a quoted embedded newline SPLITS into two rows
+    # unless multiLine is on. Probe the file head (≤64 MB) for a
+    # quote char: quote-free files (the common machine-written case,
+    # incl. the bench anchor) pay one ~ms memchr and keep the fast
+    # splittable scan; quote-bearing files turn on multiLine
+    # (per-file reads, like Go's own single-threaded decode — still
+    # parallel ACROSS files) and get the exact Go-decoder replay so
+    # Go-rejected damage errors at read time: driver-side when the
+    # whole file fits the probe (~11 MB/s pure-Python → ≤ ~6 s at the
+    # 64 MB cap), EXECUTOR-side as one task for larger files (the
+    # reference decodes each file single-threaded anyway, so a
+    # per-file task loses nothing and the driver serializes nothing —
+    # r6 Next #7). Probe + replay verdicts are cached per
+    # (path, size, mtime), so a session re-querying the same file
+    # pays once (r6 Next #5).
     if "://" not in path and os.path.isfile(path):
-        cap = 64 << 20
-        with open(path, "rb") as f:
-            head = f.read(cap + 1)
-        if b'"' in head:
+        has_quote, msg = _csv_quote_probe(spark, path, sep, header)
+        if has_quote:
             opts["multiLine"] = "true"
-            if len(head) <= cap:
-                from octosql_spark.goemu import (GoCSVDecodeError,
-                                                 gocsv_decode_error)
-                msg = gocsv_decode_error(path, sep, header=header)
-                if msg:
-                    raise GoCSVDecodeError(msg)
+            if msg:
+                from octosql_spark.goemu import GoCSVDecodeError
+                raise GoCSVDecodeError(msg)
     reader = spark.read
     for k, v in opts.items():
         reader = reader.option(k, v)

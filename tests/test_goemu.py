@@ -205,3 +205,84 @@ def test_fastjson_class_corpus_frozen(spark, tmp_path, capsys):
         got = err_lines[0] if err_lines else ""
         assert rc == rec["rc"], name
         assert got == rec["stderr"], (name, got, rec["stderr"])
+
+
+def test_csv_quote_probe_cached_per_content(spark, tmp_path, monkeypatch):
+    """The quote probe + Go replay run ONCE per (path, size, mtime)
+    (r6 What's-wrong #2): a second read of the same quoted CSV must
+    not re-read the head or re-replay; touching the file re-probes."""
+    import octosql_spark.sources.files as files_mod
+    from octosql_spark.sources.files import read_csv
+
+    p = tmp_path / "quoted.csv"
+    p.write_text('a,b\n1,"x,y"\n2,"z"\n')
+    calls = {"n": 0}
+    real = files_mod._read_head
+
+    def counting(path, cap):
+        calls["n"] += 1
+        return real(path, cap)
+
+    monkeypatch.setattr(files_mod, "_read_head", counting)
+    assert read_csv(spark, str(p)).count() == 2
+    assert read_csv(spark, str(p)).count() == 2
+    assert calls["n"] == 1  # probe + replay verdict memoized
+    # content change (size differs) invalidates the cache entry
+    with open(p, "a") as f:
+        f.write('3,"w"\n')
+    assert read_csv(spark, str(p)).count() == 3
+    assert calls["n"] == 2
+
+
+def test_csv_large_quoted_file_replays_executor_side(spark, tmp_path):
+    """A quoted CSV past the 64 MB probe cap gets the exact Go-decoder
+    replay in ONE executor task (r6 Next #7 — previously such files
+    kept the old univocity tolerance): Go-rejected damage errors at
+    read time with Go's ParseError text, and the driver never streams
+    the file."""
+    from octosql_spark.goemu import GoCSVDecodeError
+    from octosql_spark.sources.files import read_csv
+
+    p = tmp_path / "big.csv"
+    filler = "x" * 63 + ",ok"
+    with open(p, "w") as f:
+        f.write("a,b\n")
+        f.write('1,"q"\n')          # quote in the head → probe fires
+        f.write('2,ab"cd\n')        # Go ErrBareQuote on line 3, col 5
+        n_rows = (65 << 20) // (len(filler) + 1)
+        for i in range(n_rows):     # pad past the 64 MB cap
+            f.write(filler + "\n")
+    assert p.stat().st_size > (64 << 20)
+    try:
+        read_csv(spark, str(p))
+        raise AssertionError("expected GoCSVDecodeError")
+    except GoCSVDecodeError as e:
+        assert e.go_msg == (
+            "couldn't decode message: parse error on line 3, "
+            'column 5: bare " in non-quoted field')
+
+
+def test_csv_large_file_quote_past_head_still_probed(spark, tmp_path):
+    """The large-file probe is a FULL-file memchr, not a head window:
+    a file whose only quote damage sits past 64 MB still errors with
+    Go's ParseError (previously such files silently kept univocity's
+    tolerance)."""
+    from octosql_spark.goemu import GoCSVDecodeError
+    from octosql_spark.sources.files import read_csv
+
+    p = tmp_path / "late_quote.csv"
+    filler = "y" * 63 + ",ok"
+    n_rows = (65 << 20) // (len(filler) + 1)
+    with open(p, "w") as f:
+        f.write("a,b\n")
+        for i in range(n_rows):      # quote-free first 65 MB
+            f.write(filler + "\n")
+        f.write('9,ab"cd\n')         # bare quote only past the cap
+    assert p.stat().st_size > (64 << 20)
+    try:
+        read_csv(spark, str(p))
+        raise AssertionError("expected GoCSVDecodeError")
+    except GoCSVDecodeError as e:
+        assert e.go_msg == (
+            f"couldn't decode message: parse error on line "
+            f"{n_rows + 2}, column 5: bare \" in non-quoted field")
