@@ -313,7 +313,29 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     ``method="lsh"`` — hyperplane-LSH candidate buckets + exact cosine
     verification: the only shuffle is the bucket equi-join; recall is
     the standard multi-table LSH bound, precision is exact. The
-    100 TB shape (candidates ≪ all-pairs)."""
+    100 TB shape (candidates ≪ all-pairs).
+
+    Recall vs threshold at the default 4 planes × 8 tables (per-pair
+    find probability 1-(1-(1-θ/π)⁴)⁸ for cosine cos θ):
+
+    ========= =========== ================
+    cosine    one table   found by ≥1 of 8
+    ========= =========== ================
+    0.45      0.177       0.790
+    0.60      0.247       0.897
+    0.80      0.400       0.983
+    0.90      0.538       0.9979
+    0.95      0.653       0.99979
+    ========= =========== ================
+
+    i.e. the DEFAULT threshold 0.9 operates where misses are ~2×10⁻³
+    per pair (pinned exactly-50/50 by the dedup_embedding_lsh_planted
+    gate fixture); the testdata gate entries at threshold 0.45 sit in
+    the worst band, which is why their honest contract is a 0.75
+    recall floor rather than exact recall — and why exhaustive-recall
+    parameterizations at 0.45 (e.g. 3×24) were REJECTED: they collide
+    ~96% of random pairs somewhere, i.e. near-quadratic candidates
+    (r6 10x stress)."""
     from octosql_spark.datapipe.similarity import (
         _dot, _hyperplane_signature)
     e = df.select(F.col(id_col).alias("_id"),
