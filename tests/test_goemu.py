@@ -286,3 +286,127 @@ def test_csv_large_file_quote_past_head_still_probed(spark, tmp_path):
         assert e.go_msg == (
             f"couldn't decode message: parse error on line "
             f"{n_rows + 2}, column 5: bare \" in non-quoted field")
+
+
+# ------------------------------------------- seeded damage fuzzing
+#
+# r6 verdict Next #9: the frozen fixture set covers hand-built shapes;
+# these sweeps pin the emulated Go error surface over GENERATED damage
+# — every classification must be deterministic across calls, and every
+# produced message must have one of Go's exact shapes with an in-range
+# line number. Seeds are pinned; a falsifying case gets frozen as a
+# named regression test above.
+
+import random
+import re
+
+
+def _random_csv(rng):
+    """A structurally valid CSV, then 0-2 random damage operations
+    (quote injection, field add/drop, newline-in-quote, truncation)."""
+    ncols = rng.randint(1, 5)
+    rows = [[f"h{c}" for c in range(ncols)]]
+    for _ in range(rng.randint(1, 8)):
+        rows.append([rng.choice(["v", "1", "2.5", "", "x y"])
+                     + str(rng.randint(0, 9)) for _ in range(ncols)])
+    txt = "\n".join(",".join(r) for r in rows) + "\n"
+    for _ in range(rng.randint(0, 2)):
+        op = rng.randint(0, 4)
+        i = rng.randint(0, max(0, len(txt) - 2))
+        if op == 0:
+            txt = txt[:i] + '"' + txt[i:]          # bare/extra quote
+        elif op == 1:
+            txt = txt[:i] + "," + txt[i:]          # field count damage
+        elif op == 2:
+            txt = txt[:i] + '"a\nb"' + txt[i:]     # quoted newline
+        elif op == 3:
+            txt = txt[:rng.randint(0, len(txt))]   # truncation
+        else:
+            txt = txt[:i] + '""' + txt[i:]         # RFC escape pair
+    return txt
+
+
+_CSV_MSG_RE = re.compile(
+    r"^couldn't decode (?:csv header row|message): "
+    r"(?:record on line (\d+): wrong number of fields"
+    r"|(?:record on line \d+; )?parse error on line (\d+), column \d+: "
+    r'(?:bare " in non-quoted field'
+    r'|extraneous or missing " in quoted-field'
+    r"|unexpected end of file))$")
+
+
+def test_fuzz_gocsv_classification_deterministic_and_well_formed(tmp_path):
+    rng = random.Random(20260815)
+    n_err = 0
+    for case in range(250):
+        txt = _random_csv(rng)
+        p = tmp_path / f"c{case}.csv"
+        p.write_bytes(txt.encode())
+        m1 = gocsv_decode_error(str(p), ",")
+        m2 = gocsv_decode_error(str(p), ",")
+        assert m1 == m2, f"nondeterministic on case {case}: {txt!r}"
+        if m1 is not None:
+            n_err += 1
+            mt = _CSV_MSG_RE.match(m1)
+            assert mt, f"unknown message shape on case {case}: {m1!r}\n{txt!r}"
+            line = int(mt.group(1) or mt.group(2))
+            assert 1 <= line <= txt.count("\n") + 2, (m1, txt)
+    assert n_err > 50  # the damage grammar really produces errors
+
+
+def test_fuzz_quote_free_csv_agrees_with_spark_failfast(spark, tmp_path):
+    """For QUOTE-FREE files goemu never fires at read time — the
+    splittable univocity FAILFAST scan is the arbiter — so Go's
+    accept/reject (wrong field count is the only possible damage
+    class) must AGREE with the scan, or strictness would depend on
+    file size. Differential over seeded field-count damage."""
+    from octosql_spark.sources.files import read_csv
+    rng = random.Random(42)
+    for case in range(25):
+        ncols = rng.randint(2, 4)
+        rows = [",".join(f"h{c}" for c in range(ncols))]
+        for _ in range(rng.randint(1, 6)):
+            n = ncols + rng.choice([0, 0, 0, 1, -1])
+            rows.append(",".join(f"v{rng.randint(0, 9)}"
+                                 for _ in range(max(1, n))))
+        txt = "\n".join(rows) + "\n"
+        p = tmp_path / f"q{case}.csv"
+        p.write_bytes(txt.encode())
+        go_rejects = gocsv_decode_error(str(p), ",") is not None
+        try:
+            read_csv(spark, str(p), octosql_infer=False).collect()
+            spark_rejects = False
+        except Exception:  # noqa: BLE001 — any scan failure counts
+            spark_rejects = True
+        assert go_rejects == spark_rejects, (case, txt, go_rejects)
+
+
+def test_fuzz_fastjson_classification_total_and_deterministic():
+    """json_line_detail must be TOTAL (no exception on arbitrary
+    damage), deterministic, and every produced message must carry one
+    of the emulated fastjson/tail shapes."""
+    rng = random.Random(77)
+    n_err = 0
+    for case in range(250):
+        obj = {"a": rng.randint(0, 99), "s": "x" * rng.randint(0, 5),
+               "l": [1, {"k": "v"}], "f": rng.random()}
+        import json as _json
+        line = _json.dumps(obj)
+        for _ in range(rng.randint(0, 3)):
+            op = rng.randint(0, 2)
+            i = rng.randint(0, max(0, len(line) - 1))
+            if op == 0 and line:
+                line = line[:i] + line[i + 1:]            # delete
+            elif op == 1:
+                line = line[:i] + rng.choice(',:"{}[]x\\ ') + line[i:]
+            else:
+                line = line[:rng.randint(0, len(line))]   # truncate
+        d1 = json_line_detail(line)
+        d2 = json_line_detail(line)
+        assert d1 == d2, f"nondeterministic on case {case}: {line!r}"
+        if d1 is not None:
+            n_err += 1
+            assert (d1.startswith("couldn't parse json: ")
+                    or d1.startswith("expected JSON object, got ")), \
+                f"unknown shape on case {case}: {d1!r}\n{line!r}"
+    assert n_err > 50
