@@ -86,7 +86,13 @@ def describe(df) -> dict:
         # trip shows as `Scan ExistingRDD`/`PythonRDD`, NOT as a
         # Python-eval node — the r6 `read_lines` zipWithIndex path hid
         # from the budget exactly this way. Count it so the frozen
-        # gate catches any future Python data path.
+        # gate catches any future Python data path. NOTE:
+        # `createDataFrame(<local python list>)` (planted fixtures,
+        # VALUES oracles, docs catalogs, collected candidate/codebook
+        # samples — all bounded, driver-originated) ALSO renders as
+        # `Scan ExistingRDD`; those entries freeze at their current
+        # small counts, so a distributed round-trip sneaking into them
+        # still grows the number and fails the gate.
         "rdd_scans": plan.count("Scan ExistingRDD")
         + plan.count("PythonRDD"),
         "pandas_stages": plan.count("MapInPandas")
