@@ -3,11 +3,19 @@ columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
 The Spark-side design is real and tested — schemas, partition-sized
-Arrow batches, UDF signatures. The *codec* step is stubbed: this
-container has no image/audio libraries, so ``decode_media`` ships a
-deterministic fake decoder (and raises ``NotImplementedError`` for
-``backend="real"``), clearly marked for swap-in of PIL/ffmpeg on a
-real cluster.
+Arrow batches, UDF signatures. Codec status per format:
+
+- **headers** (PNG/JPEG/GIF/BMP IHDR/SOF, WAV RIFF, MP4 mvhd):
+  REAL, dependency-free parsers.
+- **PNG pixels**: REAL — a pure-stdlib codec (zlib inflate + PNG
+  per-row unfiltering / filter-0 re-encode) powers actual
+  nearest-neighbor ``resize_media`` and 8x8 mean-pool
+  ``extract_features`` under ``backend="pixels"``; 8-bit
+  greyscale/RGB/RGBA, non-interlaced (the shape ML corpora store).
+- **everything else** (JPEG entropy decode, audio samples, video
+  frames): stubbed behind deterministic fakes, with
+  ``backend="real"`` raising where PIL/ffmpeg would slot in on a
+  real cluster.
 
 Scale notes: media bytes never leave the executor; mapInPandas streams
 Arrow batches, so peak memory is one batch (tune
@@ -149,6 +157,104 @@ def _parse_av_header(data: bytes) -> dict | None:
     return None
 
 
+def _png_decode(data: bytes):
+    """Pure-stdlib PNG pixel decode: chunk walk → zlib inflate →
+    per-row unfiltering (PNG spec §6: None/Sub/Up/Average/Paeth).
+    Supports 8-bit greyscale (color type 0), RGB (2) and RGBA (6),
+    non-interlaced. Returns an (h, w, channels) uint8 ndarray, or
+    None for any other PNG flavor or non-PNG bytes (callers fall
+    back). Sub unfiltering is a vectorized per-channel-phase cumsum;
+    Average/Paeth are genuinely recursive along x and run a per-row
+    loop (our own encoder emits filter 0, so round trips never pay
+    it)."""
+    import zlib
+
+    import numpy as np
+    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    bit_depth, color_type, _c, _f, interlace = data[24:29]
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0 \
+            or not w or not h:
+        return None
+    idat, i = bytearray(), 8
+    while i + 8 <= len(data):
+        clen = int.from_bytes(data[i:i + 4], "big")
+        ctyp = data[i + 4:i + 8]
+        if ctyp == b"IDAT":
+            idat += data[i + 8:i + 8 + clen]
+        if ctyp == b"IEND":
+            break
+        i += 12 + clen
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: prefix sum per channel phase
+            rec = cur
+            for p in range(bpp):
+                rec[p::bpp] = np.cumsum(rec[p::bpp]) & 0xFF
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            rec = cur
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = cur
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                      else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def _png_encode(arr) -> bytes:
+    """Pure-stdlib PNG encode of an (h, w, channels) uint8 array:
+    filter 0 rows, one zlib IDAT. channels 1/3/4 → color type
+    0/2/6."""
+    import struct
+    import zlib
+    h, w, ch = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)
+                              & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
 def _pil_decode(data: bytes) -> dict | None:
     import io
     import PIL.Image
@@ -216,29 +322,58 @@ def decode_media(df: DataFrame, binary_col: str = "media",
 def resize_media(df: DataFrame, width: int, height: int,
                  binary_col: str = "media",
                  backend: str = "stub") -> DataFrame:
-    """Resize plumbing: mapInPandas binary→binary with target
-    dimensions attached. The stub backend emits a deterministic
-    transformation of the input bytes (length scales with the pixel
-    ratio) so batch shapes, memory profile and schema are exercised;
-    ``backend="real"`` is the PIL/ffmpeg extension point."""
+    """Resize via mapInPandas, binary→binary with target dimensions
+    and the codec used attached.
+
+    - ``backend="pixels"`` — REAL resize for PNG rows: pure-stdlib
+      decode (``_png_decode``), nearest-neighbor index sampling,
+      filter-0 re-encode. Rows that aren't decodable 8-bit
+      non-interlaced PNGs keep the stub transformation and are
+      marked ``codec='stub'`` (the pipeline never throws
+      mid-corpus).
+    - ``backend="stub"`` — deterministic byte transformation only
+      (length scales with the pixel ratio): batch shapes, memory
+      profile and schema exercised without any codec.
+    - ``backend="real"`` — the PIL/ffmpeg extension point for
+      formats the stdlib codec can't reach (JPEG, video)."""
     if backend == "real":
         raise NotImplementedError(
-            "real resize (PIL/ffmpeg) not available in this container")
+            "real resize (PIL/ffmpeg) not available in this container"
+            " — backend='pixels' covers PNG via the stdlib codec")
+    if backend not in ("stub", "pixels"):
+        raise ValueError(backend)
     passthrough = [c for c in df.columns if c != binary_col]
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in df.schema.fields if f.name != binary_col)
-    out_schema += f", `{binary_col}` binary, out_width int, out_height int"
+    out_schema += (f", `{binary_col}` binary, out_width int, "
+                   "out_height int, codec string")
+
+    def stub_bytes(b: bytes) -> bytes:
+        return bytes((b or b"")[: max(1, (width * height) // 1024) or 1])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in batches:
-            resized = [
-                bytes((b or b"")[: max(1, (width * height) // 1024) or 1])
-                for b in pdf[binary_col]]
+            resized, codecs = [], []
+            for b in pdf[binary_col]:
+                arr = _png_decode(b or b"") if backend == "pixels" \
+                    else None
+                if arr is not None:
+                    h0, w0 = arr.shape[:2]
+                    ys = np.arange(height) * h0 // height
+                    xs = np.arange(width) * w0 // width
+                    resized.append(_png_encode(
+                        np.ascontiguousarray(arr[ys][:, xs])))
+                    codecs.append("png")
+                else:
+                    resized.append(stub_bytes(b))
+                    codecs.append("stub")
             out = pdf[passthrough].reset_index(drop=True)
             out[binary_col] = resized
             out["out_width"] = width
             out["out_height"] = height
+            out["codec"] = codecs
             yield out
 
     return df.mapInPandas(run, out_schema)
@@ -252,13 +387,24 @@ def extract_features(df: DataFrame, binary_col: str = "media",
                      backend: str = "stub") -> DataFrame:
     """Feature extraction: binary → unit-norm float vector (the
     embedding column the similarity ops consume — binary in, ANN-ready
-    out). Stub backend derives a deterministic vector from the bytes;
-    ``backend="real"`` is the model-inference extension point (batch
-    the bytes through an ONNX/torch session here)."""
+    out).
+
+    - ``backend="pixels"`` — REAL features for PNG rows: stdlib pixel
+      decode → BT.601 luma → 8x8 block-mean thumbnail → centered,
+      unit-normalized 64-dim vector (the classic tiny-thumbnail
+      embedding: visually identical images map to cosine ~1, so the
+      embedding dedup/ANN ops work on real image content).
+      Non-PNG rows fall back to the deterministic stub vector.
+    - ``backend="stub"`` — deterministic bytes-seeded vector only.
+    - ``backend="real"`` — the model-inference extension point (batch
+      the bytes through an ONNX/torch session here)."""
     if backend == "real":
         raise NotImplementedError(
             "real feature extraction (model inference) not available "
-            "in this container")
+            "in this container — backend='pixels' computes real "
+            "thumbnail features for PNG")
+    if backend not in ("stub", "pixels"):
+        raise ValueError(backend)
     import numpy as np
     passthrough = [c for c in df.columns if c != binary_col]
     out_schema = ", ".join(
@@ -266,14 +412,42 @@ def extract_features(df: DataFrame, binary_col: str = "media",
         for f in df.schema.fields if f.name != binary_col)
     out_schema += f", `{out_col}` array<float>"
 
+    def stub_vec(b: bytes):
+        seed = int.from_bytes((b or b"\0")[:8].ljust(8, b"\0"),
+                              "little") % (2 ** 32)
+        v = np.random.RandomState(seed).standard_normal(EMBED_DIM)
+        return (v / np.linalg.norm(v)).astype("float32")
+
+    def thumb_vec(arr):
+        # luma → 8x8 block means (cell boundaries by integer grid) →
+        # center → unit norm; a constant image centers to zero, where
+        # the first basis vector stands in (deterministic)
+        a = arr.astype(np.float64)
+        luma = (a[..., 0] if a.shape[2] == 1 else
+                0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2])
+        h0, w0 = luma.shape
+        yb = (np.arange(9) * h0) // 8
+        xb = (np.arange(9) * w0) // 8
+        cells = np.array([
+            luma[yb[i]:max(yb[i + 1], yb[i] + 1),
+                 xb[j]:max(xb[j + 1], xb[j] + 1)].mean()
+            for i in range(8) for j in range(8)])
+        v = cells - cells.mean()
+        n = np.linalg.norm(v)
+        if n == 0:
+            v = np.zeros(EMBED_DIM)
+            v[0] = 1.0
+            return v.astype("float32")
+        return (v / n).astype("float32")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vecs = []
             for b in pdf[binary_col]:
-                seed = int.from_bytes((b or b"\0")[:8].ljust(8, b"\0"),
-                                      "little") % (2 ** 32)
-                v = np.random.RandomState(seed).standard_normal(EMBED_DIM)
-                vecs.append((v / np.linalg.norm(v)).astype("float32"))
+                arr = _png_decode(b or b"") if backend == "pixels" \
+                    else None
+                vecs.append(thumb_vec(arr) if arr is not None
+                            else stub_vec(b))
             out = pdf[passthrough].reset_index(drop=True)
             out[out_col] = vecs
             yield out

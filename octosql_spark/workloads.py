@@ -3384,6 +3384,53 @@ def multimodal_decode_headers_q(spark, sf_dir):
             .select("media_id", "width", "height", F.lit("image").alias("kind")))
 
 
+@workload("multimodal_png_resize_planted", """
+SELECT * FROM (VALUES (0, 'png', 4, 4, 123.4583),
+                      (1, 'png', 4, 4, 117.1458),
+                      (2, 'png', 4, 4, 119.3125),
+                      (3, 'png', 4, 4, 132.6042))
+AS t(media_id, codec, rw, rh, mean_px)
+""")
+def multimodal_png_resize_planted_q(spark, sf_dir):
+    """REAL pixel path at the gate (r7): four seeded RGB images are
+    PNG-encoded, resized 4x4 through resize_media(backend='pixels')
+    — stdlib zlib decode, nearest-neighbor sampling, filter-0
+    re-encode — then the RESIZED bytes are decoded again and their
+    mean pixel value compared against frozen authored values. Any
+    drift anywhere in decode→resize→encode→decode hash-mismatches;
+    codec='png' pins that no row silently fell back to the stub."""
+    import numpy as np
+
+    from octosql_spark.datapipe.multimodal import (_png_decode,
+                                                   _png_encode,
+                                                   resize_media)
+    rng = np.random.RandomState(19)
+    rows = []
+    for i in range(4):
+        arr = rng.randint(0, 256, size=(24 + 4 * i, 16 + 2 * i, 3),
+                          dtype=np.uint8)
+        rows.append((i, bytearray(_png_encode(arr))))
+    df = spark.createDataFrame(rows, "media_id int, media binary")
+    rs = resize_media(df, 4, 4, backend="pixels")
+
+    def verify(pdf_iter):
+        import pandas as pd
+        for pdf in pdf_iter:
+            outs = []
+            for _, r in pdf.iterrows():
+                dec = _png_decode(bytes(r["media"]))
+                outs.append((int(r["media_id"]), str(r["codec"]),
+                             int(dec.shape[1]), int(dec.shape[0]),
+                             round(float(dec.astype("float64").mean()),
+                                   4)))
+            yield pd.DataFrame(outs, columns=[
+                "media_id", "codec", "rw", "rh", "mean_px"])
+
+    return rs.mapInPandas(
+        verify,
+        "media_id int, codec string, rw int, rh int, mean_px double")
+
+
 # ================================================== SQL-surface workloads
 # Entries routed through the dialect front-end (octosql_spark.sql) and
 # Spark SQL — proving the reference's SQL surface on the gate, not just

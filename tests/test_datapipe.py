@@ -1373,3 +1373,46 @@ def test_chunk_sentences_greedy_edges(spark):
         (2, 2): (1, 2),
         (3, 1): (1, 5),
     }
+
+
+def test_png_pixel_codec_resize_and_features(spark):
+    """The stdlib PNG pixel path (r7): real decode→resize→re-encode
+    round trip through resize_media(backend='pixels'), and real
+    thumbnail features — identical images land at cosine 1.0, a
+    shifted copy stays close, an unrelated image does not; non-PNG
+    rows fall back to the stub and are marked codec='stub'."""
+    import numpy as np
+
+    from octosql_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    imgs = {
+        1: rng.randint(0, 256, size=(32, 24, 3), dtype=np.uint8),
+    }
+    imgs[2] = imgs[1].copy()                       # exact duplicate
+    imgs[3] = np.clip(imgs[1].astype(int) + 6,     # brightness shift
+                      0, 255).astype(np.uint8)
+    imgs[4] = rng.randint(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    rows = [(k, bytearray(mm._png_encode(v))) for k, v in imgs.items()]
+    rows.append((5, bytearray(b"not a png at all")))
+    df = spark.createDataFrame(rows, "media_id int, media binary")
+
+    rs = {r.media_id: r for r in
+          mm.resize_media(df, 8, 8, backend="pixels").collect()}
+    assert rs[1].codec == "png" and rs[5].codec == "stub"
+    dec = mm._png_decode(bytes(rs[1].media))
+    assert dec is not None and dec.shape == (8, 8, 3)
+    # nearest-neighbor is deterministic: same input → same bytes
+    assert bytes(rs[1].media) == bytes(rs[2].media)
+
+    fs = {r.media_id: np.array(r.embedding) for r in
+          mm.extract_features(df, backend="pixels").collect()}
+    cos = lambda a, b: float(a @ b)  # noqa: E731 — unit vectors
+    assert cos(fs[1], fs[2]) > 0.999999          # identical
+    assert cos(fs[1], fs[3]) > 0.99              # brightness-invariant
+    assert cos(fs[1], fs[4]) < 0.5               # unrelated
+    assert abs(np.linalg.norm(fs[1]) - 1.0) < 1e-5
+    # deterministic across runs
+    fs2 = {r.media_id: np.array(r.embedding) for r in
+           mm.extract_features(df, backend="pixels").collect()}
+    assert all(np.array_equal(fs[k], fs2[k]) for k in fs)
