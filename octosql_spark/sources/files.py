@@ -85,10 +85,16 @@ def _stage_growing_file(path: str, poll_s: float = 0.5,
         while True:
             time.sleep(poll_s)
             try:
-                if os.path.getsize(path) > state["off"]:
+                size = os.path.getsize(path)
+                if size < state["off"]:
+                    # truncate-then-rewrite rotation: old content is
+                    # gone — restart as a new file (numbering from 0
+                    # for the lines tail), like the directory stager
+                    state["off"], state["line"] = 0, 0
+                if size > state["off"]:
                     stage()
             except OSError:
-                pass  # file rotated/removed; keep watching
+                pass  # file removed; keep watching for reappearance
 
     threading.Thread(target=loop, daemon=True,
                      name=f"octosql-tail-{os.path.basename(path)}").start()

@@ -491,3 +491,29 @@ def test_tail_dir_truncate_regrow_resets(tmp_path):
     assert {"number": 0, "text": "x0"} in rows
     assert {"number": 1, "text": "x1"} in rows
     assert {"number": 0, "text": "y0"} in rows  # reset, not garbled
+
+
+def test_tail_single_file_truncate_regrow_resets(tmp_path):
+    """Single-file stager twin of the directory rotation fix: a
+    tailed file that shrinks below the stored offset restarts at
+    offset 0 / number 0 instead of staying silent or resuming at a
+    stale offset."""
+    import glob
+    import json
+    import time
+
+    from octosql_spark.sources.files import _stage_growing_file
+
+    p = tmp_path / "one.lines"
+    p.write_text("x0\nx1\n")
+    d = _stage_growing_file(str(p), number_lines=True)
+    time.sleep(1.2)
+    p.write_text("y0\n")  # 3 bytes < stored offset 6 → rotation
+    time.sleep(1.5)
+    rows = []
+    for f in sorted(glob.glob(d + "/part-*")):
+        with open(f) as fh:
+            rows += [json.loads(ln) for ln in fh]
+    assert {"number": 0, "text": "x0"} in rows
+    assert {"number": 1, "text": "x1"} in rows
+    assert {"number": 0, "text": "y0"} in rows
