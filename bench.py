@@ -117,6 +117,20 @@ def main() -> None:
     solo_floor_csv = 0.18
     load_suspect = csv_sec > solo_floor_csv * 1.25
 
+    # lines source throughput (informational, NOT in the headline
+    # total to keep it round-comparable): the r7 pure-JVM numbering
+    # path — the r6 zipWithIndex form pickled every line through
+    # Python and was the one registry-invisible perf hole.
+    lw = REGISTRY["lines_numbered"]
+    for _ in range(2):
+        lw.build(spark, sf_dir).collect()
+    runs = []
+    for _ in range(5):
+        t1 = time.perf_counter()
+        lw.build(spark, sf_dir).collect()
+        runs.append(time.perf_counter() - t1)
+    lines_sec = sorted(runs)[2]
+
     # Full TPC-H suite timing (informational section, not part of the
     # headline metric): 1 warmup + median of 3 per query — the
     # comparable per-query table a reviewer expects next to any
@@ -144,6 +158,7 @@ def main() -> None:
         "load_suspect": load_suspect,
         "solo_floor_csv_sec": solo_floor_csv,
         "csv_groupby": csv_query,
+        "lines_numbered_sec": round(lines_sec, 4),
         "tpch_suite": {"total_sec": round(sum(tpch.values()), 4),
                        "queries": tpch},
     }))

@@ -83,6 +83,17 @@ def release_cached(spark: SparkSession) -> int:
     Returns the number of persistent RDDs that were registered."""
     n = cached_rdd_count(spark)
     spark.catalog.clearCache()
+    # clearCache only empties the SQL CacheManager; raw RDD-level
+    # persists (pyspark.ml internals — KMeans training caches its
+    # sample RDDs — or third-party code) stay registered. Unpersist
+    # the stragglers directly so the hygiene contract really means
+    # zero persistent RDDs.
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs()
+                     .values()):
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — already-released race
+            pass
     return n
 
 
