@@ -1899,6 +1899,15 @@ def run_query(spark: SparkSession, sql: str,
 
     ``strict_assert`` switches ``x::T`` from TRY_CAST conversion to
     the reference's no-conversion runtime type assertion."""
+    # The dialect has NO ordinal ORDER BY/GROUP BY: the reference
+    # parses every key through ParseExpression (parser.go:862-870 /
+    # the GROUP BY path), so an integer literal is a CONSTANT key
+    # (no-op sort / single group). Spark defaults both to positional
+    # (and errors on `ORDER BY 0`) — pin the reference semantics on
+    # the session before executing (idempotent, found by the r7
+    # clause-surface fuzzer).
+    spark.conf.set("spark.sql.orderByOrdinal", "false")
+    spark.conf.set("spark.sql.groupByOrdinal", "false")
     t = transpile(spark, sql, strict_assert=strict_assert)
     return QueryResult(spark.sql(t.sql), t.triggers, t.sql, t.polls,
                        t.views, t.event_time, t.ordered)

@@ -345,3 +345,84 @@ def test_dialect_group_by_matches_duckdb(spark, duck, nation_view,
         f"MAX({oe}) AS mx FROM nation{where_d} "
         f"GROUP BY n_regionkey").fetchall())
     assert got == want, f"dialect agg over {de}"
+
+
+# ---------------- query-level fuzz: ORDER BY/LIMIT, HAVING, windows --
+# (r7 grammar extension — r6 covered expressions/WHERE/GROUP BY/
+# subqueries; these pin the remaining clause surface.)
+
+@settings(max_examples=_N or 25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(_ints(1), st.booleans(), st.integers(1, 30))
+# regression (found by this fuzzer): the dialect has no ordinal
+# ORDER BY — an integer literal is a CONSTANT key (reference
+# parser.go:862-870), while Spark's default positional mode errors on
+# `ORDER BY 0`; run_query now pins orderByOrdinal/groupByOrdinal off
+@example(expr=("0", "0"), desc=False, limit=1)
+@example(expr=("2", "2"), desc=True, limit=5)
+def test_dialect_order_by_limit_matches_duckdb(spark, duck, nation_view,
+                                               expr, desc, limit):
+    """Random sort key + direction + LIMIT, tiebroken by the unique
+    key so the ordering is total. NULL placement: the dialect's total
+    order sorts NULL smallest (octosql values.go:97-106 — first ASC,
+    last DESC), which is Spark's default; DuckDB defaults to the
+    opposite, so the oracle pins it explicitly."""
+    from octosql_spark.sql import run_query
+    de, oe = expr
+    d = "DESC" if desc else "ASC"
+    nulls = "NULLS LAST" if desc else "NULLS FIRST"
+    ours = run_query(
+        spark, f"SELECT n_nationkey AS k FROM nation "
+               f"ORDER BY {de} {d}, n_nationkey LIMIT {limit}").df
+    got = [r.k for r in ours.collect()]
+    # oracle sorts by a projected column: DuckDB (like Spark) binds
+    # even parenthesized integer literals in ORDER BY as ordinals,
+    # which the dialect never does
+    want = [r[0] for r in duck.execute(
+        f"SELECT k FROM (SELECT n_nationkey AS k, ({oe}) AS srt "
+        f"FROM nation) ORDER BY srt {d} {nulls}, k "
+        f"LIMIT {limit}").fetchall()]
+    assert got == want, f"ORDER BY {de} {d} LIMIT {limit}"
+
+
+@settings(max_examples=_N or 25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(_ints(1), st.integers(0, 6))
+def test_dialect_having_matches_duckdb(spark, duck, nation_view,
+                                       expr, k):
+    from octosql_spark.sql import run_query
+    de, oe = expr
+    ours = run_query(
+        spark, f"SELECT n_regionkey, COUNT(*) AS c, SUM({de}) AS s "
+               f"FROM nation GROUP BY n_regionkey "
+               f"HAVING COUNT(*) > {k}").df
+    got = sorted((r.n_regionkey, r.c, r.s) for r in ours.collect())
+    want = sorted(tuple(r) for r in duck.execute(
+        f"SELECT n_regionkey, COUNT(*) AS c, "
+        f"CAST(SUM({oe}) AS BIGINT) AS s FROM nation "
+        f"GROUP BY n_regionkey HAVING COUNT(*) > {k}").fetchall())
+    assert got == want, f"HAVING COUNT(*) > {k} with {de}"
+
+
+@settings(max_examples=_N or 25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(_ints(1), st.sampled_from(["SUM", "MIN", "MAX", "COUNT"]))
+def test_dialect_window_matches_duckdb(spark, duck, nation_view,
+                                       expr, fn):
+    """Running aggregate over (PARTITION BY region ORDER BY the
+    unique key) — frame deterministic, values compared row-for-row."""
+    from octosql_spark.sql import run_query
+    de, oe = expr
+    over = "PARTITION BY n_regionkey ORDER BY n_nationkey"
+    ours = run_query(
+        spark, f"SELECT n_nationkey AS k, {fn}({de}) "
+               f"OVER ({over}) AS w FROM nation").df
+    got = sorted((r.k, r.w) for r in ours.collect())
+    cast = "BIGINT" if fn in ("SUM", "COUNT") else "INT"
+    want = sorted(tuple(r) for r in duck.execute(
+        f"SELECT n_nationkey AS k, CAST({fn}({oe}) OVER ({over}) "
+        f"AS {cast}) AS w FROM nation").fetchall())
+    assert got == want, f"{fn}({de}) OVER"
