@@ -7,13 +7,15 @@ Arrow batches, UDF signatures. Codec status per format:
 
 - **headers** (PNG/JPEG/GIF/BMP IHDR/SOF, WAV RIFF, MP4 mvhd):
   REAL, dependency-free parsers.
-- **PNG pixels**: REAL — a pure-stdlib codec (zlib inflate + PNG
-  per-row unfiltering / filter-0 re-encode) powers actual
-  nearest-neighbor ``resize_media`` and 8x8 mean-pool
-  ``extract_features`` under ``backend="pixels"``; 8-bit
-  greyscale/RGB/RGBA, non-interlaced (the shape ML corpora store).
-- **everything else** (JPEG entropy decode, audio samples, video
-  frames): stubbed behind deterministic fakes, with
+- **PNG + BMP pixels**: REAL — a pure-stdlib codec (PNG: zlib
+  inflate + per-row unfiltering, filter-0 re-encode; BMP:
+  uncompressed BI_RGB 24/32-bit) powers actual nearest-neighbor
+  ``resize_media`` and 8x8 mean-pool ``extract_features`` under
+  ``backend="pixels"``; PNG 8-bit greyscale/RGB/RGBA non-interlaced
+  (the shape ML corpora store). Resized output is normalized to PNG
+  regardless of the input container.
+- **everything else** (JPEG entropy decode, GIF LZW, audio samples,
+  video frames): stubbed behind deterministic fakes, with
   ``backend="real"`` raising where PIL/ffmpeg would slot in on a
   real cluster.
 
@@ -234,6 +236,48 @@ def _png_decode(data: bytes):
     return out.reshape(h, w, channels)
 
 
+def _bmp_decode(data: bytes):
+    """Pure-stdlib BMP pixel decode: uncompressed BI_RGB, 24/32-bit,
+    bottom-up or top-down rows (4-byte padded, BGR(A) order). Returns
+    an (h, w, 3|4) uint8 RGB(A) ndarray, or None for palette/RLE/
+    other-depth BMPs and non-BMP bytes."""
+    import numpy as np
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h_raw = int.from_bytes(data[22:26], "little", signed=True)
+    bitcount = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if compression != 0 or bitcount not in (24, 32) or w <= 0 \
+            or h_raw == 0:
+        return None
+    h = abs(h_raw)
+    ch = bitcount // 8
+    stride = (w * ch + 3) & ~3
+    if off + stride * h > len(data):
+        return None
+    rows = np.frombuffer(data[off:off + stride * h],
+                         dtype=np.uint8).reshape(h, stride)
+    px = rows[:, :w * ch].reshape(h, w, ch)
+    if h_raw > 0:
+        px = px[::-1]  # bottom-up storage
+    # BGR(A) → RGB(A)
+    out = px[..., [2, 1, 0] + ([3] if ch == 4 else [])]
+    return np.ascontiguousarray(out)
+
+
+def _pixels_decode(data: bytes):
+    """The ``backend='pixels'`` decode ladder: PNG, then BMP —
+    the two formats a dependency-free decoder can cover exactly
+    (JPEG entropy decode and GIF LZW stay PIL/ffmpeg extension
+    points). Returns an (h, w, ch) uint8 array or None."""
+    arr = _png_decode(data)
+    if arr is None:
+        arr = _bmp_decode(data)
+    return arr
+
+
 def _png_encode(arr) -> bytes:
     """Pure-stdlib PNG encode of an (h, w, channels) uint8 array:
     filter 0 rows, one zlib IDAT. channels 1/3/4 → color type
@@ -357,15 +401,18 @@ def resize_media(df: DataFrame, width: int, height: int,
         for pdf in batches:
             resized, codecs = [], []
             for b in pdf[binary_col]:
-                arr = _png_decode(b or b"") if backend == "pixels" \
+                arr = _pixels_decode(b or b"") if backend == "pixels" \
                     else None
                 if arr is not None:
                     h0, w0 = arr.shape[:2]
                     ys = np.arange(height) * h0 // height
                     xs = np.arange(width) * w0 // width
+                    # output normalized to PNG regardless of the
+                    # input container (pipelines re-encode uniformly)
                     resized.append(_png_encode(
                         np.ascontiguousarray(arr[ys][:, xs])))
-                    codecs.append("png")
+                    codecs.append("png" if (b or b"")[:2] != b"BM"
+                                  else "bmp")
                 else:
                     resized.append(stub_bytes(b))
                     codecs.append("stub")
@@ -444,7 +491,7 @@ def extract_features(df: DataFrame, binary_col: str = "media",
         for pdf in batches:
             vecs = []
             for b in pdf[binary_col]:
-                arr = _png_decode(b or b"") if backend == "pixels" \
+                arr = _pixels_decode(b or b"") if backend == "pixels" \
                     else None
                 vecs.append(thumb_vec(arr) if arr is not None
                             else stub_vec(b))

@@ -1416,3 +1416,43 @@ def test_png_pixel_codec_resize_and_features(spark):
     fs2 = {r.media_id: np.array(r.embedding) for r in
            mm.extract_features(df, backend="pixels").collect()}
     assert all(np.array_equal(fs[k], fs2[k]) for k in fs)
+
+
+def test_bmp_pixel_path(spark):
+    """BMP joins the real pixel ladder (r7): an uncompressed 24-bit
+    BMP resizes through backend='pixels' (codec='bmp', output
+    normalized to PNG) and featurizes identically to the same pixels
+    delivered as PNG — container-invariant features, which is exactly
+    what image near-dup detection needs."""
+    import struct
+
+    import numpy as np
+
+    from octosql_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(21)
+    arr = rng.randint(0, 256, size=(24, 16, 3), dtype=np.uint8)
+
+    def make_bmp(a):
+        h, w, _ = a.shape
+        stride = (w * 3 + 3) & ~3
+        pix = b"".join(
+            bytes(int(v) for x in range(w)
+                  for v in (a[y, x, 2], a[y, x, 1], a[y, x, 0]))
+            + b"\0" * (stride - w * 3)
+            for y in range(h - 1, -1, -1))
+        return (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(pix), 2835, 2835, 0, 0) + pix)
+
+    rows = [(1, bytearray(make_bmp(arr))),
+            (2, bytearray(mm._png_encode(arr)))]
+    df = spark.createDataFrame(rows, "media_id int, media binary")
+    rs = {r.media_id: r for r in
+          mm.resize_media(df, 8, 8, backend="pixels").collect()}
+    assert rs[1].codec == "bmp" and rs[2].codec == "png"
+    # output container normalized to PNG; same pixels → same bytes
+    assert bytes(rs[1].media) == bytes(rs[2].media)
+    fs = {r.media_id: np.array(r.embedding) for r in
+          mm.extract_features(df, backend="pixels").collect()}
+    assert float(fs[1] @ fs[2]) > 0.999999  # container-invariant
