@@ -14,8 +14,12 @@ Arrow batches, UDF signatures. Codec status per format:
   ``backend="pixels"``; PNG 8-bit greyscale/RGB/RGBA non-interlaced
   (the shape ML corpora store). Resized output is normalized to PNG
   regardless of the input container.
-- **everything else** (JPEG entropy decode, GIF LZW, audio samples,
-  video frames): stubbed behind deterministic fakes, with
+- **WAV samples**: REAL — integer-PCM decode (8/16/32-bit, any
+  channel count, mono downmix) feeds a 64-window RMS-envelope
+  embedding in ``extract_features(backend="pixels")``, the audio
+  twin of the image thumbnail.
+- **everything else** (JPEG entropy decode, GIF LZW, compressed
+  audio, video frames): stubbed behind deterministic fakes, with
   ``backend="real"`` raising where PIL/ffmpeg would slot in on a
   real cluster.
 
@@ -268,7 +272,7 @@ def _bmp_decode(data: bytes):
 
 
 def _pixels_decode(data: bytes):
-    """The ``backend='pixels'`` decode ladder: PNG, then BMP —
+    """The ``backend='pixels'`` image decode ladder: PNG, then BMP —
     the two formats a dependency-free decoder can cover exactly
     (JPEG entropy decode and GIF LZW stay PIL/ffmpeg extension
     points). Returns an (h, w, ch) uint8 array or None."""
@@ -276,6 +280,43 @@ def _pixels_decode(data: bytes):
     if arr is None:
         arr = _bmp_decode(data)
     return arr
+
+
+def _wav_decode(data: bytes):
+    """Pure-stdlib WAV PCM sample decode: RIFF chunk walk to fmt/data,
+    integer PCM (format 1) at 8/16/32-bit, any channel count
+    (downmixed to mono). Returns a float64 1-D array in [-1, 1], or
+    None for compressed/float WAV and non-WAV bytes."""
+    import numpy as np
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i, fmt, bits, n_ch, pcm = 12, None, 0, 0, None
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        clen = int.from_bytes(data[i + 4:i + 8], "little")
+        body = data[i + 8:i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = int.from_bytes(body[0:2], "little")
+            n_ch = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            pcm = body
+        i += 8 + clen + (clen & 1)
+    if fmt != 1 or pcm is None or n_ch < 1 \
+            or bits not in (8, 16, 32):
+        return None
+    if bits == 8:  # unsigned
+        s = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    else:
+        dt = np.int16 if bits == 16 else np.int32
+        usable = len(pcm) - len(pcm) % np.dtype(dt).itemsize
+        s = (np.frombuffer(pcm[:usable], dtype=dt).astype(np.float64)
+             / float(2 ** (bits - 1)))
+    usable = len(s) - len(s) % n_ch
+    if usable == 0:
+        return None
+    return s[:usable].reshape(-1, n_ch).mean(axis=1)
 
 
 def _png_encode(arr) -> bytes:
@@ -436,12 +477,14 @@ def extract_features(df: DataFrame, binary_col: str = "media",
     embedding column the similarity ops consume — binary in, ANN-ready
     out).
 
-    - ``backend="pixels"`` — REAL features for PNG rows: stdlib pixel
-      decode → BT.601 luma → 8x8 block-mean thumbnail → centered,
-      unit-normalized 64-dim vector (the classic tiny-thumbnail
-      embedding: visually identical images map to cosine ~1, so the
-      embedding dedup/ANN ops work on real image content).
-      Non-PNG rows fall back to the deterministic stub vector.
+    - ``backend="pixels"`` — REAL content features where a stdlib
+      decode exists: PNG/BMP pixels → BT.601 luma → 8x8 block-mean
+      thumbnail; WAV PCM samples → 64-window RMS envelope
+      (log-compressed) — both centered, unit-normalized 64-dim
+      vectors, so identical content maps to cosine ~1 REGARDLESS of
+      container and the embedding dedup/ANN ops work on real
+      image/audio content. Undecodable rows fall back to the
+      deterministic stub vector.
     - ``backend="stub"`` — deterministic bytes-seeded vector only.
     - ``backend="real"`` — the model-inference extension point (batch
       the bytes through an ONNX/torch session here)."""
@@ -487,14 +530,41 @@ def extract_features(df: DataFrame, binary_col: str = "media",
             return v.astype("float32")
         return (v / n).astype("float32")
 
+    def audio_vec(samples):
+        # 64 equal time-window RMS energies (log-compressed) →
+        # centered unit vector: the waveform-envelope twin of the
+        # image thumbnail — identical audio content maps to cosine 1
+        # regardless of container details; silence (zero envelope)
+        # falls to the first basis vector, like a constant image
+        n = len(samples)
+        bounds = (np.arange(EMBED_DIM + 1) * n) // EMBED_DIM
+        rms = np.array([
+            np.sqrt(np.mean(np.square(
+                samples[bounds[i]:max(bounds[i + 1], bounds[i] + 1)])))
+            for i in range(EMBED_DIM)])
+        v = np.log1p(rms * 1000.0)
+        v = v - v.mean()
+        nv = np.linalg.norm(v)
+        if nv == 0:
+            v = np.zeros(EMBED_DIM)
+            v[0] = 1.0
+            return v.astype("float32")
+        return (v / nv).astype("float32")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vecs = []
             for b in pdf[binary_col]:
-                arr = _pixels_decode(b or b"") if backend == "pixels" \
-                    else None
-                vecs.append(thumb_vec(arr) if arr is not None
-                            else stub_vec(b))
+                vec = None
+                if backend == "pixels":
+                    arr = _pixels_decode(b or b"")
+                    if arr is not None:
+                        vec = thumb_vec(arr)
+                    else:
+                        samples = _wav_decode(b or b"")
+                        if samples is not None:
+                            vec = audio_vec(samples)
+                vecs.append(vec if vec is not None else stub_vec(b))
             out = pdf[passthrough].reset_index(drop=True)
             out[out_col] = vecs
             yield out

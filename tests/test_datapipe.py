@@ -1456,3 +1456,48 @@ def test_bmp_pixel_path(spark):
     fs = {r.media_id: np.array(r.embedding) for r in
           mm.extract_features(df, backend="pixels").collect()}
     assert float(fs[1] @ fs[2]) > 0.999999  # container-invariant
+
+
+def test_wav_content_features(spark):
+    """WAV PCM joins the real content-feature path (r7): the same
+    sine-burst audio delivered as 16-bit mono and 16-bit stereo (same
+    content, different container layout) maps to cosine ~1; a
+    different envelope does not; silence is deterministic; non-PCM
+    stays on the stub path."""
+    import struct
+
+    import numpy as np
+
+    from octosql_spark.datapipe import multimodal as mm
+
+    def make_wav(samples, n_ch=1, rate=8000):
+        pcm = b""
+        ints = np.clip(samples * 32767, -32768, 32767).astype("<i2")
+        if n_ch == 2:
+            ints = np.repeat(ints, 2)
+        pcm = ints.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, n_ch, rate,
+                          rate * 2 * n_ch, 2 * n_ch, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+    t = np.arange(8000) / 8000.0
+    burst = np.sin(2 * np.pi * 440 * t) * (t < 0.25)   # front-loaded
+    other = np.sin(2 * np.pi * 440 * t) * (t > 0.75)   # back-loaded
+
+    s = mm._wav_decode(make_wav(burst))
+    assert s is not None and abs(len(s) - 8000) <= 1
+    s2 = mm._wav_decode(make_wav(burst, n_ch=2))
+    assert np.allclose(s[:100], s2[:100], atol=1e-3)  # stereo downmix
+
+    rows = [(1, bytearray(make_wav(burst))),
+            (2, bytearray(make_wav(burst, n_ch=2))),
+            (3, bytearray(make_wav(other))),
+            (4, bytearray(make_wav(np.zeros(8000))))]
+    df = spark.createDataFrame(rows, "media_id int, media binary")
+    fs = {r.media_id: np.array(r.embedding) for r in
+          mm.extract_features(df, backend="pixels").collect()}
+    assert float(fs[1] @ fs[2]) > 0.9999   # container-invariant
+    assert float(fs[1] @ fs[3]) < 0.5      # different envelope
+    assert fs[4][0] == 1.0                 # silence → basis vector
