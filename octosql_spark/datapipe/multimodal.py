@@ -7,19 +7,20 @@ Arrow batches, UDF signatures. Codec status per format:
 
 - **headers** (PNG/JPEG/GIF/BMP IHDR/SOF, WAV RIFF, MP4 mvhd):
   REAL, dependency-free parsers.
-- **PNG + BMP pixels**: REAL — a pure-stdlib codec (PNG: zlib
+- **PNG + BMP + GIF pixels**: REAL — a pure-stdlib codec (PNG: zlib
   inflate + per-row unfiltering, filter-0 re-encode; BMP:
-  uncompressed BI_RGB 24/32-bit) powers actual nearest-neighbor
-  ``resize_media`` and 8x8 mean-pool ``extract_features`` under
-  ``backend="pixels"``; PNG 8-bit greyscale/RGB/RGBA non-interlaced
-  (the shape ML corpora store). Resized output is normalized to PNG
-  regardless of the input container.
+  uncompressed BI_RGB 24/32-bit; GIF: LZW + palette + de-interlace,
+  first frame) powers actual nearest-neighbor ``resize_media`` and
+  8x8 mean-pool ``extract_features`` under ``backend="pixels"``;
+  PNG 8-bit greyscale/RGB/RGBA non-interlaced (the shape ML corpora
+  store). Resized output is normalized to PNG regardless of the
+  input container.
 - **WAV samples**: REAL — integer-PCM decode (8/16/32-bit, any
   channel count, mono downmix) feeds a 64-window RMS-envelope
   embedding in ``extract_features(backend="pixels")``, the audio
   twin of the image thumbnail.
-- **everything else** (JPEG entropy decode, GIF LZW, compressed
-  audio, video frames): stubbed behind deterministic fakes, with
+- **everything else** (JPEG entropy decode, compressed audio, video
+  frames): stubbed behind deterministic fakes, with
   ``backend="real"`` raising where PIL/ffmpeg would slot in on a
   real cluster.
 
@@ -271,14 +272,141 @@ def _bmp_decode(data: bytes):
     return np.ascontiguousarray(out)
 
 
+def _gif_lzw(data: bytes, min_code: int, max_pixels: int):
+    """GIF-variant LZW decode (LSB-first packed codes, CLEAR/END
+    codes, dictionary grows to 4096 then freezes until CLEAR).
+    Returns a list of palette indices, or None on a corrupt stream."""
+    clear = 1 << min_code
+    end = clear + 1
+    table: dict[int, tuple] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code + 1
+    out: list[int] = []
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < max_pixels:
+        if bitpos + code_size > total_bits:
+            break
+        bi, bo = divmod(bitpos, 8)
+        c = (int.from_bytes(data[bi:bi + 3], "little") >> bo) \
+            & ((1 << code_size) - 1)
+        bitpos += code_size
+        if c == end:
+            break
+        if c == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table.get(c)
+            if entry is None:
+                return None
+            out.extend(entry)
+            prev = entry
+            continue
+        if c in table:
+            entry = table[c]
+        elif c == next_code:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            return None
+        out.extend(entry)
+        if next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _gif_decode(data: bytes):
+    """Pure-stdlib GIF pixel decode: logical screen descriptor,
+    global/local color table, first image frame through LZW
+    (``_gif_lzw``), 4-pass de-interlace. Returns the FIRST frame as
+    an (h, w, 3) uint8 RGB array (transparency index renders as its
+    palette color), or None for corrupt/table-less streams."""
+    import numpy as np
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+
+    def le16(i):
+        return int.from_bytes(data[i:i + 2], "little")
+
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(data):
+            return None
+        gct = np.frombuffer(data[pos:pos + 3 * n],
+                            np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer before any image
+            return None
+        if b == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            w, h = le16(pos + 5), le16(pos + 7)
+            ip = data[pos + 9]
+            pos += 10
+            lct = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                if pos + 3 * n > len(data):
+                    return None
+                lct = np.frombuffer(data[pos:pos + 3 * n],
+                                    np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if lct is None or not w or not h or pos >= len(data):
+                return None
+            min_code = data[pos]
+            pos += 1
+            if not (2 <= min_code <= 11):
+                return None
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw(b"".join(chunks), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            rows = np.clip(np.array(idx[:w * h], np.int32), 0,
+                           len(lct) - 1).reshape(h, w)
+            if ip & 0x40:  # interlaced: 4-pass row order
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                de = np.empty_like(rows)
+                de[order] = rows[range(h)]
+                rows = de
+            return np.ascontiguousarray(lct[rows])
+        else:
+            return None
+    return None
+
+
 def _pixels_decode(data: bytes):
-    """The ``backend='pixels'`` image decode ladder: PNG, then BMP —
-    the two formats a dependency-free decoder can cover exactly
-    (JPEG entropy decode and GIF LZW stay PIL/ffmpeg extension
-    points). Returns an (h, w, ch) uint8 array or None."""
+    """The ``backend='pixels'`` image decode ladder: PNG, BMP, then
+    GIF — the formats a dependency-free decoder can cover exactly
+    (JPEG entropy decode stays the PIL extension point). Returns an
+    (h, w, ch) uint8 array or None."""
     arr = _png_decode(data)
     if arr is None:
         arr = _bmp_decode(data)
+    if arr is None:
+        arr = _gif_decode(data)
     return arr
 
 
@@ -452,8 +580,10 @@ def resize_media(df: DataFrame, width: int, height: int,
                     # input container (pipelines re-encode uniformly)
                     resized.append(_png_encode(
                         np.ascontiguousarray(arr[ys][:, xs])))
-                    codecs.append("png" if (b or b"")[:2] != b"BM"
-                                  else "bmp")
+                    head = bytes((b or b"")[:6])
+                    codecs.append(
+                        "bmp" if head[:2] == b"BM" else
+                        "gif" if head[:3] == b"GIF" else "png")
                 else:
                     resized.append(stub_bytes(b))
                     codecs.append("stub")

@@ -1501,3 +1501,132 @@ def test_wav_content_features(spark):
     assert float(fs[1] @ fs[2]) > 0.9999   # container-invariant
     assert float(fs[1] @ fs[3]) < 0.5      # different envelope
     assert fs[4][0] == 1.0                 # silence → basis vector
+
+
+def _gif_fixture(idx, palette, interlaced=False, literal=False):
+    """Independent GIF encoder for decoder tests: real LZW with
+    dictionary growth (encoder bumps code size one entry later than
+    the naive symmetric rule — the decoder's table additions lag one
+    code behind), or literal-codes-with-frequent-CLEARs when
+    ``literal``. Multi-subblock output, optional interlace, a GCE
+    extension block to exercise skipping."""
+    import numpy as np
+    h, w = idx.shape
+    pal = np.zeros((128, 3), np.uint8)
+    pal[:len(palette)] = palette
+    hdr = (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+           + bytes([0x80 | 6, 0, 0]) + pal.tobytes())
+    rows = idx
+    if interlaced:
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        rows = idx[order]
+    min_code = 7
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    acc, nbits, out = 0, 0, bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    if literal:
+        for i, v in enumerate(rows.reshape(-1)):
+            if i and i % 100 == 0:
+                emit(clear)
+            emit(int(v))
+    else:
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        wseq = b""
+        for v in rows.reshape(-1).tobytes():
+            wk = wseq + bytes([v])
+            if wk in table:
+                wseq = wk
+                continue
+            emit(table[wseq])
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            wseq = bytes([v])
+        emit(table[wseq])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    sub = b"".join(bytes([len(out[i:i + 200])]) + bytes(out[i:i + 200])
+                   for i in range(0, len(out), 200))
+    gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    imgdesc = (b"\x2C" + b"\0\0\0\0" + w.to_bytes(2, "little")
+               + h.to_bytes(2, "little")
+               + bytes([0x40 if interlaced else 0]))
+    return hdr + gce + imgdesc + bytes([min_code]) + sub + b"\x00\x3B"
+
+
+def test_gif_decode_against_independent_encoder():
+    """GIF LZW decode verified pixel-exact against an independently
+    written encoder: literal-code streams with frequent CLEARs,
+    real LZW with deep dictionary growth (several code-size bumps),
+    and the 4-pass interlace — plus every real-encoder GIF shipped
+    with this machine's CPython install when present (a code-size
+    desync trips the decoder's invalid-code check, so full decodes
+    of real encoder output pin the timing)."""
+    import glob
+
+    import numpy as np
+
+    from octosql_spark.datapipe.multimodal import _gif_decode
+
+    rng = np.random.RandomState(9)
+    palette = rng.randint(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.randint(0, 5, size=(13, 9), dtype=np.uint8)
+    for interlaced in (False, True):
+        for literal in (False, True):
+            dec = _gif_decode(_gif_fixture(idx, palette,
+                                           interlaced, literal))
+            assert dec is not None and np.array_equal(
+                dec, palette[idx]), (interlaced, literal)
+    deep = rng.randint(0, 3, size=(200, 200), dtype=np.uint8)
+    dec = _gif_decode(_gif_fixture(deep, palette))
+    assert dec is not None and np.array_equal(dec, palette[deep])
+    assert _gif_decode(b"GIF89a garbage") is None
+
+    real = glob.glob("/mnt/sandboxing/model_tools_env/v1/python/"
+                     "install/lib/python3.11/idlelib/Icons/*.gif")
+    for p in real:
+        data = open(p, "rb").read()
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        arr = _gif_decode(data)
+        assert arr is not None and arr.shape == (h, w, 3), p
+
+
+def test_gif_pixel_path_spark(spark):
+    """GIF rows flow through resize (codec='gif', output normalized
+    to PNG) and featurize container-invariantly vs the same pixels
+    as PNG."""
+    import numpy as np
+
+    from octosql_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(31)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(24, 16), dtype=np.uint8)
+    rgb = palette[idx]
+    rows = [(1, bytearray(_gif_fixture(idx, palette))),
+            (2, bytearray(mm._png_encode(rgb)))]
+    df = spark.createDataFrame(rows, "media_id int, media binary")
+    rs = {r.media_id: r for r in
+          mm.resize_media(df, 8, 8, backend="pixels").collect()}
+    assert rs[1].codec == "gif" and rs[2].codec == "png"
+    assert bytes(rs[1].media) == bytes(rs[2].media)
+    fs = {r.media_id: np.array(r.embedding) for r in
+          mm.extract_features(df, backend="pixels").collect()}
+    assert float(fs[1] @ fs[2]) > 0.999999
