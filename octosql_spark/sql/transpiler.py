@@ -1903,11 +1903,28 @@ def run_query(spark: SparkSession, sql: str,
     # parses every key through ParseExpression (parser.go:862-870 /
     # the GROUP BY path), so an integer literal is a CONSTANT key
     # (no-op sort / single group). Spark defaults both to positional
-    # (and errors on `ORDER BY 0`) — pin the reference semantics on
-    # the session before executing (idempotent, found by the r7
-    # clause-surface fuzzer).
-    spark.conf.set("spark.sql.orderByOrdinal", "false")
-    spark.conf.set("spark.sql.groupByOrdinal", "false")
-    t = transpile(spark, sql, strict_assert=strict_assert)
-    return QueryResult(spark.sql(t.sql), t.triggers, t.sql, t.polls,
+    # (and errors on `ORDER BY 0`) — pin the reference semantics for
+    # THIS query only (found by the r7 clause-surface fuzzer). Ordinal
+    # substitution runs in the analyzer, i.e. inside ``spark.sql``, so
+    # scoping the pin around the call is sufficient — and restoring it
+    # matters: the session is shared with plain-Spark-SQL callers whose
+    # positional GROUP BY must keep Spark's default semantics.
+    pins = ("spark.sql.orderByOrdinal", "spark.sql.groupByOrdinal")
+    saved = {}
+    for k in pins:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, "false")
+    try:
+        t = transpile(spark, sql, strict_assert=strict_assert)
+        df = spark.sql(t.sql)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return QueryResult(df, t.triggers, t.sql, t.polls,
                        t.views, t.event_time, t.ordered)

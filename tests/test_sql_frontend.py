@@ -327,3 +327,26 @@ def test_overload_category_polymorphic_functions(spark):
             .collect()[0][0]
         assert got == want and type(got) is type(want), \
             (expr, got, want)
+
+
+def test_run_query_restores_ordinal_configs(spark):
+    """The no-ordinal ORDER BY/GROUP BY pin is scoped to the dialect
+    query (r7 regression): run_query must RESTORE the session's
+    positional-binding configs, because the session is shared with
+    plain Spark SQL whose `GROUP BY 1` relies on Spark's default —
+    the plan-report sweep caught recursive_month_spine_gapfill
+    failing with MISSING_AGGREGATION after any dialect query ran
+    first in the same session."""
+    from octosql_spark.sql import run_query
+
+    spark.range(3).selectExpr("id", "id * 2 AS v") \
+        .createOrReplaceTempView("ordcfg_t")
+    # dialect semantics inside run_query: ORDER BY 0 is a constant key
+    out = run_query(spark, "SELECT id FROM ordcfg_t ORDER BY 0").df
+    assert out.count() == 3
+    # Spark defaults back outside: GROUP BY 1 binds positionally again
+    got = {(r.id, r.c) for r in spark.sql(
+        "SELECT id, COUNT(*) AS c FROM ordcfg_t GROUP BY 1").collect()}
+    assert got == {(0, 1), (1, 1), (2, 1)}
+    assert spark.conf.get("spark.sql.groupByOrdinal") == "true"
+    assert spark.conf.get("spark.sql.orderByOrdinal") == "true"
