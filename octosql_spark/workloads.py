@@ -3431,6 +3431,56 @@ def multimodal_png_resize_planted_q(spark, sf_dir):
         "media_id int, codec string, rw int, rh int, mean_px double")
 
 
+@workload("multimodal_jpeg_resize_planted", """
+SELECT * FROM (VALUES (0, 'jpeg', 4, 4, 122.8333),
+                      (1, 'jpeg', 4, 4, 136.0417),
+                      (2, 'jpeg', 4, 4, 111.7083),
+                      (3, 'jpeg', 4, 4, 126.5625))
+AS t(media_id, codec, rw, rh, mean_px)
+""")
+def multimodal_jpeg_resize_planted_q(spark, sf_dir):
+    """REAL baseline-JPEG pixel path at the gate (r7): four seeded RGB
+    images are JPEG-encoded (quality 90, Annex-K tables), resized 4x4
+    through resize_media(backend='pixels') — canonical-Huffman entropy
+    decode, dequant, vectorized IDCT, nearest-neighbor sampling,
+    filter-0 PNG re-encode — then the RESIZED bytes are decoded again
+    and their mean pixel value compared against frozen authored
+    values. Any drift anywhere in the JPEG decode → resize → PNG
+    encode → decode chain hash-mismatches; codec='jpeg' pins that no
+    row silently fell back to the stub."""
+    import numpy as np
+
+    from octosql_spark.datapipe.multimodal import (_jpeg_encode,
+                                                   _png_decode,
+                                                   resize_media)
+    rng = np.random.RandomState(23)
+    rows = []
+    for i in range(4):
+        arr = rng.randint(0, 64,
+                          size=(24 + 4 * i, 16 + 2 * i, 3)
+                          ).astype(np.uint8) * 4
+        rows.append((i, bytearray(_jpeg_encode(arr, quality=90))))
+    df = spark.createDataFrame(rows, "media_id int, media binary")
+    rs = resize_media(df, 4, 4, backend="pixels")
+
+    def verify(pdf_iter):
+        import pandas as pd
+        for pdf in pdf_iter:
+            outs = []
+            for _, r in pdf.iterrows():
+                dec = _png_decode(bytes(r["media"]))
+                outs.append((int(r["media_id"]), str(r["codec"]),
+                             int(dec.shape[1]), int(dec.shape[0]),
+                             round(float(dec.astype("float64").mean()),
+                                   4)))
+            yield pd.DataFrame(outs, columns=[
+                "media_id", "codec", "rw", "rh", "mean_px"])
+
+    return rs.mapInPandas(
+        verify,
+        "media_id int, codec string, rw int, rh int, mean_px double")
+
+
 # ================================================== SQL-surface workloads
 # Entries routed through the dialect front-end (octosql_spark.sql) and
 # Spark SQL — proving the reference's SQL surface on the gate, not just

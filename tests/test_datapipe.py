@@ -1630,3 +1630,125 @@ def test_gif_pixel_path_spark(spark):
     fs = {r.media_id: np.array(r.embedding) for r in
           mm.extract_features(df, backend="pixels").collect()}
     assert float(fs[1] @ fs[2]) > 0.999999
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Baseline JPEG codec round trips (r7): RGB 4:4:4, grayscale,
+    4:2:0 chroma subsampling and restart intervals all reconstruct a
+    smooth gradient within tight error bounds at non-multiple-of-8
+    dimensions; higher quality monotonically reduces error; restart
+    segmentation is bit-path-invariant; progressive, truncated and
+    garbage streams are rejected with None (ladder falls back)."""
+    import numpy as np
+
+    from octosql_spark.datapipe.multimodal import (_jpeg_decode,
+                                                   _jpeg_encode,
+                                                   _parse_image_header)
+
+    h, w = 37, 29
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(x * 8) % 256, (y * 6) % 256,
+                    ((x + y) * 4) % 256], axis=-1).astype(np.uint8)
+
+    errs = []
+    for q in (75, 85, 95):
+        enc = _jpeg_encode(img, quality=q)
+        assert _parse_image_header(enc) == {
+            "width": w, "height": h, "n_frames": 1, "duration_s": 0.0}
+        dec = _jpeg_decode(enc)
+        assert dec is not None and dec.shape == (h, w, 3)
+        errs.append(np.abs(dec.astype(float) - img).mean())
+    assert errs[0] < 2.5 and errs[-1] < 1.0
+    assert errs[2] <= errs[1] <= errs[0]
+
+    g = ((x * y) % 256).astype(np.uint8)[..., None]
+    dec = _jpeg_decode(_jpeg_encode(g, quality=90))
+    assert dec.shape == (h, w, 1)
+    assert np.abs(dec.astype(float) - g).mean() < 3.0
+
+    dec420 = _jpeg_decode(_jpeg_encode(img, quality=90, subsample=True))
+    assert dec420.shape == (h, w, 3)
+    assert np.abs(dec420.astype(float) - img).mean() < 4.0
+
+    enc_r = _jpeg_encode(img, quality=85, restart=2)
+    assert b"\xff\xdd" in enc_r  # DRI present
+    assert _jpeg_decode(enc_r) is not None and np.array_equal(
+        _jpeg_decode(enc_r), _jpeg_decode(_jpeg_encode(img, quality=85)))
+
+    assert _jpeg_decode(enc_r.replace(b"\xff\xc0", b"\xff\xc2", 1)) \
+        is None  # progressive SOF2
+    assert _jpeg_decode(enc_r[:len(enc_r) // 2]) is None
+    assert _jpeg_decode(b"\xff\xd8 not really a jpeg") is None
+
+
+def test_jpeg_decode_hand_assembled_stream():
+    """The decoder against hand-assembled T.81 bitstreams written
+    from the spec, independent of our encoder (a symmetric
+    encoder/decoder bug cannot pass this): (1) a DC-only 8x8
+    grayscale block — canonical code for DC size 4 under the Annex-K
+    table is 101, magnitude 8 is 1000, EOB is 1010; dequant 8*16=128
+    through the orthonormal IDCT is +16, level-shifted to constant
+    144; (2) a single AC coefficient at ZIGZAG POSITION 1, which the
+    standard defines as the first HORIZONTAL frequency — rows must
+    be identical, columns a strictly decreasing half-cosine — pinning
+    the zigzag order and the u/v axis convention."""
+    import struct
+
+    import numpy as np
+
+    from octosql_spark.datapipe.multimodal import (_H_AC_L, _H_DC_L,
+                                                   _jpeg_decode)
+
+    def headers(entropy: bytes) -> bytes:
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x10" * 64
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) \
+            + b"\x01\x11\x00"
+        for tc, (bits, vals) in ((0, _H_DC_L), (1, _H_AC_L)):
+            payload = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) \
+                + payload
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00" \
+            + b"\x00\x3f\x00"
+        return bytes(out) + entropy + b"\xff\xd9"
+
+    # (1) DC diff 8: '101' (size 4) + '1000' + EOB '1010', 1-padded
+    dec = _jpeg_decode(headers(bytes([0b10110001, 0b01011111])))
+    assert dec is not None and dec.shape == (8, 8, 1)
+    assert np.array_equal(dec, np.full((8, 8, 1), 144, np.uint8))
+
+    # (2) DC 0 ('00') + AC run0/size3 ('100') value 4 ('100') + EOB
+    dec = _jpeg_decode(headers(bytes([0b00100100, 0b10101111])))
+    assert dec is not None and dec.shape == (8, 8, 1)
+    plane = dec[..., 0].astype(int)
+    assert (plane == plane[0]).all()               # rows identical
+    cols = plane[0]
+    assert all(cols[i] > cols[i + 1] for i in range(7))  # half-cosine
+    # 128 ± 11.31*cos(pi/16) at the two ends
+    assert cols[0] == 139 and cols[7] == 117
+
+
+def test_jpeg_pixel_path_spark(spark):
+    """JPEG rows flow through resize (codec='jpeg', output normalized
+    to PNG) and featurize container-invariantly: a quality-95 JPEG of
+    an image lands at cosine > 0.99 with the lossless PNG of the same
+    pixels, while an unrelated image stays far."""
+    import numpy as np
+
+    from octosql_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(41)
+    base = rng.randint(0, 64, size=(32, 24, 3)).astype(np.uint8) * 3
+    other = rng.randint(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    rows = [(1, bytearray(mm._jpeg_encode(base, quality=95))),
+            (2, bytearray(mm._png_encode(base))),
+            (3, bytearray(mm._jpeg_encode(other, quality=95)))]
+    df = spark.createDataFrame(rows, "media_id int, media binary")
+    rs = {r.media_id: r for r in
+          mm.resize_media(df, 8, 8, backend="pixels").collect()}
+    assert rs[1].codec == "jpeg" and rs[2].codec == "png"
+    assert mm._png_decode(bytes(rs[1].media)).shape == (8, 8, 3)
+    fs = {r.media_id: np.array(r.embedding) for r in
+          mm.extract_features(df, backend="pixels").collect()}
+    assert float(fs[1] @ fs[2]) > 0.99   # lossy-but-close container pair
+    assert float(fs[1] @ fs[3]) < 0.5    # unrelated content
