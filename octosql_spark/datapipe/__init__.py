@@ -10,7 +10,7 @@ from octosql_spark.datapipe.dedup import (  # noqa: F401
     exact_dedup, minhash_signatures, minhash_lsh_pairs, simhash,
     simhash_near_dup_pairs, ngram_jaccard_pairs, embedding_near_dup_pairs,
     duplicated_spans, remove_duplicated_spans, minhash_ingest_near_dups,
-    embedding_ingest_near_dups,
+    embedding_ingest_near_dups, edit_distance_pairs,
 )
 from octosql_spark.datapipe.similarity import (  # noqa: F401
     cosine_topk_bruteforce, lsh_bucketed_topk, embedding_norms,
@@ -31,7 +31,7 @@ from octosql_spark.datapipe.curate import (  # noqa: F401
     decontaminate, semantic_decontaminate, sample_stratified,
     sample_hash_bucket, pack_sequences, pack_bins_bfd,
     repetition_metrics, mixture_sample, shard_shuffle, chunk_documents,
-    budget_select,
+    budget_select, weighted_sample_wor,
     length_buckets, assign_splits,
 )
 from octosql_spark.datapipe.multimodal import (  # noqa: F401

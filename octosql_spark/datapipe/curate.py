@@ -179,6 +179,43 @@ def sample_stratified(df: DataFrame, rates: dict[str, float],
     return df.filter(sample_hash_bucket(F.col(id_col)) < rate)
 
 
+def weighted_sample_wor(df: DataFrame, k: int,
+                        weight_col: str | Column = "n_chars",
+                        id_col: str = "doc_id",
+                        seed: int = 1) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows, deterministic
+    (Efraimidis & Spirakis 2006, IPL "Weighted random sampling with a
+    reservoir"): each row gets key u^(1/w) for u ~ U(0,1) and the k
+    largest keys are the sample — provably equivalent to sequential
+    draws proportional to weight, without replacement.
+
+    The uniform u is a multiplicative hash of (id, seed) — exact
+    64-bit integer arithmetic, so the selected SET is reproducible
+    across runs, partitionings, and engines (the DuckDB oracle
+    computes the identical keys). Rows with weight <= 0 are excluded
+    (they cannot be drawn).
+
+    Scale shape: key assignment is map-only; the k winners come from
+    ``orderBy(...).limit(k)`` which Spark executes as
+    TakeOrderedAndProject — a per-partition top-k then a driver-side
+    merge of #partitions * k rows. No global sort, no full shuffle;
+    this is the reservoir of the paper, distributed.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # (id + seed) * K, not id * K + seed: the latter leaves id=0 at
+    # u ≈ seed/2^32 for EVERY seed (a near-zero key that can never
+    # win) — seeding must pass through the multiplier to mix
+    u_int = ((F.col(id_col).cast("bigint") + F.lit(int(seed)))
+             * F.lit(_KNUTH)) % F.lit(_M32)
+    u = (u_int + F.lit(1.0)) / F.lit(float(_M32 + 1))  # in (0, 1)
+    key = F.pow(u, F.lit(1.0) / w.cast("double"))
+    return (df.filter(w > 0)
+            .withColumn("_es_key", key)
+            .orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("_es_key"))
+
+
 def pack_sequences(docs: DataFrame, max_tokens: int = 512,
                    shard_col: str = "source", id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:

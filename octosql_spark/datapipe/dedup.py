@@ -573,6 +573,154 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return cross.unionByName(within)
 
 
+def _deletion_variants(s: Column, max_dist: int) -> Column:
+    """All strings obtainable from ``s`` by deleting ≤ ``max_dist``
+    characters (the SymSpell deletion neighborhood), as a distinct
+    array. Pure Catalyst HOFs — ``sequence`` index generation +
+    ``substring`` splicing, no Python. Supported for max_dist ≤ 2
+    (the neighborhood is C(L,0)+C(L,1)+C(L,2) variants; callers only
+    apply it to short strings, so the array stays tiny)."""
+    parts = [F.array(F.col("_s"))]
+    if max_dist >= 1:
+        parts.append(F.when(F.length("_s") >= 1, F.expr(
+            "transform(sequence(1, length(_s)), i -> "
+            "concat(substring(_s, 1, i-1), substring(_s, i+1, length(_s))))"
+        )).otherwise(F.array().cast("array<string>")))
+    if max_dist >= 2:
+        parts.append(F.when(F.length("_s") >= 2, F.expr(
+            "flatten(transform(sequence(1, length(_s)-1), i -> "
+            "transform(sequence(i+1, length(_s)), j -> "
+            "concat(substring(_s,1,i-1), substring(_s,i+1,j-i-1), "
+            "substring(_s,j+1,length(_s))))))"
+        )).otherwise(F.array().cast("array<string>")))
+    return F.array_distinct(F.concat(*parts))
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", max_dist: int = 2,
+                        q: int = 3) -> DataFrame:
+    """Exact edit-distance similarity self-join: every pair of rows
+    whose ``text_col`` strings are within Levenshtein distance
+    ``max_dist``, verified with Spark's built-in ``levenshtein``
+    (JVM, early-exit threshold form). Output ``(id_a, id_b, dist)``
+    with ``id_a < id_b``.
+
+    EXACT result — candidate generation is lossless, so the quadratic
+    all-pairs oracle must match row-for-row. Two complete candidate
+    regimes split by string length (Ed-Join, Xiao et al. VLDB'08 +
+    the SymSpell deletion-neighborhood theorem):
+
+    - **long strings** (length ≥ q·(max_dist+1), i.e. ≥ q·d+1
+      q-grams): positional q-gram **prefix filter** — each edit
+      destroys ≤ q grams, so two strings within distance d share
+      ≥ max(g_a, g_b) − q·d grams; under ONE global rare-gram-first
+      order, each string need only index its first q·d+1 grams and
+      any qualifying pair is guaranteed to collide on an indexed
+      gram (the AllPairs prefix theorem with α = max − q·d).
+    - **short strings** (too few grams for the bound to bite, plus a
+      d-wide band above the boundary so cross-length pairs are
+      caught): **deletion neighborhood** — if ed(s,t) ≤ d then the
+      aligned common subsequence is reachable from BOTH by ≤ d
+      deletions, so joining each string's ≤d-deletion variant set on
+      variant value is complete. Neighborhoods are generated with
+      Catalyst HOFs only; max_dist ≤ 2 (C(L,2) variants on ≤
+      (q(d+1)+d−1)-char strings — bounded and tiny).
+
+    Identical strings are collapsed to one representative before
+    either path (dup-heavy corpora would otherwise square every
+    bucket) and expanded back afterwards, dup-group members pairing
+    at distance 0.
+
+    Scale shape (100 TB story): gram/variant generation is narrow
+    map work pipelined with the scan; candidate generation is an
+    equi-join on gram/variant value — the prefix order puts the
+    RAREST grams first so inverted buckets stay small, and a length
+    filter (|len_a − len_b| ≤ d) prunes before verification;
+    verification is per-candidate-pair ``levenshtein(a, b, d)``
+    (early-exit banded DP in the JVM). No all-pairs stage anywhere.
+    """
+    from pyspark.sql.window import Window
+    if not 0 <= max_dist <= 2:
+        raise ValueError("edit_distance_pairs supports max_dist in "
+                         "[0, 2] (deletion-neighborhood bound)")
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    d = max_dist
+    lmin = q * (d + 1)          # enough grams for the prefix theorem
+    short_max = lmin - 1 + d    # band so cross-boundary pairs stay short-path
+    canon = (df.select(F.col(text_col).alias("_s"), F.col(id_col))
+             .groupBy("_s")
+             .agg(F.min(id_col).alias("_rid"),
+                  F.collect_list(id_col).alias("_ids"))
+             .persist())
+    reps = canon.select("_rid", "_s", F.length("_s").alias("_len"))
+    # -- long path: rare-first q-gram prefix --------------------------
+    longs = reps.filter(F.col("_len") >= lmin)
+    grams = (longs.select(
+        "_rid", "_len",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(_s) - {q - 1}), "
+            f"i -> substring(_s, i, {q}))")).alias("_g")))
+    gc = grams.groupBy("_g").agg(F.count(F.lit(True)).alias("_gc"))
+    ranked = (grams.join(gc, "_g")
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy("_rid").orderBy("_gc", "_g"))))
+    prefix = (ranked.filter(F.col("_rk") <= q * d + 1)
+              .select("_rid", "_len", "_g"))
+    cand_long = (prefix.alias("a").join(
+        prefix.alias("b"),
+        (F.col("a._g") == F.col("b._g"))
+        & (F.col("a._rid") < F.col("b._rid"))
+        & (F.abs(F.col("a._len") - F.col("b._len")) <= d))
+        .select(F.col("a._rid").alias("id_a"),
+                F.col("b._rid").alias("id_b")))
+    # -- short path: deletion neighborhood ----------------------------
+    shorts = reps.filter(F.col("_len") <= short_max)
+    var = shorts.select(
+        "_rid", "_len",
+        F.explode(_deletion_variants(F.col("_s"), d)).alias("_v"))
+    cand_short = (var.alias("a").join(
+        var.alias("b"),
+        (F.col("a._v") == F.col("b._v"))
+        & (F.col("a._rid") < F.col("b._rid"))
+        & (F.abs(F.col("a._len") - F.col("b._len")) <= d))
+        .select(F.col("a._rid").alias("id_a"),
+                F.col("b._rid").alias("id_b")))
+    cand = (cand_long.unionByName(cand_short)
+            .dropDuplicates(["id_a", "id_b"]))
+    # -- exact verification -------------------------------------------
+    sa = canon.select(F.col("_rid").alias("id_a"), F.col("_s").alias("_sa"))
+    sb = canon.select(F.col("_rid").alias("id_b"), F.col("_s").alias("_sb"))
+    rep_pairs = (cand.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("dist",
+                             F.levenshtein("_sa", "_sb", d)
+                             if d > 0 else F.levenshtein("_sa", "_sb"))
+                 .filter((F.col("dist") >= 0) & (F.col("dist") <= d))
+                 .select("id_a", "id_b", "dist"))
+    # -- expand dup groups back to member pairs -----------------------
+    members = canon.select(F.col("_rid").alias("_rep"),
+                           F.explode("_ids").alias("_m"))
+    cross = (rep_pairs
+             .join(members.select(F.col("_rep").alias("id_a"),
+                                  F.col("_m").alias("_ma")), "id_a")
+             .join(members.select(F.col("_rep").alias("id_b"),
+                                  F.col("_m").alias("_mb")), "id_b")
+             .select(F.least("_ma", "_mb").alias("id_a"),
+                     F.greatest("_ma", "_mb").alias("id_b"), "dist"))
+    ids = F.col("_ids")
+    within_arr = F.filter(
+        F.flatten(F.transform(
+            ids, lambda x: F.transform(
+                ids, lambda y: F.struct(x.alias("a"), y.alias("b"))))),
+        lambda p: p["a"] < p["b"])
+    within = (canon.filter(F.size("_ids") >= 2)
+              .select(F.explode(within_arr).alias("p"))
+              .select(F.col("p.a").alias("id_a"),
+                      F.col("p.b").alias("id_b"),
+                      F.lit(0).alias("dist")))
+    return cross.unionByName(within)
+
+
 def _dup_span_frames(df: DataFrame, id_col: str, text_col: str,
                      min_len: int, min_dup_docs: int):
     """Shared span-detection core for ``duplicated_spans`` /

@@ -1921,6 +1921,92 @@ def dedup_ngram_planted_q(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+@workload("dedup_edit_distance", """
+WITH d AS (SELECT doc_id, substring(text, 1, 12) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 2
+""", cartesian_ok=True)
+def dedup_edit_distance_q(spark, sf_dir):
+    """Exact edit-distance similarity self-join (Ed-Join q-gram
+    prefix filter + SymSpell deletion neighborhood for short strings,
+    JVM levenshtein verification), value-oracled against DuckDB's
+    quadratic all-pairs levenshtein: candidate generation is LOSSLESS
+    by theorem, so the oracle must match row-for-row — recall is
+    proven, not measured. Runs on each document's leading 12
+    characters (the fuzzy-key shape: titles, URLs, codes)."""
+    from octosql_spark.datapipe import edit_distance_pairs
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 12).alias("text"))
+    return edit_distance_pairs(d, max_dist=2)
+
+
+# adversarial edit-distance fixture: short-path strings (empty,
+# 1-2 chars), the short/long boundary band (len 8-11 at q=3, d=2:
+# lmin=9, short_max=10), repeated-gram strings whose q-gram multisets
+# nearly coincide (prefix-filter worst case), a dup group, and
+# distance-3 controls just past the threshold. The oracle COMPUTES
+# truth quadratically over the same VALUES, so every planted pair and
+# non-pair is checked.
+_ED_PLANTED = [
+    (1, "kitten"), (2, "sitten"), (3, "sittin"),
+    (4, ""), (5, "ab"), (6, "b"),
+    (7, "abcdefgh"), (8, "abcdefghij"), (9, "abcdefghi"),
+    (10, "abcdefghijk"),
+    (11, "the quick brown fox jumps"),
+    (12, "the quick brown fox jumps!"),
+    (13, "the quick brawn fax jumps"),
+    (14, "zzzzzzzzzzzzzzzz"),
+    (15, "kitten"),
+    (16, "xyxyxyxyxyxy"), (17, "yxyxyxyxyxyx"),
+    (18, "aaaaaaaaaaaa"), (19, "aaaaabaaaaaa"),
+]
+_ED_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _ED_PLANTED)
+
+
+@workload("dedup_edit_distance_planted", f"""
+WITH d AS (SELECT * FROM (VALUES {_ED_VALUES}) AS t(doc_id, s))
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 2
+""")
+def dedup_edit_distance_planted_q(spark, sf_dir):
+    """edit_distance_pairs on the adversarial fixture: empty/1-char
+    strings (deletion-neighborhood path), the exact length band where
+    the q-gram prefix theorem starts to bite (both paths must agree
+    across the boundary), repeated-gram strings with near-identical
+    gram multisets, a dup group pairing at distance 0, and controls
+    at distance 3 that must NOT appear."""
+    from octosql_spark.datapipe import edit_distance_pairs
+    d = spark.createDataFrame(_ED_PLANTED, ["doc_id", "text"])
+    return edit_distance_pairs(d, max_dist=2)
+
+
+@workload("curate_weighted_sample", """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow(((((doc_id + 1) * 2654435761) % 4294967296) + 1.0)
+             / 4294967297.0,
+             1.0 / n_chars) AS k
+  FROM documents WHERE n_chars > 0)
+ORDER BY k DESC, doc_id ASC LIMIT 50
+""")
+def curate_weighted_sample_q(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    reservoir keys u^(1/w), u from an exact-integer multiplicative
+    hash): the selected 50-doc SET is deterministic and value-compared
+    against DuckDB computing the identical keys — both engines agree
+    on every winner. Plan is TakeOrderedAndProject (per-partition
+    top-k + driver merge of #partitions*k rows), never a global
+    sort."""
+    from octosql_spark.datapipe import weighted_sample_wor
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_wor(d, 50, weight_col="n_chars")
+
+
 # transitive-closure fixture: a 4-chain, a 2-pair, a triangle and a
 # 5-node star-with-tail — components are hand-computed, so the oracle
 # tests the CLOSURE (a~b~c collapses across edges never emitted)

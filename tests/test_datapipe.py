@@ -1752,3 +1752,111 @@ def test_jpeg_pixel_path_spark(spark):
           mm.extract_features(df, backend="pixels").collect()}
     assert float(fs[1] @ fs[2]) > 0.99   # lossy-but-close container pair
     assert float(fs[1] @ fs[3]) < 0.5    # unrelated content
+
+
+def _py_lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_differential(spark):
+    """edit_distance_pairs is EXACT (lossless candidates + exact
+    verification): on a random corpus with injected ≤3-edit mutations
+    over a 4-letter alphabet (worst case for q-gram selectivity), the
+    result matches a naive quadratic Levenshtein at every max_dist —
+    short path, long path, the boundary band, dup groups and the
+    distance-(d+1) exclusions all at once."""
+    import itertools
+    import random
+
+    from octosql_spark.datapipe import edit_distance_pairs
+
+    rng = random.Random(11)
+    alpha = "abcd"
+    rows = []
+    for i in range(90):
+        L = rng.choice([0, 1, 2, 3, 5, 8, 9, 10, 11, 14, 20])
+        rows.append((i, "".join(rng.choice(alpha) for _ in range(L))))
+    for i in range(90, 120):  # mutated copies → guaranteed near pairs
+        s = list(rng.choice(rows)[1])
+        for _ in range(rng.choice([0, 1, 2, 3])):
+            op = rng.choice(["del", "ins", "sub"])
+            if op == "del" and s:
+                del s[rng.randrange(len(s))]
+            elif op == "ins":
+                s.insert(rng.randrange(len(s) + 1), rng.choice(alpha))
+            elif op == "sub" and s:
+                s[rng.randrange(len(s))] = rng.choice(alpha)
+        rows.append((i, "".join(s)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for d in (0, 1, 2):
+        got = {(r.id_a, r.id_b, r.dist)
+               for r in edit_distance_pairs(df, max_dist=d).collect()}
+        want = {(min(i, j), max(i, j), _py_lev(a, b))
+                for (i, a), (j, b) in itertools.combinations(rows, 2)
+                if _py_lev(a, b) <= d}
+        assert got == want, f"max_dist={d}"
+
+
+def test_edit_distance_pairs_rejects_unsupported(spark):
+    import pytest as _pytest
+
+    from octosql_spark.datapipe import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        edit_distance_pairs(df, max_dist=3)
+    with _pytest.raises(ValueError):
+        edit_distance_pairs(df, q=1)
+
+
+def test_weighted_sample_wor_exact_and_plan(spark):
+    """Efraimidis-Spirakis WOR sample: deterministic winners equal a
+    local recomputation of the same keys; zero/negative weights are
+    never drawn; the physical plan is TakeOrderedAndProject (no
+    global sort)."""
+    import math
+
+    from octosql_spark.datapipe import weighted_sample_wor
+
+    rows = [(i, (i * 37) % 19 - 2) for i in range(200)]  # some w <= 0
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_sample_wor(df, 25, weight_col="w", seed=7)
+    got = [(r.doc_id, r.w) for r in out.collect()]
+    assert len(got) == 25 and all(w > 0 for _, w in got)
+
+    def key(i, w):
+        u = ((((i + 7) * 2654435761) % 4294967296) + 1.0) / 4294967297.0
+        return math.pow(u, 1.0 / w)
+
+    want = sorted(((i, w) for i, w in rows if w > 0),
+                  key=lambda t: (-key(*t), t[0]))[:25]
+    assert sorted(got) == sorted(want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_wor_proportionality():
+    """Statistical sanity on the E-S construction itself (pure
+    Python, no Spark): across many seeds, an item with 9x the weight
+    of its peers is selected ~proportionally more often."""
+    import math
+
+    def pick(seed):
+        def key(i, w):
+            u = ((((i + seed) * 2654435761) % 4294967296) + 1.0) / 4294967297.0
+            return math.pow(u, 1.0 / w)
+        items = [(i, 9.0 if i == 0 else 1.0) for i in range(50)]
+        return max(items, key=lambda t: key(*t))[0]
+
+    wins = sum(1 for s in range(400) if pick(s) == 0)
+    # P(item0 first) = 9/58 ≈ 0.155 → ~62/400; accept a wide band
+    assert 30 <= wins <= 110
