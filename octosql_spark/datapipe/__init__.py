@@ -21,7 +21,8 @@ from octosql_spark.datapipe.text import (  # noqa: F401
     redact_pii, tf_idf_top_terms, unigram_logprob, bigram_logprob,
     bm25_scores,
     hashed_linear_score, char_entropy, dsir_importance, dsir_select,
-    heavy_hitters,
+    heavy_hitters, winnowing_fingerprints, winnowing_overlap_pairs,
+    cap_per_key,
 )
 from octosql_spark.datapipe.cluster import (  # noqa: F401
     connected_components, dedup_clusters, semantic_dedup,

@@ -227,6 +227,121 @@ def fingerprint(text: Column, mode: str = "md5") -> Column:
     raise ValueError(mode)
 
 
+def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 4,
+                           w: int = 4,
+                           hash_mode: str = "xxhash64") -> DataFrame:
+    """Winnowing fingerprint SET per document (Schleimer, Wilkerson &
+    Aiken, SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide
+    a window of ``w`` consecutive hashes, and keep each window's
+    minimum (rightmost minimum on ties, per the paper §2.2). The
+    selected set is a deterministic ~2/(w+1) sample of the k-grams
+    with the paper's guarantee: any shared run of ≥ w+k−1 tokens
+    between two documents yields at least one SHARED fingerprint —
+    the basis of robust partial-overlap detection.
+
+    Returns one row per distinct (id, fingerprint, pos) where pos is
+    the 1-based token position of the selected k-gram.
+
+    Scale shape: entirely WITHIN-ROW Catalyst HOFs (split → hash
+    array → per-window argmin via ``aggregate``) — zero shuffles,
+    pipelined with the scan; the fingerprint table is what you join
+    or group downstream, each row an 8-byte hash + position.
+
+    ``hash_mode``: ``xxhash64`` (default — fastest JVM hash) or
+    ``md5p`` (first 60 bits of md5 as a BIGINT — both engines compute
+    it identically, so the gate entry's SELECTED positions and hash
+    values are fully value-oracled in DuckDB, not just invariants).
+    """
+    if hash_mode == "xxhash64":
+        def _gh(g: Column) -> Column:
+            return F.xxhash64(g)
+    elif hash_mode == "md5p":
+        def _gh(g: Column) -> Column:
+            return F.conv(F.substring(F.md5(g), 1, 15),
+                          16, 10).cast("long")
+    else:
+        raise ValueError(hash_mode)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_grams = F.size(words) - F.lit(k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: _gh(F.concat_ws(" ", F.slice(words, i, k))))
+    n_win = F.size(F.col("_h")) - F.lit(w - 1)
+    # rightmost minimum per window: scan positions j..j+w-1, keep the
+    # LAST index attaining the running min (paper tie rule)
+    win_sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+        lambda j: F.aggregate(
+            F.sequence(j, j + F.lit(w - 1)),
+            F.struct(F.lit(None).cast("long").alias("h"),
+                     F.lit(0).alias("p")),
+            lambda acc, i: F.when(
+                acc["h"].isNull()
+                | (F.element_at(F.col("_h"), i) <= acc["h"]),
+                F.struct(F.element_at(F.col("_h"), i).alias("h"),
+                         i.alias("p"))).otherwise(acc)))
+    base = (df.select(id_col, F.col(text_col))
+            .withColumn("_h", hashes)
+            .filter(F.size("_h") >= w))
+    # (id, fingerprint, pos) is already unique: array_distinct runs
+    # WITHIN the row, so no dropDuplicates shuffle is needed
+    return (base.select(id_col, F.explode(
+                F.array_distinct(win_sel)).alias("_s"))
+            .select(id_col,
+                    F.col("_s.h").alias("fingerprint"),
+                    F.col("_s.p").alias("pos")))
+
+
+def winnowing_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 4,
+                            w: int = 4, min_shared: int = 2,
+                            hash_mode: str = "xxhash64") -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints
+    (id_a, id_b, shared) — MOSS-style overlap detection: by the
+    winnowing guarantee, any common run of ≥ w+k−1 tokens is caught,
+    while the index holds only the ~2/(w+1) fingerprint sample
+    instead of every k-gram.
+
+    Scale shape: one map-side-combined groupBy on fingerprint value
+    (the inverted index), pair fan-out bounded per posting list by
+    the winnowing density, then a count aggregate keyed by the id
+    pair. The id pair table is skinny (two ids + a count); no text
+    travels past the fingerprint stage.
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k, w, hash_mode)
+    dd = fps.select(id_col, "fingerprint").dropDuplicates()
+    a = dd.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = dd.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (a.join(b, "fingerprint")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(True)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
+def cap_per_key(df: DataFrame, key_col: str = "source",
+                n: int = 100, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-key quota: keep at most ``n`` rows per key,
+    chosen by multiplicative-hash order of the id (reproducible
+    across runs/engines — NOT first-n-in-partition-order, which is
+    nondeterministic under shuffles). The web-curation "domain cap":
+    no single domain/source may dominate the corpus.
+
+    Scale shape: one hash-partition shuffle on the key + a
+    per-partition window row_number — no global sort; skewed keys are
+    exactly the rows the cap discards, so the post-filter frame is
+    balanced by construction.
+    """
+    from pyspark.sql.window import Window
+    rank_key = ((F.col(id_col).cast("bigint") * F.lit(2654435761))
+                % F.lit(4294967296))
+    w_k = Window.partitionBy(key_col).orderBy(rank_key.asc(),
+                                              F.col(id_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w_k))
+            .filter(F.col("_rn") <= n).drop("_rn"))
+
+
 def _lower_words(text: Column) -> Column:
     """Lowercased alphabetic word array (the tokenizer shared by the
     TF-IDF / unigram-LM / BM25 / classifier ops)."""

@@ -5760,6 +5760,87 @@ def storage_scd2_intervals_q(spark, sf_dir):
     return out.orderBy("user_id", "version")
 
 
+_WINNOW_HS_SQL = """
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents),
+h AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT
+          for i in range(1, greatest(len(ws) - 3, 1) + 1)] AS hs
+  FROM d
+),
+wnd AS (
+  SELECT doc_id, hs, j
+  FROM h, unnest(range(1, len(hs) - 4 + 2)) AS t(j)
+  WHERE len(hs) >= 4
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         list_min(hs[j:j+3]) AS fingerprint,
+         CAST(j + list_max([x for x in range(1, 5)
+                            if hs[j+x-1] = list_min(hs[j:j+3])]) - 1
+              AS INTEGER) AS pos
+  FROM wnd
+)
+"""
+
+
+@workload("text_winnowing_fingerprints",
+          _WINNOW_HS_SQL + "SELECT doc_id, fingerprint, pos FROM fps")
+def text_winnowing_fingerprints_q(spark, sf_dir):
+    """Winnowing fingerprint sets (Schleimer/Wilkerson/Aiken
+    SIGMOD'03, the MOSS algorithm): k-gram hashes, w-hash sliding
+    windows, rightmost minimum per window. Portable md5-prefix hash
+    mode so DuckDB REPLAYS the whole selection (list comprehensions +
+    per-window argmin) — every selected (fingerprint, position) is
+    value-compared, not just counted. Selection is within-row
+    Catalyst HOFs: zero shuffles."""
+    from octosql_spark.datapipe import winnowing_fingerprints
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_fingerprints(d, k=4, w=4, hash_mode="md5p")
+
+
+@workload("text_winnowing_overlap", _WINNOW_HS_SQL + """
+, dd AS (SELECT DISTINCT doc_id, fingerprint FROM fps)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS shared
+FROM dd a JOIN dd b ON a.fingerprint = b.fingerprint
+                    AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+""")
+def text_winnowing_overlap_q(spark, sf_dir):
+    """MOSS-style overlap detection: pairs sharing >= 3 winnowing
+    fingerprints, by the paper's guarantee catching every common run
+    of >= w+k-1 tokens while indexing only the ~2/(w+1) fingerprint
+    sample. One inverted-index groupBy + skinny id-pair count."""
+    from octosql_spark.datapipe import winnowing_overlap_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_overlap_pairs(d, k=4, w=4, min_shared=3,
+                                   hash_mode="md5p")
+
+
+@workload("curate_cap_per_key", """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                    doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= 10
+""")
+def curate_cap_per_key_q(spark, sf_dir):
+    """Per-key quota (the web-curation domain cap): at most 10 docs
+    per source, selected by deterministic multiplicative-hash order —
+    reproducible across engines (value-oracled), partitionings and
+    runs. One key shuffle + per-key row_number; the cap removes the
+    skew it partitions on."""
+    from octosql_spark.datapipe import cap_per_key
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_key(d, key_col="source", n=10)
+
+
 @workload("text_pmi_collocations", """
 WITH toks AS (
   SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),

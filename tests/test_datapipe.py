@@ -1860,3 +1860,90 @@ def test_weighted_sample_wor_proportionality():
     wins = sum(1 for s in range(400) if pick(s) == 0)
     # P(item0 first) = 9/58 ≈ 0.155 → ~62/400; accept a wide band
     assert 30 <= wins <= 110
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The SIGMOD'03 winnowing theorem on random corpora: any two
+    documents sharing a run of >= w+k-1 tokens share at least ONE
+    fingerprint; and the selected density is near the paper's
+    expected 2/(w+1) of k-gram positions."""
+    import random
+
+    from octosql_spark.datapipe import (winnowing_fingerprints,
+                                        winnowing_overlap_pairs)
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    k = w = 4
+    shared_run = [rng.choice(vocab) for _ in range(w + k - 1)]  # 7 tokens
+    rows = []
+    for i in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(20, 60))]
+        if i % 2 == 0:  # even ids embed the shared run somewhere
+            p = rng.randint(0, len(toks))
+            toks[p:p] = shared_run
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b)
+             for r in winnowing_overlap_pairs(df, k=k, w=w,
+                                              min_shared=1).collect()}
+    for a in range(0, 40, 2):
+        for b in range(a + 2, 40, 2):
+            assert (a, b) in pairs, f"guaranteed pair ({a},{b}) missed"
+    fps = winnowing_fingerprints(df, k=k, w=w)
+    per_doc = fps.groupBy("doc_id").count().collect()
+    n_tokens = {i: len(t.split()) for i, t in rows}
+    for r in per_doc:
+        n_pos = n_tokens[r.doc_id] - k + 1
+        density = r["count"] / n_pos
+        assert 0.15 <= density <= 0.75  # around 2/(w+1)=0.4, generous
+
+
+def test_winnowing_md5p_matches_local_replay(spark):
+    """md5p hash mode: the Spark selection equals a pure-Python
+    replay (portable hash → the DuckDB oracle replays it too)."""
+    import hashlib
+
+    from octosql_spark.datapipe import winnowing_fingerprints
+
+    rows = [(1, "a b c d e f g h i j"),
+            (2, "x x x x x x x x"),          # constant grams → ties
+            (3, "one two three four"),        # exactly k tokens
+            (4, "too short")]                 # below w hashes → no rows
+    k = w = 4
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.fingerprint, r.pos)
+           for r in winnowing_fingerprints(df, k=k, w=w,
+                                           hash_mode="md5p").collect()}
+    want = set()
+    for i, t in rows:
+        ws = t.split()
+        hs = [int(hashlib.md5(" ".join(ws[j:j + k]).encode())
+                  .hexdigest()[:15], 16)
+              for j in range(max(len(ws) - k + 1, 1))]
+        if len(hs) < w:
+            continue
+        for j in range(len(hs) - w + 1):
+            win = hs[j:j + w]
+            m = min(win)
+            p = max(x for x in range(w) if win[x] == m)
+            want.add((i, m, j + p + 1))
+    assert got == want
+
+
+def test_cap_per_key_deterministic(spark):
+    """cap_per_key keeps exactly min(n, group size) rows per key and
+    the SAME rows regardless of input partitioning."""
+    from octosql_spark.datapipe import cap_per_key
+
+    rows = [(i, f"k{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = {tuple(r) for r in cap_per_key(df, n=7).collect()}
+    b = {tuple(r)
+         for r in cap_per_key(df.repartition(13), n=7).collect()}
+    assert a == b
+    from collections import Counter
+    c = Counter(s for _, s in a)
+    assert all(v == 7 for v in c.values()) and len(c) == 3
+    # n larger than every group → identity
+    assert cap_per_key(df, n=1000).count() == 100
