@@ -340,6 +340,74 @@ def _swap_tvf_call(query: str, name: str, view: str) -> str | None:
     return None
 
 
+def _build_counting_join_source(spark, jm, v1, v2):
+    """Stream-static join source for the exact counting route: exactly
+    one side streaming, ON a conjunction of column equalities (the
+    same equi constraint the reference's physical stream join imposes,
+    physical/stream_join.go), INNER or LEFT with the stream on the
+    left (Structured Streaming's supported stream-static shapes).
+    Returns a flattened streaming frame whose columns are BARE names
+    (both sides' columns; the static side's duplicate of an inner
+    equi-key is dropped — it equals the stream side's), or None when
+    the shape can't be built — the caller then falls back to the
+    generic per-micro-batch mapping."""
+    import re
+
+    a1, a2 = jm.group("a1"), jm.group("a2")
+    try:
+        d1, d2 = spark.table(v1), spark.table(v2)
+    except Exception:
+        return None
+    if d1.isStreaming == d2.isStreaming:
+        return None  # stream-stream (stateful upstream) or batch-batch
+    jt = (jm.group("jt") or "").upper()
+    if jt == "LEFT" and not d1.isStreaming:
+        return None  # static-left outer against a stream right
+    how = "left_outer" if jt == "LEFT" else "inner"
+
+    def _resolve(ref):
+        ref = ref.strip().strip('`"')
+        if "." in ref:
+            qual, col = ref.split(".", 1)
+            col = col.strip('`"')
+            for al, d in ((a1, d1), (a2, d2)):
+                if al and qual == al and col in d.columns:
+                    return d, col
+            return None
+        hits = [(d, ref) for d in (d1, d2) if ref in d.columns]
+        return hits[0] if len(hits) == 1 else None
+
+    conds, key_pairs = [], set()
+    for eq in re.split(r"(?i)\s+AND\s+", jm.group("on").strip()):
+        em = re.match(r"^\s*([\w.`\"]+)\s*=\s*([\w.`\"]+)\s*$", eq)
+        if not em:
+            return None
+        left, right = _resolve(em.group(1)), _resolve(em.group(2))
+        if not left or not right or left[0] is right[0]:
+            return None
+        conds.append(left[0][left[1]] == right[0][right[1]])
+        key_pairs.add((left[1], right[1]))
+        key_pairs.add((right[1], left[1]))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+
+    stream, static = (d1, d2) if d1.isStreaming else (d2, d1)
+    out_cols, seen = [], set()
+    for c in stream.columns:
+        out_cols.append(stream[c].alias(c))
+        seen.add(c)
+    for c in static.columns:
+        if c in seen:
+            # the inner equi-join's duplicate key equals the stream
+            # side's copy — drop it; any OTHER collision is ambiguous
+            if how == "inner" and (c, c) in key_pairs:
+                continue
+            return None
+        out_cols.append(static[c].alias(c))
+    return stream.join(static, cond, how).select(*out_cols)
+
+
 def _try_exact_counting(args, res, spec):
     """Route any streaming SQL group-by matching the simple shape —
     ``SELECT keys, aggs FROM src [alias] [WHERE cond] GROUP BY keys
@@ -350,8 +418,10 @@ def _try_exact_counting(args, res, spec):
     the reference where the trigger counts records as they enter the
     group-by. Returns None when the query shape doesn't match — the
     caller falls back to the generic mapping (DEVIATIONS 6 then only
-    covers shapes the exact operator can't express: joins and
-    non-projection TVFs under a counting trigger). DETERMINISTIC
+    covers shapes the exact operator can't express: stream-STREAM
+    joins and non-projection TVFs under a counting trigger —
+    stream-STATIC equi-joins route exactly via
+    _build_counting_join_source, r7). DETERMINISTIC
     EXPRESSION keys (``GROUP BY v % 2``, ``GROUP BY date_trunc(
     'hour', ts)``) are precomputed into columns through the dialect
     rewrites before the stateful operator, so they fire exactly per
@@ -366,6 +436,7 @@ def _try_exact_counting(args, res, spec):
 
     query = args.query
     tvf_views = [v for v, d in res.views.items() if d == "tumble"]
+    jm = None
     if tvf_views:
         if len(tvf_views) != 1:
             return None
@@ -375,10 +446,27 @@ def _try_exact_counting(args, res, spec):
         src_view = tvf_views[0]
     elif len(res.views) == 1:
         src_view = next(iter(res.views))
+    elif len(res.views) == 2:
+        # stream-static join under a counting trigger: the trigger
+        # counts records ENTERING the group-by (triggers.go:17-87),
+        # i.e. post-join post-WHERE — a stream-static join is not a
+        # stateful op, so the exact operator can sit right behind it
+        src_view = None
+        jm = re.match(
+            r"(?is)^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<v1>\S+)"
+            r"(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b|LEFT\b)(?P<a1>\w+))?"
+            r"\s+(?:(?P<jt>LEFT)\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+"
+            r"(?P<v2>\S+)"
+            r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<a2>\w+))?"
+            r"\s+ON\s+(?P<on>.*?)\s+"
+            r"(?:WHERE\s+(?P<where>.*?)\s+)?"
+            r"GROUP\s+BY\s+(?P<keys>.*?)\s+TRIGGER\b.*$", query)
+        if not jm:
+            return None
     else:
         return None
 
-    m = re.match(
+    m = jm or re.match(
         r"(?is)^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+\S+"
         r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b)\w+)?\s+"      # optional alias
         r"(?:WHERE\s+(?P<where>.*?)\s+)?"
@@ -395,9 +483,23 @@ def _try_exact_counting(args, res, spec):
         return re.sub(r"\s+", " ", t.strip().lower())
 
     spark = res.df.sparkSession
-    src = spark.table(src_view)
-    if not src.isStreaming:
-        return None
+    if jm is not None:
+        def _tok_view(tok: str):
+            t = tok.strip()
+            if len(t) >= 2 and t[0] in "'\"" and t[-1] == t[0]:
+                t = t[1:-1]
+            return next((v for v, d in res.views.items() if d == t), None)
+
+        v1, v2 = _tok_view(jm.group("v1")), _tok_view(jm.group("v2"))
+        if not v1 or not v2 or v1 == v2:
+            return None
+        src = _build_counting_join_source(spark, jm, v1, v2)
+        if src is None:
+            return None
+    else:
+        src = spark.table(src_view)
+        if not src.isStreaming:
+            return None
 
     _split = r",(?![^()]*\))"  # top-level commas only
     # SELECT items as (normalized-expr, alias, full-text)
@@ -460,8 +562,16 @@ def _try_exact_counting(args, res, spec):
             # reference (advisor-found r4)
             from octosql_spark.sql.transpiler import (
                 rewrite_scalar_expression)
+            where_text = m.group("where")
+            if jm is not None:
+                # the joined frame is flattened to bare names — strip
+                # the two join aliases' qualifiers
+                for al in (jm.group("a1"), jm.group("a2")):
+                    if al:
+                        where_text = re.sub(
+                            rf"\b{re.escape(al)}\.", "", where_text)
             src = src.filter(rewrite_scalar_expression(
-                m.group("where"), src))
+                where_text, src))
         if derived:
             from pyspark.sql import functions as F
 

@@ -517,3 +517,55 @@ def test_tail_single_file_truncate_regrow_resets(tmp_path):
     assert {"number": 0, "text": "x0"} in rows
     assert {"number": 1, "text": "x1"} in rows
     assert {"number": 0, "text": "y0"} in rows
+
+
+def test_trigger_counting_exact_stream_static_join(spark, tmp_path,
+                                                   capsys):
+    """DEVIATIONS 6 narrowed: a stream-static equi-join under TRIGGER
+    COUNTING n routes to the exact per-record operator — the trigger
+    counts records ENTERING the group-by (triggers.go:17-87), i.e.
+    post-join post-WHERE, and a stream-static join is stateless so
+    the stateful counting operator can sit right behind it."""
+    d = tmp_path / "cntj"
+    d.mkdir()
+    (d / "a.json").write_text(
+        '\n'.join('{"k": 1, "v": %d}' % i for i in range(1, 6)) + '\n'
+        + '{"k": 2, "v": 10}\n')
+    dim = tmp_path / "dim.csv"
+    dim.write_text("k,name\n1,alpha\n2,beta\n3,gamma\n")
+    rc = main([f"SELECT name, COUNT(v) AS n FROM '{d}/*.json?tail=true' s "
+               f"JOIN '{dim}' t ON s.k = t.k "
+               "GROUP BY name TRIGGER COUNTING 2",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # 'alpha' sees 5 joined records → exact emissions at 2 and 4;
+    # 'beta' sees 1 → none; 'gamma' matches nothing
+    assert "{+0001-01-01T00:00:00Z| 'alpha', 2, 2 |}" in out
+    assert "{+0001-01-01T00:00:00Z| 'alpha', 4, 4 |}" in out
+    assert "'beta'" not in out and "'gamma'" not in out
+
+
+def test_trigger_counting_join_where_and_fanout(spark, tmp_path,
+                                                capsys):
+    """Join fan-out counts per POST-JOIN record (a stream record
+    matching two static rows advances each matched key's count), and
+    WHERE prunes before counting."""
+    d = tmp_path / "cntf"
+    d.mkdir()
+    (d / "a.json").write_text(
+        '\n'.join('{"k": 1, "v": %d}' % i for i in range(1, 4)) + '\n')
+    dim = tmp_path / "dimf.csv"
+    # k=1 matches TWO static rows with the same label → every stream
+    # record contributes 2 records to label 'dup'
+    dim.write_text("k,label\n1,dup\n1,dup\n")
+    rc = main([f"SELECT label, SUM(v) AS sv FROM '{d}/*.json?tail=true' s "
+               f"JOIN '{dim}' t ON s.k = t.k WHERE v <= 2 "
+               "GROUP BY label TRIGGER COUNTING 2",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # v in (1,2) pass WHERE; each joins twice → 4 records for 'dup':
+    # emissions at 2 (v=1 twice: sum 2) and 4 (sum 1+1+2+2=6)
+    assert "{+0001-01-01T00:00:00Z| 'dup', 2, 2 |}" in out
+    assert "{+0001-01-01T00:00:00Z| 'dup', 4, 6 |}" in out
