@@ -452,9 +452,13 @@ def _try_exact_counting(args, res, spec):
         # i.e. post-join post-WHERE — a stream-static join is not a
         # stateful op, so the exact operator can sit right behind it
         src_view = None
+        # RIGHT/FULL/CROSS must NOT parse as an alias (they'd silently
+        # demote an outer join to inner) — they fail the match and the
+        # query falls back to the generic per-micro-batch mapping
         jm = re.match(
             r"(?is)^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<v1>\S+)"
-            r"(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b|LEFT\b)(?P<a1>\w+))?"
+            r"(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b"
+            r"|CROSS\b|OUTER\b)(?P<a1>\w+))?"
             r"\s+(?:(?P<jt>LEFT)\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+"
             r"(?P<v2>\S+)"
             r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<a2>\w+))?"

@@ -569,3 +569,26 @@ def test_trigger_counting_join_where_and_fanout(spark, tmp_path,
     # emissions at 2 (v=1 twice: sum 2) and 4 (sum 1+1+2+2=6)
     assert "{+0001-01-01T00:00:00Z| 'dup', 2, 2 |}" in out
     assert "{+0001-01-01T00:00:00Z| 'dup', 4, 6 |}" in out
+
+
+def test_trigger_counting_right_join_not_demoted(spark, tmp_path,
+                                                 capsys):
+    """A RIGHT JOIN under TRIGGER COUNTING must NOT match the exact
+    stream-static route's regex as 'alias RIGHT + inner join' — it
+    falls back to the generic per-micro-batch mapping and still
+    produces the right rows."""
+    d = tmp_path / "cntr"
+    d.mkdir()
+    (d / "a.json").write_text('{"k": 1, "v": 5}\n{"k": 1, "v": 6}\n')
+    dim = tmp_path / "dimr.csv"
+    dim.write_text("k,name\n1,alpha\n")
+    rc = main([f"SELECT name, COUNT(v) AS n FROM '{dim}' t "
+               f"RIGHT JOIN '{d}/*.json?tail=true' s ON t.k = s.k "
+               "GROUP BY name TRIGGER COUNTING 2",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # generic route: per-micro-batch update — the final count of 2
+    # joined records for 'alpha' must appear (no exact per-record
+    # emission markers required)
+    assert "'alpha', 2" in out
