@@ -121,6 +121,20 @@ def main() -> None:
     # total to keep it round-comparable): the r7 pure-JVM numbering
     # path — the r6 zipWithIndex form pickled every line through
     # Python and was the one registry-invisible perf hole.
+    # r7 operators (informational block, same reason): median-of-3
+    # warm timings for the new similarity/sampling/fingerprint ops
+    r7_ops: dict[str, float] = {}
+    for name in ("dedup_edit_distance", "curate_weighted_sample",
+                 "text_winnowing_fingerprints"):
+        w7 = REGISTRY[name]
+        w7.build(spark, sf_dir).collect()
+        runs = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            w7.build(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t1)
+        r7_ops[name] = round(sorted(runs)[1], 4)
+
     lw = REGISTRY["lines_numbered"]
     for _ in range(2):
         lw.build(spark, sf_dir).collect()
@@ -159,6 +173,7 @@ def main() -> None:
         "solo_floor_csv_sec": solo_floor_csv,
         "csv_groupby": csv_query,
         "lines_numbered_sec": round(lines_sec, 4),
+        "r7_ops": r7_ops,
         "tpch_suite": {"total_sec": round(sum(tpch.values()), 4),
                        "queries": tpch},
     }))

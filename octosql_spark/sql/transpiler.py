@@ -1847,6 +1847,81 @@ def rewrite_scalar_expression(expr_sql: str, df) -> str:
     return "".join(t.text for t in toks)
 
 
+_ORD_CLAUSE_END = ("LIMIT", "OFFSET", "HAVING", "WINDOW", "UNION",
+                   "EXCEPT", "INTERSECT", "ORDER", "GROUP", "TRIGGER",
+                   "FROM", "WHERE", "SELECT", "JOIN", "ON", "LEFT",
+                   "RIGHT", "FULL", "INNER", "CROSS")
+_ORD_ITEM_SUFFIX = ("ASC", "DESC", "NULLS", "FIRST", "LAST")
+
+
+def _rewrite_ordinal_keys(toks: list[Tok]) -> list[Tok]:
+    """Bare integer-literal keys in ORDER BY / GROUP BY are CONSTANT
+    expressions in the dialect (the reference parses every key
+    through ParseExpression, parser.go:862-870), while Spark binds
+    them POSITIONALLY (orderByOrdinal/groupByOrdinal — and errors on
+    ``ORDER BY 0``). Rewriting ``N`` to ``(N + 0)`` — an unresolved
+    Add the analyzer's ordinal substitution never touches — pins the
+    reference semantics PER EXPRESSION. The previous approach
+    (flipping the two session confs around ``spark.sql``) was correct
+    single-threaded but RACED concurrent plain-Spark-SQL callers on
+    the same session: the checker's thread pool flaked
+    ``recursive_month_spine_gapfill`` (its ``GROUP BY 1`` resolved
+    under the dialect's pin ~1 run in 3, MISSING_AGGREGATION)."""
+    sig = _sig(toks)
+    wrap: list[int] = []  # raw indices of NUMBER tokens to wrap
+
+    def flush(item: list[int]) -> None:
+        while item and toks[sig[item[-1]]].is_kw(*_ORD_ITEM_SUFFIX):
+            item.pop()
+        if len(item) == 1:
+            t = toks[sig[item[0]]]
+            if (t.kind == "NUMBER" and "." not in t.text
+                    and "e" not in t.text.lower()):
+                wrap.append(sig[item[0]])
+
+    k = 0
+    while k + 1 < len(sig):
+        if not (toks[sig[k]].is_kw("ORDER", "GROUP")
+                and toks[sig[k + 1]].is_kw("BY")):
+            k += 1
+            continue
+        j = k + 2
+        depth = 0
+        item: list[int] = []
+        while j < len(sig):
+            t = toks[sig[j]]
+            if t.text == "(":
+                depth += 1
+                item.append(j)
+            elif t.text == ")":
+                if depth == 0:
+                    break  # subquery / OVER(...) clause end
+                depth -= 1
+                item.append(j)
+            elif depth == 0 and t.text == ",":
+                flush(item)
+                item = []
+            elif depth == 0 and t.is_kw(*_ORD_CLAUSE_END):
+                break
+            else:
+                item.append(j)
+            j += 1
+        flush(item)
+        k = j if j > k else k + 1
+    if not wrap:
+        return toks
+    out: list[Tok] = []
+    wrapset = set(wrap)
+    for i, t in enumerate(toks):
+        if i in wrapset:
+            out.extend([Tok("PUNCT", "("), Tok("NUMBER", t.text),
+                        Tok("OP", "+"), Tok("NUMBER", "0"),
+                        Tok("PUNCT", ")")])
+        else:
+            out.append(t)
+    return out
+
+
 def transpile(spark: SparkSession, sql: str,
               strict_assert: bool = False) -> Transpiled:
     out = Transpiled(sql="")
@@ -1870,6 +1945,7 @@ def transpile(spark: SparkSession, sql: str,
     toks = _rewrite_functions(toks, types)
     toks = _rewrite_float_literals(toks)
     toks = _expand_durns_markers(toks)
+    toks = _rewrite_ordinal_keys(toks)
     depth = 0
     for t in toks:
         if t.text == "(":
@@ -1899,32 +1975,16 @@ def run_query(spark: SparkSession, sql: str,
 
     ``strict_assert`` switches ``x::T`` from TRY_CAST conversion to
     the reference's no-conversion runtime type assertion."""
-    # The dialect has NO ordinal ORDER BY/GROUP BY: the reference
-    # parses every key through ParseExpression (parser.go:862-870 /
-    # the GROUP BY path), so an integer literal is a CONSTANT key
-    # (no-op sort / single group). Spark defaults both to positional
-    # (and errors on `ORDER BY 0`) — pin the reference semantics for
-    # THIS query only (found by the r7 clause-surface fuzzer). Ordinal
-    # substitution runs in the analyzer, i.e. inside ``spark.sql``, so
-    # scoping the pin around the call is sufficient — and restoring it
-    # matters: the session is shared with plain-Spark-SQL callers whose
-    # positional GROUP BY must keep Spark's default semantics.
-    pins = ("spark.sql.orderByOrdinal", "spark.sql.groupByOrdinal")
-    saved = {}
-    for k in pins:
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
-        spark.conf.set(k, "false")
-    try:
-        t = transpile(spark, sql, strict_assert=strict_assert)
-        df = spark.sql(t.sql)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    # The dialect has NO ordinal ORDER BY/GROUP BY (the reference
+    # parses every key through ParseExpression, so an integer literal
+    # is a CONSTANT key — no-op sort / single group, found by the r7
+    # clause-surface fuzzer). That is pinned TOKEN-LEVEL by
+    # _rewrite_ordinal_keys inside transpile — NOT by flipping the
+    # session's orderByOrdinal/groupByOrdinal confs around this call:
+    # session confs are global across threads, so the flip raced
+    # concurrent plain-Spark-SQL callers on the same session (the
+    # checker's thread pool flaked a positional GROUP BY 1 entry).
+    t = transpile(spark, sql, strict_assert=strict_assert)
+    df = spark.sql(t.sql)
     return QueryResult(df, t.triggers, t.sql, t.polls,
                        t.views, t.event_time, t.ordered)

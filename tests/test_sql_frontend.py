@@ -329,22 +329,29 @@ def test_overload_category_polymorphic_functions(spark):
             (expr, got, want)
 
 
-def test_run_query_restores_ordinal_configs(spark):
-    """The no-ordinal ORDER BY/GROUP BY pin is scoped to the dialect
-    query (r7 regression): run_query must RESTORE the session's
-    positional-binding configs, because the session is shared with
-    plain Spark SQL whose `GROUP BY 1` relies on Spark's default —
-    the plan-report sweep caught recursive_month_spine_gapfill
-    failing with MISSING_AGGREGATION after any dialect query ran
-    first in the same session."""
+def test_run_query_ordinal_keys_token_level(spark):
+    """The dialect's no-ordinal ORDER BY/GROUP BY semantics are pinned
+    TOKEN-LEVEL (`N` → `(N + 0)`, which Spark's analyzer never
+    ordinal-substitutes), NOT by flipping session confs around the
+    query: session confs are global across threads, and the conf flip
+    raced concurrent plain-Spark-SQL `GROUP BY 1` callers on the
+    shared session (the --jobs checker flaked
+    recursive_month_spine_gapfill with MISSING_AGGREGATION ~1 run in
+    3 until this landed)."""
     from octosql_spark.sql import run_query
+    from octosql_spark.sql.transpiler import transpile
 
     spark.range(3).selectExpr("id", "id * 2 AS v") \
         .createOrReplaceTempView("ordcfg_t")
     # dialect semantics inside run_query: ORDER BY 0 is a constant key
     out = run_query(spark, "SELECT id FROM ordcfg_t ORDER BY 0").df
     assert out.count() == 3
-    # Spark defaults back outside: GROUP BY 1 binds positionally again
+    # the pin is in the emitted SQL itself — no conf involved
+    t = transpile(spark, "SELECT id FROM ordcfg_t "
+                         "ORDER BY 0 DESC GROUP BY 2")
+    assert "(0+0)" in t.sql and "(2+0)" in t.sql
+    # plain Spark SQL on the same session keeps positional semantics,
+    # conf untouched (it would now survive even mid-dialect-query)
     got = {(r.id, r.c) for r in spark.sql(
         "SELECT id, COUNT(*) AS c FROM ordcfg_t GROUP BY 1").collect()}
     assert got == {(0, 1), (1, 1), (2, 1)}
