@@ -227,6 +227,19 @@ def fingerprint(text: Column, mode: str = "md5") -> Column:
     raise ValueError(mode)
 
 
+def _let(val: Column, body) -> Column:
+    """let-binding for Catalyst expressions: evaluate ``val`` ONCE and
+    bind it as a HOF lambda variable for ``body``. Repeated *static*
+    references to an expression re-evaluate it per reference (and
+    CollapseProject re-inlines withColumn aliases), which turns
+    nested array pipelines quadratic — e.g. ``element_at(<transform
+    over n words>, i)`` inside an n-window scan re-hashes the whole
+    document per window. Lambda variables are bound values, so every
+    reference inside ``body`` is O(1). (Measured on winnowing at
+    sf0.1: 6.97 s → 0.83 s for the identical selection.)"""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 4,
                            w: int = 4,
@@ -248,46 +261,63 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     pipelined with the scan; the fingerprint table is what you join
     or group downstream, each row an 8-byte hash + position.
 
-    ``hash_mode``: ``xxhash64`` (default — fastest JVM hash) or
-    ``md5p`` (first 60 bits of md5 as a BIGINT — both engines compute
-    it identically, so the gate entry's SELECTED positions and hash
-    values are fully value-oracled in DuckDB, not just invariants).
+    ``hash_mode``: ``xxhash64`` (default — words are hashed ONCE and
+    each gram hash combines k word hashes, no per-gram string
+    building) or ``md5p`` (first 60 bits of md5 over the gram TEXT as
+    a BIGINT — both engines compute it identically, so the gate
+    entry's SELECTED positions and hash values are fully
+    value-oracled in DuckDB, not just invariants).
+
+    Every array is ``_let``-bound: the word-hash array, the gram-hash
+    array and each w-slice window evaluate once — the naive nesting
+    re-evaluates the whole upstream array per element and goes
+    quadratic in document length (8.4× slower at sf0.1).
     """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
     if hash_mode == "xxhash64":
-        def _gh(g: Column) -> Column:
-            return F.xxhash64(g)
+        def grams_of(ws: Column) -> Column:
+            # guard: < k words → no full gram (element_at past the
+            # end would throw under ANSI mode); such docs produce
+            # < w hashes and are dropped by the size(hs) filter anyway
+            return _let(
+                F.transform(ws, lambda x: F.xxhash64(x)),
+                lambda arr: F.when(F.size(arr) >= k, F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - F.lit(k - 1)),
+                    lambda i: F.xxhash64(*[F.element_at(arr, i + off)
+                                           for off in range(k)])))
+                .otherwise(F.array().cast("array<bigint>")))
     elif hash_mode == "md5p":
-        def _gh(g: Column) -> Column:
-            return F.conv(F.substring(F.md5(g), 1, 15),
-                          16, 10).cast("long")
+        def grams_of(ws: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(1), F.greatest(
+                    F.size(ws) - F.lit(k - 1), F.lit(1))),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.concat_ws(
+                        " ", F.slice(ws, i, k))), 1, 15),
+                    16, 10).cast("long"))
     else:
         raise ValueError(hash_mode)
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_grams = F.size(words) - F.lit(k - 1)
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: _gh(F.concat_ws(" ", F.slice(words, i, k))))
-    n_win = F.size(F.col("_h")) - F.lit(w - 1)
-    # rightmost minimum per window: scan positions j..j+w-1, keep the
-    # LAST index attaining the running min (paper tie rule)
-    win_sel = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-        lambda j: F.aggregate(
-            F.sequence(j, j + F.lit(w - 1)),
-            F.struct(F.lit(None).cast("long").alias("h"),
-                     F.lit(0).alias("p")),
-            lambda acc, i: F.when(
-                acc["h"].isNull()
-                | (F.element_at(F.col("_h"), i) <= acc["h"]),
-                F.struct(F.element_at(F.col("_h"), i).alias("h"),
-                         i.alias("p"))).otherwise(acc)))
-    base = (df.select(id_col, F.col(text_col))
-            .withColumn("_h", hashes)
-            .filter(F.size("_h") >= w))
-    # (id, fingerprint, pos) is already unique: array_distinct runs
-    # WITHIN the row, so no dropDuplicates shuffle is needed
-    return (base.select(id_col, F.explode(
-                F.array_distinct(win_sel)).alias("_s"))
+    # rightmost minimum per w-window (paper §2.2 tie rule): min +
+    # LAST index attaining it, via native array fns on the bound
+    # window slice (reverse + array_position finds the rightmost)
+    sel = _let(words, lambda ws: _let(
+        grams_of(ws),
+        lambda hs: F.when(F.size(hs) >= w, F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hs) - F.lit(w - 1)),
+                lambda j: _let(F.slice(hs, j, w), lambda win: F.struct(
+                    F.array_min(win).alias("h"),
+                    # reverse(win)[r] = hs[j + w - r], so the FIRST
+                    # match in the reversed window is the RIGHTMOST
+                    # minimum at global position j + w - r
+                    (j + F.lit(w)
+                     - F.array_position(F.reverse(win),
+                                        F.array_min(win)))
+                    .cast("int").alias("p"))))))
+        .otherwise(F.array().cast("array<struct<h:bigint,p:int>>"))))
+    # (id, fingerprint, pos) is unique per row (array_distinct runs
+    # WITHIN the row) — zero shuffles in this operator
+    return (df.select(id_col, F.explode(sel).alias("_s"))
             .select(id_col,
                     F.col("_s.h").alias("fingerprint"),
                     F.col("_s.p").alias("pos")))
