@@ -1209,6 +1209,38 @@ def _strip_trigger(toks: list[Tok]) -> tuple[list[Tok], list[str]]:
     return toks, list(reversed(triggers))
 
 
+_DISTINCT_AGG_NAMES = {"count_distinct": "count", "sum_distinct": "sum",
+                       "avg_distinct": "avg",
+                       "array_agg_distinct": "array_agg"}
+
+
+def _rewrite_distinct_agg_names(toks: list[Tok]) -> list[Tok]:
+    """The reference registers the ``*_distinct`` aggregates as
+    CALLABLE names (aggregates/table.go: count_distinct, sum_distinct,
+    avg_distinct, array_agg_distinct — the same names ``docs.
+    aggregates`` lists), alongside the ``AGG(DISTINCT x)`` syntax the
+    parser folds into them (parser.go:469-472). Spark SQL only has
+    the syntax form, so rewrite ``count_distinct(x)`` →
+    ``count(DISTINCT x)`` (found by the r7 distinct-aggregate
+    fuzzer). Runs before _alias_select_items, whose naming branch
+    re-derives the ``<base>_distinct`` output name from the DISTINCT
+    keyword — reference output naming is unchanged."""
+    sig = _sig(toks)
+    out = list(toks)
+    for k in range(len(sig) - 1):
+        t = toks[sig[k]]
+        base = (_DISTINCT_AGG_NAMES.get(t.text.lower())
+                if t.kind == "IDENT" else None)
+        if base and toks[sig[k + 1]].text == "(":
+            out[sig[k]] = Tok("IDENT", base)
+            out[sig[k + 1]] = Tok("PUNCT", "(")
+            # inject DISTINCT right after the open paren
+            out.insert(sig[k + 1] + 1, Tok("WS", " "))
+            out.insert(sig[k + 1] + 1, Tok("IDENT", "DISTINCT"))
+            return _rewrite_distinct_agg_names(out)  # indices shifted
+    return out
+
+
 def _strip_join_modifiers(toks: list[Tok]) -> list[Tok]:
     """``LOOKUP JOIN`` / ``STREAM JOIN`` (parser extensions,
     token.go:257,379) → plain JOIN; LOOKUP marks the broadcast side,
@@ -1933,6 +1965,7 @@ def transpile(spark: SparkSession, sql: str,
     toks = _rewrite_tvfs(spark, toks, out)
     toks = _rewrite_file_tables(spark, toks, out)
     toks = _expand_star(spark, toks)
+    toks = _rewrite_distinct_agg_names(toks)
     toks = _alias_select_items(toks)
     types = _collect_column_types(spark, toks)
     variant_cols = (_collect_variant_cols(spark, toks)

@@ -66,3 +66,43 @@ def test_counting_trigger_state_across_batches(spark, tmp_path):
     run_round()  # state recovered from checkpoint; 2nd record arrives
     rows = spark.read.json(outdir).collect()
     assert [(r.user, r.emitted_at_count, r.cnt) for r in rows] == [(7, 2, 2)]
+
+
+def test_counting_trigger_random_replay(spark, tmp_path):
+    """Property check against a pure-Python replay of the reference's
+    trigger semantics (triggers.go:17-87): for random key/value
+    streams and random n, every (key, emitted_at_count) emission and
+    its count/sum/min/max/avg values match the per-key
+    every-n-records state machine exactly."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = rng.randint(1, 4)
+        rows = [{"user": rng.randint(1, 5),
+                 "v": round(rng.uniform(-50, 50), 3)}
+                for _ in range(rng.randint(10, 60))]
+        p = tmp_path / f"rr{trial}"
+        p.mkdir()
+        (p / "a.json").write_text(
+            "\n".join(json.dumps(r) for r in rows))
+        src = st.read_stream_file(spark, str(p), "json")
+        agg = counting_trigger_aggregate(
+            src, ["user"], [("count", "*", "cnt"), ("sum", "v", "sv"),
+                            ("min", "v", "mn"), ("max", "v", "mx"),
+                            ("avg", "v", "av")], n=n)
+        out = st.run_to_memory(agg, f"ctr_{uuid.uuid4().hex[:8]}")
+        got = {(r.user, r.emitted_at_count):
+               (r.cnt, round(r.sv, 6), r.mn, r.mx, round(r.av, 6))
+               for r in out.collect()}
+        # replay: per-key counter, emit at every n-th record
+        want = {}
+        seen: dict[int, list[float]] = {}
+        for r in rows:
+            vs = seen.setdefault(r["user"], [])
+            vs.append(r["v"])
+            if len(vs) % n == 0:
+                want[(r["user"], len(vs))] = (
+                    len(vs), round(sum(vs), 6), min(vs), max(vs),
+                    round(sum(vs) / len(vs), 6))
+        assert got == want, f"trial={trial} n={n}"

@@ -426,3 +426,63 @@ def test_dialect_window_matches_duckdb(spark, duck, nation_view,
         f"SELECT n_nationkey AS k, CAST({fn}({oe}) OVER ({over}) "
         f"AS {cast}) AS w FROM nation").fetchall())
     assert got == want, f"{fn}({de}) OVER"
+
+
+# ---------------- r7 late grammar: distinct aggregates, set ops ------
+
+@settings(max_examples=_N or 25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(_ints(1), st.booleans())
+def test_dialect_distinct_aggs_match_duckdb(spark, duck, nation_view,
+                                            expr, with_where):
+    """The dialect's `*_distinct` CALL-NAME wrappers (DISTINCT inside
+    a call is the `_distinct` variant, parser.go:469-472) over random
+    integer expressions: count/sum/avg_distinct and
+    array_agg_distinct cardinality must match DuckDB's
+    AGG(DISTINCT ...)."""
+    from octosql_spark.sql import run_query
+    de, oe = expr
+    where_d = " WHERE n_nationkey >= 5" if with_where else ""
+    ours = run_query(
+        spark, f"SELECT n_regionkey, count_distinct({de}) AS cd, "
+               f"sum_distinct({de}) AS sd, avg_distinct({de}) AS ad "
+               f"FROM nation{where_d} GROUP BY n_regionkey").df
+    got = sorted((r.n_regionkey, r.cd, r.sd,
+                  None if r.ad is None else round(r.ad, 9))
+                 for r in ours.collect())
+    want = sorted(
+        (k, cd, sd, None if ad is None else round(ad, 9))
+        for k, cd, sd, ad in duck.execute(
+            f"SELECT n_regionkey, COUNT(DISTINCT {oe}) AS cd, "
+            f"CAST(SUM(DISTINCT {oe}) AS BIGINT) AS sd, "
+            f"AVG(DISTINCT {oe}) AS ad FROM nation{where_d} "
+            f"GROUP BY n_regionkey").fetchall())
+    assert got == want, f"distinct aggs over {de}"
+
+
+@settings(max_examples=_N or 25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(_ints(1), _ints(1),
+       st.sampled_from(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]))
+def test_dialect_set_ops_match_duckdb(spark, duck, nation_view,
+                                      a, b, op):
+    """Set operations between two projected branches: UNION [ALL] /
+    INTERSECT / EXCEPT multisets must match DuckDB's (UNION without
+    ALL deduplicates in both dialects)."""
+    from octosql_spark.sql import run_query
+    da, oa = a
+    db, ob = b
+    key = lambda t: (t[0] is None, t[0])
+    ours = run_query(
+        spark, f"SELECT {da} AS v FROM nation WHERE n_nationkey < 13 "
+               f"{op} "
+               f"SELECT {db} AS v FROM nation WHERE n_nationkey >= 7").df
+    got = sorted(((r.v,) for r in ours.collect()), key=key)
+    want = sorted((tuple(r) for r in duck.execute(
+        f"SELECT CAST({oa} AS BIGINT) AS v FROM nation "
+        f"WHERE n_nationkey < 13 {op} "
+        f"SELECT CAST({ob} AS BIGINT) AS v FROM nation "
+        f"WHERE n_nationkey >= 7").fetchall()), key=key)
+    assert got == want, f"{op} over {da} / {db}"

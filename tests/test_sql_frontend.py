@@ -357,3 +357,25 @@ def test_run_query_ordinal_keys_token_level(spark):
     assert got == {(0, 1), (1, 1), (2, 1)}
     assert spark.conf.get("spark.sql.groupByOrdinal") == "true"
     assert spark.conf.get("spark.sql.orderByOrdinal") == "true"
+
+
+def test_distinct_aggregate_call_names(spark):
+    """The reference registers *_distinct aggregates as CALLABLE names
+    (aggregates/table.go) in addition to the AGG(DISTINCT x) syntax
+    the parser folds into them — both forms must work through the SQL
+    front door with reference output naming (r7 fuzz-found gap)."""
+    from octosql_spark.sql import run_query
+
+    spark.createDataFrame([(1, 2), (1, 2), (2, 3)], ["a", "b"]) \
+        .createOrReplaceTempView("dn_t")
+    r = run_query(spark, "SELECT count_distinct(a), sum_distinct(b), "
+                         "avg_distinct(b), array_agg_distinct(a) "
+                         "FROM dn_t")
+    assert r.df.columns == ["count_distinct_a", "sum_distinct_b",
+                            "avg_distinct_b", "array_agg_distinct_a"]
+    row = r.df.collect()[0]
+    assert (row[0], row[1], row[2], sorted(row[3])) == (2, 5, 2.5, [1, 2])
+    # syntax form keeps the same derived names
+    r2 = run_query(spark, "SELECT a, COUNT(DISTINCT b) FROM dn_t "
+                          "GROUP BY a")
+    assert r2.df.columns == ["a", "count_distinct_b"]
