@@ -35,6 +35,9 @@ from octosql_spark.datapipe.curate import (  # noqa: F401
     budget_select, weighted_sample_wor,
     length_buckets, assign_splits,
 )
+from octosql_spark.datapipe.sketch import (  # noqa: F401
+    quantile_rollup_summary, quantile_rollup_estimate,
+)
 from octosql_spark.datapipe.multimodal import (  # noqa: F401
     attach_media_metadata, decode_media, sample_frames, resize_media,
     extract_features,

@@ -6078,6 +6078,58 @@ def sketch_rollup_mergeable_q(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@workload("sketch_quantile_rollup", """
+WITH d AS (SELECT date_trunc('month', l_shipdate) AS g,
+                  l_extendedprice AS v FROM lineitem),
+r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n FROM d),
+s AS (SELECT v AS boundary,
+             ((rn*64)//n - ((rn-1)*64)//n) * n AS weight
+      FROM r WHERE (rn*64)//n - ((rn-1)*64)//n > 0),
+c AS (SELECT boundary,
+             SUM(weight) OVER (ORDER BY boundary
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cw,
+             SUM(weight) OVER () AS W FROM s)
+SELECT CAST(q_pct AS INTEGER) AS q_pct, MIN(boundary) AS est,
+       TRUE AS rank_within_bound
+FROM c JOIN (VALUES (25), (50), (90)) p(q_pct)
+  ON c.cw * 100 >= p.q_pct * c.W
+GROUP BY q_pct ORDER BY q_pct
+""", cartesian_ok=True, broadcast_ok=True)
+def sketch_quantile_rollup_q(spark, sf_dir):
+    """Mergeable quantile rollup (datapipe.sketch): per-month
+    equi-depth summaries (b=64 exact order statistics, ONE group
+    shuffle, no arrays/collect) merge into global quantile estimates
+    by weighted-crossing over the boundary multiset — the quantile
+    twin of the HLL distinct rollup: monthly summaries persist and
+    answer whole-corpus percentiles in O(summary). All crossing
+    arithmetic is scaled int64 (weights ×b, percents ×100), so the
+    DuckDB replica picks the IDENTICAL boundary — estimates are
+    value-compared, not just bounded. The equi-depth merge theorem
+    (each group misplaces a rank by < n_g/b → merged error ≤ N/b) is
+    pinned as a contract boolean from the EXACT rank of each
+    estimate, computed in the same query (observed deviation ≈ half
+    the bound at sf0.001/0.01/0.1)."""
+    from octosql_spark.datapipe import (quantile_rollup_estimate,
+                                        quantile_rollup_summary)
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(F.date_trunc("month", "l_shipdate").alias("g"),
+                  F.col("l_extendedprice").alias("v"))
+    s = quantile_rollup_summary(d, "v", "g", b=64)
+    est = quantile_rollup_estimate(s, [25, 50, 90], b=64)
+    ranks = (d.crossJoin(F.broadcast(est))
+             .groupBy("q_pct", "est")
+             .agg(F.sum(F.when(F.col("v") <= F.col("est"), 1)
+                        .otherwise(0)).cast("long").alias("_rank"),
+                  F.count(F.lit(1)).alias("_n")))
+    bound_ok = (F.abs(F.col("_rank") * 100 - F.col("q_pct") * F.col("_n"))
+                * 64 <= F.col("_n") * 100)
+    return (ranks.select("q_pct", "est",
+                         bound_ok.alias("rank_within_bound"))
+            .orderBy("q_pct"))
+
+
 @workload("scd2_asof_resolve", """
 WITH seq AS (
   SELECT user_id, event_type, ts, event_id,

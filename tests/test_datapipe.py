@@ -1947,3 +1947,46 @@ def test_cap_per_key_deterministic(spark):
     assert all(v == 7 for v in c.values()) and len(c) == 3
     # n larger than every group → identity
     assert cap_per_key(df, n=1000).count() == 100
+
+
+def test_quantile_rollup_bound_and_merge(spark):
+    """Equi-depth rollup: (a) the merged estimate's exact rank is
+    within N/b of target for random skewed data; (b) summaries are
+    MERGEABLE — the estimate from per-group summaries equals the
+    estimate from the same summaries arriving as two batches
+    unioned (associativity of the boundary multiset); (c) b >= n
+    degenerates to exact quantiles."""
+    import random
+
+    from octosql_spark.datapipe import (quantile_rollup_estimate,
+                                        quantile_rollup_summary)
+
+    rng = random.Random(5)
+    rows = [(f"g{i % 7}", rng.lognormvariate(0, 2)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    b = 32
+    s = quantile_rollup_summary(df, "v", "g", b=b)
+    est = {r.q_pct: r.est
+           for r in quantile_rollup_estimate(s, [10, 50, 99], b=b).collect()}
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    for q, e in est.items():
+        rank = sum(1 for v in vals if v <= e)
+        assert abs(rank - q / 100.0 * n) <= n / b + 1e-9, (q, rank)
+    # mergeability: summaries from two disjoint halves union to the
+    # same estimate as the all-at-once summary (same boundary
+    # multiset per group either way — groups are wholly in one half)
+    h1 = spark.createDataFrame([r for r in rows if r[0] < "g4"], ["g", "v"])
+    h2 = spark.createDataFrame([r for r in rows if r[0] >= "g4"], ["g", "v"])
+    su = (quantile_rollup_summary(h1, "v", "g", b=b)
+          .unionByName(quantile_rollup_summary(h2, "v", "g", b=b)))
+    est2 = {r.q_pct: r.est
+            for r in quantile_rollup_estimate(su, [10, 50, 99], b=b).collect()}
+    assert est2 == est
+    # b >= n: every rank selected, estimate = exact quantile crossing
+    small = spark.createDataFrame([("a", float(i)) for i in range(1, 11)],
+                                  ["g", "v"])
+    ss = quantile_rollup_summary(small, "v", "g", b=1000)
+    e50 = {r.q_pct: r.est
+           for r in quantile_rollup_estimate(ss, [50], b=1000).collect()}
+    assert e50[50] == 5.0
