@@ -125,7 +125,7 @@ def main() -> None:
     # warm timings for the new similarity/sampling/fingerprint ops
     r7_ops: dict[str, float] = {}
     for name in ("dedup_edit_distance", "curate_weighted_sample",
-                 "text_winnowing_fingerprints"):
+                 "text_winnowing_fingerprints", "sketch_quantile_rollup"):
         w7 = REGISTRY[name]
         w7.build(spark, sf_dir).collect()
         runs = []
