@@ -1990,3 +1990,27 @@ def test_quantile_rollup_bound_and_merge(spark):
     e50 = {r.q_pct: r.est
            for r in quantile_rollup_estimate(ss, [50], b=1000).collect()}
     assert e50[50] == 5.0
+
+
+def test_winnowing_arrow_equals_jvm(spark):
+    """impl='arrow' (JVM gram hashing + vectorized numpy window scan)
+    emits EXACTLY the jvm implementation's fingerprint set — both
+    hash modes, random corpora including tie-heavy constant docs and
+    sub-window shorties."""
+    import random
+
+    from octosql_spark.datapipe import winnowing_fingerprints
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(40)]  # small vocab → hash ties
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 60))))
+            for i in range(120)]
+    rows += [(200, "x x x x x x x x x x"), (201, "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for mode in ("xxhash64", "md5p"):
+        a = {tuple(r) for r in winnowing_fingerprints(
+            df, hash_mode=mode, impl="jvm").collect()}
+        b = {tuple(r) for r in winnowing_fingerprints(
+            df, hash_mode=mode, impl="arrow").collect()}
+        assert a == b, mode
