@@ -358,7 +358,8 @@ def test_dialect_group_by_matches_duckdb(spark, duck, nation_view,
 # regression (found by this fuzzer): the dialect has no ordinal
 # ORDER BY — an integer literal is a CONSTANT key (reference
 # parser.go:862-870), while Spark's default positional mode errors on
-# `ORDER BY 0`; run_query now pins orderByOrdinal/groupByOrdinal off
+# `ORDER BY 0`; the transpiler pins this token-level (`N` → `(N+0)`,
+# _rewrite_ordinal_keys) — session confs stay untouched
 @example(expr=("0", "0"), desc=False, limit=1)
 @example(expr=("2", "2"), desc=True, limit=5)
 def test_dialect_order_by_limit_matches_duckdb(spark, duck, nation_view,
