@@ -182,7 +182,8 @@ def sample_stratified(df: DataFrame, rates: dict[str, float],
 def weighted_sample_wor(df: DataFrame, k: int,
                         weight_col: str | Column = "n_chars",
                         id_col: str = "doc_id",
-                        seed: int = 1) -> DataFrame:
+                        seed: int = 1,
+                        driver_topk_max: int = 10_000) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k rows, deterministic
     (Efraimidis & Spirakis 2006, IPL "Weighted random sampling with a
     reservoir"): each row gets key u^(1/w) for u ~ U(0,1) and the k
@@ -195,12 +196,19 @@ def weighted_sample_wor(df: DataFrame, k: int,
     computes the identical keys). Rows with weight <= 0 are excluded
     (they cannot be drawn).
 
-    Scale shape: key assignment is map-only; the k winners come from
-    ``orderBy(...).limit(k)`` which Spark executes as
-    TakeOrderedAndProject — a per-partition top-k then a driver-side
-    merge of #partitions * k rows. No global sort, no full shuffle;
-    this is the reservoir of the paper, distributed.
+    Scale shape: key assignment is map-only. For small k the winners
+    come from ``orderBy(...).limit(k)`` — TakeOrderedAndProject, a
+    per-partition top-k then a driver-side merge of up to
+    #partitions·k rows. That driver merge is exactly wrong for LARGE
+    k, so past ``driver_topk_max`` (default 10,000) the selection
+    switches to the repo's parallel-prefix decomposition
+    (budget_select / global_ntile): range-partition on the key,
+    per-partition ranks + a broadcast #partitions-row offset table,
+    filter global rank ≤ k — fully distributed, nothing on the
+    driver. Same selected SET either way (exact top-k by key with id
+    tiebreak), so both paths satisfy the same value oracle.
     """
+    from pyspark.sql.window import Window
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     # (id + seed) * K, not id * K + seed: the latter leaves id=0 at
     # u ≈ seed/2^32 for EVERY seed (a near-zero key that can never
@@ -209,11 +217,29 @@ def weighted_sample_wor(df: DataFrame, k: int,
              * F.lit(_KNUTH)) % F.lit(_M32)
     u = (u_int + F.lit(1.0)) / F.lit(float(_M32 + 1))  # in (0, 1)
     key = F.pow(u, F.lit(1.0) / w.cast("double"))
-    return (df.filter(w > 0)
-            .withColumn("_es_key", key)
-            .orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
-            .limit(k)
-            .drop("_es_key"))
+    d = df.filter(w > 0).withColumn("_es_key", key)
+    if k <= driver_topk_max:
+        return (d.orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+                .limit(k)
+                .drop("_es_key"))
+    # distributed top-k: parallel-prefix global rank, no driver merge
+    d = (d.repartitionByRange(F.col("_es_key").desc(),
+                              F.col(id_col).asc())
+         .withColumn("_pid", F.spark_partition_id())
+         .persist())
+    cnt = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    w_pid = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prior = cnt.select(
+        "_pid", F.coalesce(F.sum("_pc").over(w_pid),
+                           F.lit(0)).alias("_prior"))
+    w_in = Window.partitionBy("_pid").orderBy(
+        F.col("_es_key").desc(), F.col(id_col).asc())
+    return (d.join(F.broadcast(prior), "_pid")
+            .withColumn("_grank",
+                        F.col("_prior") + F.row_number().over(w_in))
+            .filter(F.col("_grank") <= k)
+            .drop("_es_key", "_pid", "_prior", "_grank"))
 
 
 def pack_sequences(docs: DataFrame, max_tokens: int = 512,

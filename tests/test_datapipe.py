@@ -2014,3 +2014,22 @@ def test_winnowing_arrow_equals_jvm(spark):
         b = {tuple(r) for r in winnowing_fingerprints(
             df, hash_mode=mode, impl="arrow").collect()}
         assert a == b, mode
+
+
+def test_weighted_sample_wor_distributed_path_same_set(spark):
+    """The large-k parallel-prefix selection picks EXACTLY the same
+    winner set as the TakeOrderedAndProject path (same keys, same id
+    tiebreaks), and its physical plan has no driver-merge top-k —
+    the #partitions-row offset table is the only single-partition
+    work."""
+    from octosql_spark.datapipe import weighted_sample_wor
+
+    rows = [(i, (i * 13) % 29 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    small = weighted_sample_wor(df, 80, weight_col="w", seed=3)
+    big = weighted_sample_wor(df, 80, weight_col="w", seed=3,
+                              driver_topk_max=10)  # force distributed
+    assert ({tuple(r) for r in small.collect()}
+            == {tuple(r) for r in big.collect()})
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
