@@ -340,6 +340,42 @@ def _swap_tvf_call(query: str, name: str, view: str) -> str | None:
     return None
 
 
+def _strip_alias_qualifier(text: str, alias: str) -> str:
+    """Remove ``alias.`` qualifiers from SQL expression text without
+    touching string literals: walks the text, copying single-quoted
+    strings ('' escapes), double-quoted and backtick identifiers
+    verbatim, and rewriting ``alias.`` only at identifier boundaries
+    outside them. A plain ``\\b<alias>\\.`` regex rewrote inside
+    literals (alias ``s``, WHERE name = 's.x' → 'x')."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    al_low = alias.lower()
+    while i < n:
+        ch = text[i]
+        if ch in "'\"`":
+            j = i + 1
+            while j < n:
+                if text[j] == ch:
+                    if ch == "'" and j + 1 < n and text[j + 1] == "'":
+                        j += 2  # '' escape inside a string literal
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if (text[i:i + len(alias)].lower() == al_low
+                and i + len(alias) < n and text[i + len(alias)] == "."
+                and (i == 0 or not (text[i - 1].isalnum()
+                                    or text[i - 1] in "_$."))):
+            i += len(alias) + 1  # drop the qualifier
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _build_counting_join_source(spark, jm, v1, v2):
     """Stream-static join source for the exact counting route: exactly
     one side streaming, ON a conjunction of column equalities (the
@@ -569,11 +605,15 @@ def _try_exact_counting(args, res, spec):
             where_text = m.group("where")
             if jm is not None:
                 # the joined frame is flattened to bare names — strip
-                # the two join aliases' qualifiers
+                # the two join aliases' qualifiers. Token-aware: a
+                # plain \b regex would also rewrite inside string
+                # literals (alias `s`, WHERE name = 's.x' → 'x' —
+                # advisor-found r7), silently filtering different
+                # rows than the reference.
                 for al in (jm.group("a1"), jm.group("a2")):
                     if al:
-                        where_text = re.sub(
-                            rf"\b{re.escape(al)}\.", "", where_text)
+                        where_text = _strip_alias_qualifier(
+                            where_text, al)
             src = src.filter(rewrite_scalar_expression(
                 where_text, src))
         if derived:

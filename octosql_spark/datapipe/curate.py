@@ -222,11 +222,15 @@ def weighted_sample_wor(df: DataFrame, k: int,
         return (d.orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
                 .limit(k)
                 .drop("_es_key"))
-    # distributed top-k: parallel-prefix global rank, no driver merge
+    # distributed top-k: parallel-prefix global rank, no driver merge.
+    # No persist: the offset table and the final join subtrees
+    # canonicalize to the same range Exchange, so exchange reuse makes
+    # both read ONE shuffle output with identical boundaries (pinned
+    # by tests/test_persist_hygiene.py) — a persist here leaked
+    # executor storage to library callers (r7 verdict)
     d = (d.repartitionByRange(F.col("_es_key").desc(),
                               F.col(id_col).asc())
-         .withColumn("_pid", F.spark_partition_id())
-         .persist())
+         .withColumn("_pid", F.spark_partition_id()))
     cnt = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
     w_pid = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))

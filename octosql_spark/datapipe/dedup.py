@@ -648,11 +648,15 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
     d = max_dist
     lmin = q * (d + 1)          # enough grams for the prefix theorem
     short_max = lmin - 1 + d    # band so cross-boundary pairs stay short-path
+    # no persist: canon is consumed five times, but every consumer's
+    # aggregate subtree canonicalizes to the same Exchange — exchange
+    # reuse runs the scan+map side ONCE and only the slim reduce-side
+    # re-executes per consumer (a persist here leaked executor
+    # storage to library callers until session teardown, r7 verdict)
     canon = (df.select(F.col(text_col).alias("_s"), F.col(id_col))
              .groupBy("_s")
              .agg(F.min(id_col).alias("_rid"),
-                  F.collect_list(id_col).alias("_ids"))
-             .persist())
+                  F.collect_list(id_col).alias("_ids")))
     reps = canon.select("_rid", "_s", F.length("_s").alias("_len"))
     # -- long path: rare-first q-gram prefix --------------------------
     longs = reps.filter(F.col("_len") >= lmin)

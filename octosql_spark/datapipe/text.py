@@ -240,11 +240,33 @@ def _let(val: Column, body) -> Column:
     return F.element_at(F.transform(F.array(val), body), 1)
 
 
+def _winnow_probe_impl(df: DataFrame, text_col: str,
+                       arrow_min_words: int,
+                       probe_rows: int = 1024) -> str:
+    """Bounded sample probe (same shape as the CSV quote probe,
+    sources/files.py): mean whitespace-token count over the first
+    ``probe_rows`` rows decides jvm vs arrow. The jvm path's
+    interpreted per-window HOF scan is ~linear in document length
+    with a large constant (16× slower at ~3k words/doc, SCALE.md
+    long-doc stress); the arrow path pays a fixed Python-worker +
+    Arrow transfer cost that only amortizes on long documents."""
+    try:
+        row = (df.select(F.size(F.split(F.trim(F.col(text_col)),
+                                        r"\s+")).alias("_n"))
+               .limit(probe_rows).agg(F.avg("_n")).first())
+        mean = row[0] if row is not None else None
+    except Exception:
+        return "jvm"  # unprobeable source (e.g. streaming): plan-only
+    return "arrow" if (mean is not None
+                       and mean >= arrow_min_words) else "jvm"
+
+
 def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 4,
                            w: int = 4,
                            hash_mode: str = "xxhash64",
-                           impl: str = "jvm") -> DataFrame:
+                           impl: str = "auto",
+                           arrow_min_words: int = 512) -> DataFrame:
     """Winnowing fingerprint SET per document (Schleimer, Wilkerson &
     Aiken, SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide
     a window of ``w`` consecutive hashes, and keep each window's
@@ -274,8 +296,10 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     re-evaluates the whole upstream array per element and goes
     quadratic in document length (8.4× slower at sf0.1).
 
-    ``impl``: ``jvm`` (default — pure Catalyst, zero Python; right
-    for short documents and for keeping the operator entirely in the
+    ``impl``: ``auto`` (default — a bounded sample probe of mean
+    document length picks the path: mean ≥ ``arrow_min_words`` →
+    arrow, else jvm), ``jvm`` (pure Catalyst, zero Python; right for
+    short documents and for keeping the operator entirely in the
     plan) or ``arrow`` — gram hashing stays JVM-side (so the
     fingerprint VALUES are bit-identical to ``jvm``) and only the
     per-window min-scan runs as a vectorized numpy pass over Arrow
@@ -283,8 +307,10 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     scan). Interpreted HOF evaluation is the JVM path's ceiling on
     LONG documents: at ~3,000 words/doc the arrow path measured
     16x faster (0.92 s vs 14.99 s, identical output) — for a 100 TB
-    fingerprinting pass, arrow is the one you'd run.
+    fingerprinting pass, arrow is the one auto picks.
     """
+    if impl == "auto":
+        impl = _winnow_probe_impl(df, text_col, arrow_min_words)
     if impl not in ("jvm", "arrow"):
         raise ValueError(impl)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -302,13 +328,17 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                 .otherwise(F.array().cast("array<bigint>")))
     elif hash_mode == "md5p":
         def grams_of(ws: Column) -> Column:
-            return F.transform(
-                F.sequence(F.lit(1), F.greatest(
-                    F.size(ws) - F.lit(k - 1), F.lit(1))),
+            # same sub-k guard as xxhash64: a doc with < k words has
+            # NO full k-gram in either mode (the old greatest(...,1)
+            # emitted one partial gram here, so the two hash modes
+            # disagreed on sub-k docs whenever w=1 — advisor-found r7)
+            return F.when(F.size(ws) >= k, F.transform(
+                F.sequence(F.lit(1), F.size(ws) - F.lit(k - 1)),
                 lambda i: F.conv(
                     F.substring(F.md5(F.concat_ws(
                         " ", F.slice(ws, i, k))), 1, 15),
-                    16, 10).cast("long"))
+                    16, 10).cast("long"))) \
+                .otherwise(F.array().cast("array<bigint>"))
     else:
         raise ValueError(hash_mode)
     # rightmost minimum per w-window (paper §2.2 tie rule): min +
@@ -321,6 +351,15 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
         hdf = df.select(id_col,
                         _let(words, lambda ws: grams_of(ws)).alias("_h"))
         id_field = hdf.schema[id_col]
+        # empty-batch id dtype follows the SOURCE id type (a string
+        # doc id with a hard-coded int64 series failed Arrow
+        # conversion on partitions with no qualifying docs —
+        # advisor-found r7)
+        _id_dtype = {"bigint": "int64", "int": "int32",
+                     "smallint": "int16", "tinyint": "int8",
+                     "double": "float64", "float": "float32",
+                     "boolean": "bool"}.get(
+            id_field.dataType.simpleString(), "object")
 
         def sel_batches(batches):
             for pdf in batches:
@@ -351,7 +390,7 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                         "pos": np.concatenate(poss).astype("int32")})
                 else:
                     yield pd.DataFrame({
-                        id_col: pd.Series([], dtype="int64"),
+                        id_col: pd.Series([], dtype=_id_dtype),
                         "fingerprint": pd.Series([], dtype="int64"),
                         "pos": pd.Series([], dtype="int32")})
 
@@ -386,7 +425,7 @@ def winnowing_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 4,
                             w: int = 4, min_shared: int = 2,
                             hash_mode: str = "xxhash64",
-                            impl: str = "jvm") -> DataFrame:
+                            impl: str = "auto") -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints
     (id_a, id_b, shared) — MOSS-style overlap detection: by the
     winnowing guarantee, any common run of ≥ w+k−1 tokens is caught,

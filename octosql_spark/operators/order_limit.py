@@ -63,19 +63,20 @@ def global_ntile(df: DataFrame, n_tiles: int,
     NTILE is itself nondeterministic. The only single-partition work
     left is over the #partitions-row offset table.
 
-    Cache contract: the range-partitioned frame is persisted because
-    the offset table and the final join must observe the SAME sampled
-    partition boundaries — it cannot be unpersisted before the
-    CALLER's action runs, so this function does not release it.
-    Long-lived sessions release between units of work via
-    ``octosql_spark.session.release_cached(spark)`` (the registry
-    checker does).
+    Boundary-consistency contract: the offset table and the final
+    join must observe the SAME sampled range-partition boundaries.
+    No cache is needed for that — both subtrees canonicalize to the
+    identical range Exchange, so Catalyst's exchange reuse
+    (``spark.sql.exchange.reuse``, AQE stage reuse) makes them read
+    ONE shuffle output (the final plan carries a ``ReusedExchange``
+    over the rangepartitioning node; pinned by
+    tests/test_persist_hygiene.py). A persist here leaked executor
+    storage to library callers until session teardown (r7 verdict).
     """
     from pyspark.sql.window import Window
 
     d = (df.repartitionByRange(*order)
-           .withColumn("_pid", F.spark_partition_id())
-           .persist())
+           .withColumn("_pid", F.spark_partition_id()))
     cnt = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
     w_pid = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -1905,6 +1905,15 @@ def _rewrite_ordinal_keys(toks: list[Tok]) -> list[Tok]:
     def flush(item: list[int]) -> None:
         while item and toks[sig[item[-1]]].is_kw(*_ORD_ITEM_SUFFIX):
             item.pop()
+        # Unwrap any depth of balanced parentheses around a lone
+        # literal: the dialect treats ``ORDER BY (1)`` exactly like
+        # ``ORDER BY 1`` (both parse through ParseExpression), while
+        # Spark's ordinal substitution also fires on the
+        # parenthesized form.
+        while (len(item) >= 3
+               and toks[sig[item[0]]].text == "("
+               and toks[sig[item[-1]]].text == ")"):
+            item = item[1:-1]
         if len(item) == 1:
             t = toks[sig[item[0]]]
             if (t.kind == "NUMBER" and "." not in t.text

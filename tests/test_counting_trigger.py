@@ -106,3 +106,24 @@ def test_counting_trigger_random_replay(spark, tmp_path):
                     len(vs), round(sum(vs), 6), min(vs), max(vs),
                     round(sum(vs) / len(vs), 6))
         assert got == want, f"trial={trial} n={n}"
+
+
+def test_strip_alias_qualifier_token_aware():
+    """Alias-qualifier stripping in the counting-join WHERE must skip
+    string literals: alias `s` with WHERE name = 's.x' previously
+    became 'x' (plain-regex rewrite), silently filtering different
+    rows than the reference (advisor-found r7)."""
+    from octosql_spark.cli import _strip_alias_qualifier as strip
+
+    assert strip("s.v > 3 AND t.k = s.k", "s") == "v > 3 AND t.k = k"
+    # literals survive verbatim — single-quoted (with '' escape),
+    # double-quoted, backticked
+    assert strip("name = 's.x'", "s") == "name = 's.x'"
+    assert strip("note = 'it''s s.y' AND s.v = 1", "s") \
+        == "note = 'it''s s.y' AND v = 1"
+    assert strip('col = "s.z" AND s.a = 2', "s") == 'col = "s.z" AND a = 2'
+    assert strip("`s.q` = s.b", "s") == "`s.q` = b"
+    # identifier boundaries: `os.v` is NOT an `s.` qualifier
+    assert strip("os.v = s.v", "s") == "os.v = v"
+    # case-insensitive alias match (SQL identifiers)
+    assert strip("S.v = 1", "s") == "v = 1"

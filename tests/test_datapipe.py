@@ -2033,3 +2033,69 @@ def test_weighted_sample_wor_distributed_path_same_set(spark):
             == {tuple(r) for r in big.collect()})
     plan = big._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" not in plan
+
+
+def test_winnowing_md5p_subk_docs_match_xxhash(spark):
+    """Sub-k documents have NO full k-gram in either hash mode: md5p
+    previously emitted one partial gram (greatest(size-k+1, 1)), so
+    the modes disagreed at w=1 (advisor-found r7). Both must emit
+    zero rows for sub-k docs at every w."""
+    from octosql_spark.datapipe import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e f"), (3, "")], ["doc_id", "text"])
+    for w in (1, 2, 4):
+        got = {}
+        for mode in ("xxhash64", "md5p"):
+            got[mode] = {(r.doc_id, r.pos) for r in winnowing_fingerprints(
+                df, k=4, w=w, hash_mode=mode, impl="jvm").collect()}
+        assert {d for d, _ in got["md5p"]} == ({2} if w <= 3 else set())
+        assert got["md5p"] == got["xxhash64"], w
+
+
+def test_winnowing_arrow_string_ids_and_empty_partitions(spark):
+    """The arrow path's empty-batch branch must follow the SOURCE id
+    type: string doc ids on partitions with no qualifying docs
+    previously hit a hard-coded int64 series (advisor-found r7)."""
+    from octosql_spark.datapipe import winnowing_fingerprints
+
+    rows = [("doc-a", "one two three four five six seven eight"),
+            ("doc-b", "too short")]
+    # many partitions → most hold no qualifying doc → empty batches
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    a = {tuple(r) for r in winnowing_fingerprints(
+        df, k=4, w=4, impl="arrow").collect()}
+    j = {tuple(r) for r in winnowing_fingerprints(
+        df, k=4, w=4, impl="jvm").collect()}
+    assert a == j and {r[0] for r in a} == {"doc-a"}
+
+
+def test_winnowing_auto_dispatch_crossover(spark):
+    """impl='auto' probes mean document length (bounded sample) and
+    picks jvm below arrow_min_words, arrow at/above it — the 16×
+    long-document path must be the DEFAULT at corpus scale
+    (SCALE.md long-doc stress)."""
+    from octosql_spark.datapipe import winnowing_fingerprints
+    from octosql_spark.datapipe.text import _winnow_probe_impl
+
+    short = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)],
+        ["doc_id", "text"])
+    long_ = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 97}" for j in range(1500)))
+         for i in range(6)], ["doc_id", "text"])
+    assert _winnow_probe_impl(short, "text", 512) == "jvm"
+    assert _winnow_probe_impl(long_, "text", 512) == "arrow"
+    # the dispatch is visible in the physical plan: arrow → a
+    # MapInPandas stage; jvm → pure Catalyst (no Python stage)
+    plan_s = winnowing_fingerprints(short)._jdf.queryExecution() \
+        .executedPlan().toString()
+    plan_l = winnowing_fingerprints(long_)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" not in plan_s
+    assert "MapInPandas" in plan_l
+    # and the two paths agree on the long corpus
+    a = {tuple(r) for r in winnowing_fingerprints(long_).collect()}
+    j = {tuple(r) for r in winnowing_fingerprints(
+        long_, impl="jvm").collect()}
+    assert a == j

@@ -241,17 +241,22 @@ def test_semantic_dedup_two_level_assignment(spark):
 
 
 def test_session_hygiene_release_cached(spark, sf_dir):
-    """Session-hygiene contract (ADVICE r6): cache-heavy entries
-    (global_ntile's range-partitioned frame, the LSH persists) pin
-    their caches only until the consuming action; a long-lived session
-    releases them via release_cached, after which the session holds
-    ZERO persistent RDDs."""
+    """Session-hygiene contract (ADVICE r6): cache-heavy entries (the
+    LSH signature persists) pin their caches only until the consuming
+    action; a long-lived session releases them via release_cached,
+    after which the session holds ZERO persistent RDDs. The
+    parallel-prefix operators (global_ntile et al.) no longer persist
+    at all (r8 — exchange reuse replaces the cache), so their entries
+    must leave the registry EMPTY even without release_cached."""
     from octosql_spark.session import cached_rdd_count, release_cached
     from octosql_spark.workloads import REGISTRY
 
     release_cached(spark)  # start clean regardless of test order
     df = REGISTRY["customer_rfm_segments"].build(spark, sf_dir)
-    assert df.count() > 0  # consuming action: caches materialize
+    assert df.count() > 0
+    assert cached_rdd_count(spark) == 0  # no leak without cleanup
+    df = REGISTRY["dedup_minhash_lsh"].build(spark, sf_dir)
+    assert df.count() >= 0  # consuming action: caches materialize
     assert cached_rdd_count(spark) > 0  # persists really registered
     release_cached(spark)
     assert cached_rdd_count(spark) == 0

@@ -350,6 +350,24 @@ def test_run_query_ordinal_keys_token_level(spark):
     t = transpile(spark, "SELECT id FROM ordcfg_t "
                          "ORDER BY 0 DESC GROUP BY 2")
     assert "(0+0)" in t.sql and "(2+0)" in t.sql
+    # parenthesized literals are the SAME constant expression in the
+    # dialect (everything parses through ParseExpression) — Spark
+    # elides the parens and would ordinal-bind them (advisor-found
+    # r7: 'ORDER BY (0)' raised, 'ORDER BY (1) DESC' silently sorted
+    # positionally); any paren depth unwraps
+    t2 = transpile(spark, "SELECT id FROM ordcfg_t "
+                          "ORDER BY (0) DESC GROUP BY ((2))")
+    assert "(0+0)" in t2.sql and "(2+0)" in t2.sql
+    out2 = run_query(spark, "SELECT id FROM ordcfg_t ORDER BY (0)").df
+    assert out2.count() == 3
+    # (1) DESC must NOT reverse the rows — it is a constant key
+    got_par = [r.id for r in run_query(
+        spark, "SELECT id FROM ordcfg_t "
+               "ORDER BY (1) DESC, id ASC").df.collect()]
+    assert got_par == [0, 1, 2]
+    # a parenthesized NON-literal expression stays untouched
+    t3 = transpile(spark, "SELECT id FROM ordcfg_t ORDER BY (id + 1)")
+    assert "+0" not in t3.sql
     # plain Spark SQL on the same session keeps positional semantics,
     # conf untouched (it would now survive even mid-dialect-query)
     got = {(r.id, r.c) for r in spark.sql(
