@@ -377,13 +377,25 @@ def _strip_alias_qualifier(text: str, alias: str) -> str:
 
 
 def _build_counting_join_source(spark, jm, v1, v2):
-    """Stream-static join source for the exact counting route: exactly
-    one side streaming, ON a conjunction of column equalities (the
-    same equi constraint the reference's physical stream join imposes,
-    physical/stream_join.go), INNER or LEFT with the stream on the
-    left (Structured Streaming's supported stream-static shapes).
+    """Join source for the exact counting route, ON a conjunction of
+    column equalities (the same equi constraint the reference's
+    physical stream join imposes, physical/stream_join.go):
+
+    - stream-STATIC: INNER, or LEFT with the stream on the left
+      (Structured Streaming's supported stream-static shapes);
+    - stream-STREAM (r8, closing DEVIATIONS 6's residual): INNER
+      only. Spark 4's multi-stateful support runs
+      ``applyInPandasWithState`` straight behind a stream-stream
+      join PROVIDED no event-time column reaches it (two watermarked
+      sides fail with "More than one event time columns are
+      available"; the counting operator never uses event time, and
+      the CLI's plain file streams carry no watermark, so nothing is
+      dropped here). Outer stream-stream joins require watermarks +
+      time bounds by Structured Streaming's rules, so they keep the
+      per-micro-batch fallback.
+
     Returns a flattened streaming frame whose columns are BARE names
-    (both sides' columns; the static side's duplicate of an inner
+    (both sides' columns; the non-stream side's duplicate of an inner
     equi-key is dropped — it equals the stream side's), or None when
     the shape can't be built — the caller then falls back to the
     generic per-micro-batch mapping."""
@@ -394,11 +406,12 @@ def _build_counting_join_source(spark, jm, v1, v2):
         d1, d2 = spark.table(v1), spark.table(v2)
     except Exception:
         return None
-    if d1.isStreaming == d2.isStreaming:
-        return None  # stream-stream (stateful upstream) or batch-batch
+    if not (d1.isStreaming or d2.isStreaming):
+        return None  # batch-batch: not a streaming trigger shape
+    both_streaming = d1.isStreaming and d2.isStreaming
     jt = (jm.group("jt") or "").upper()
-    if jt == "LEFT" and not d1.isStreaming:
-        return None  # static-left outer against a stream right
+    if jt == "LEFT" and (both_streaming or not d1.isStreaming):
+        return None  # outer needs watermark bounds / static-left shape
     how = "left_outer" if jt == "LEFT" else "inner"
 
     def _resolve(ref):
@@ -428,20 +441,20 @@ def _build_counting_join_source(spark, jm, v1, v2):
     for c in conds[1:]:
         cond = cond & c
 
-    stream, static = (d1, d2) if d1.isStreaming else (d2, d1)
+    stream, other = (d1, d2) if d1.isStreaming else (d2, d1)
     out_cols, seen = [], set()
     for c in stream.columns:
         out_cols.append(stream[c].alias(c))
         seen.add(c)
-    for c in static.columns:
+    for c in other.columns:
         if c in seen:
             # the inner equi-join's duplicate key equals the stream
             # side's copy — drop it; any OTHER collision is ambiguous
             if how == "inner" and (c, c) in key_pairs:
                 continue
             return None
-        out_cols.append(static[c].alias(c))
-    return stream.join(static, cond, how).select(*out_cols)
+        out_cols.append(other[c].alias(c))
+    return stream.join(other, cond, how).select(*out_cols)
 
 
 def _try_exact_counting(args, res, spec):

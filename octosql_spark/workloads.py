@@ -2867,12 +2867,16 @@ WITH d AS (
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         FROM documents)
 ),
-e AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM d a JOIN d b ON a.doc_id <> b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-),
+u AS (SELECT doc_id, unnest(sh) AS g FROM d),
+pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(COUNT(*) AS DOUBLE) AS shared
+         FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+q AS (SELECT id_a, id_b
+      FROM pair JOIN d x ON x.doc_id = id_a JOIN d y ON y.doc_id = id_b
+      WHERE shared / (len(x.sh) + len(y.sh) - shared) >= 0.5),
+e AS (SELECT id_a AS src, id_b AS dst FROM q
+      UNION ALL SELECT id_b, id_a FROM q),
 r AS (WITH RECURSIVE reach(node, r) AS (
         SELECT doc_id, doc_id FROM d
         UNION
@@ -2898,7 +2902,10 @@ def curate_split_cluster_safe_q(spark, sf_dir):
     (the LSH banding recovers every such pair on this corpus — pairs
     sit at j >= 0.9), closes them transitively with a recursive CTE,
     and replays the md5-prefix split on the min-id representative.
-    Adversarial LSH recall stays pinned by the planted fixtures."""
+    Adversarial LSH recall stays pinned by the planted fixtures.
+    The pair stage runs sub-quadratic (inverted-index shared-shingle
+    counts, identical values to list_intersect — r7 verdict #3), so
+    the entry stays IN the sf0.1 sweep."""
     from octosql_spark.datapipe import (assign_splits, dedup_clusters,
                                         minhash_lsh_pairs)
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -2968,22 +2975,47 @@ r AS (WITH RECURSIVE reach(node, r) AS (
         UNION
         SELECT e.src, reach.r FROM e JOIN reach ON reach.node = e.dst)
       SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
-SELECT node AS vec_id, cluster_id FROM r
-""")
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT)
+         AS n_exact_components,
+       TRUE AS refinement_ok, TRUE AS keep_one_per_cluster_ok
+FROM r
+""", cartesian_ok=True)
 def dedup_semantic_cells_q(spark, sf_dir):
     """SemDeDup as published: k-means cells, within-cell near-dup
-    groups, keep the member farthest from its cell centroid. The
-    CLUSTERING is value-oracled against the exact all-pairs closure:
-    cells only sacrifice CROSS-cell pairs, and at this corpus/k every
-    cosine >= 0.45 pair lands within one cell, so the component labels
-    must equal the exact transitive closure's (verified — n_cells=2
-    keeps the guarantee; larger-k behavior and the farthest-from-
-    centroid keep policy stay pinned by planted/invariant tests, since
-    'keep' depends on model centroids no SQL oracle can replay)."""
+    groups, keep the member farthest from its cell centroid — under
+    the honest approximate-operator contract (the approx_sketches /
+    embedding-LSH pattern). The r7 form value-compared the cell
+    labels against the exact closure, relying on every cosine>=0.45
+    pair landing within one cell; that held at sf0.01 by small-sample
+    luck and BROKE at sf0.1 (a cross-cell pair splits one component —
+    found the moment r8 removed this entry's sweep exclusion, r7
+    verdict #3; the paper itself sacrifices cross-cell pairs by
+    design). Contract now: ``refinement_ok`` — every cells-cluster
+    lies within EXACTLY one exact component (within-cell links are
+    true cosine pairs, so cells can only refine the closure — a
+    theorem, verified distributed); ``keep_one_per_cluster_ok`` —
+    exactly one keep=True per cells-cluster (the paper's
+    representative policy); plus n_vecs and the exact component
+    count, both value-compared against DuckDB's recursive-CTE
+    closure. Larger-k behavior and the farthest-from-centroid keep
+    policy stay pinned by planted/invariant tests, since 'keep'
+    depends on model centroids no SQL oracle can replay."""
     from octosql_spark.datapipe import semantic_dedup
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return (semantic_dedup(e, threshold=0.45, method="cells", n_cells=2)
-            .select("vec_id", "cluster_id"))
+    cells = semantic_dedup(e, threshold=0.45, method="cells", n_cells=2)
+    exact = (semantic_dedup(e, threshold=0.45, method="exact")
+             .select("vec_id", F.col("cluster_id").alias("_exact_cl")))
+    j = cells.join(exact, "vec_id")
+    per_cluster = j.groupBy("cluster_id").agg(
+        F.countDistinct("_exact_cl").alias("_n_exact"),
+        F.sum(F.col("keep").cast("int")).alias("_n_keep"))
+    return (j.agg(F.count(F.lit(1)).alias("n_vecs"),
+                  F.countDistinct("_exact_cl").alias("n_exact_components"))
+            .crossJoin(per_cluster.agg(
+                (F.max("_n_exact") <= 1).alias("refinement_ok"),
+                ((F.min("_n_keep") == 1) & (F.max("_n_keep") == 1))
+                .alias("keep_one_per_cluster_ok"))))
 
 
 @workload("dedup_embedding_cosine_lsh", """
@@ -4017,23 +4049,47 @@ def percentile_stats_q(spark, sf_dir):
         F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("med_disc")))
 
 
+def _stage_single_file(df, path: str, fmt: str, **options) -> None:
+    """Write ``df`` as ONE plain file at ``path`` via
+    ``coalesce(1).write`` + rename — executor-side, nothing
+    table-scale ever materializes on the driver (r7 verdict #6: the
+    old ``toPandas`` exporters pulled every row through the driver
+    inside a gate entry's build path). ``coalesce(1)`` after an
+    ``orderBy`` concatenates the sorted partitions in order, so the
+    staged file keeps the global ordering."""
+    import glob
+    import os
+    import shutil
+    tmp_dir = path + ".staging"
+    (df.coalesce(1).write.mode("overwrite")
+       .options(**options).format(fmt).save(tmp_dir))
+    part = glob.glob(os.path.join(tmp_dir, "part-*"))
+    assert len(part) == 1, part
+    os.replace(part[0], path + ".tmp")
+    os.replace(path + ".tmp", path)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def _federation_files(spark, sf_dir):
     """Export nation→CSV and region→JSON-lines once per sf (idempotent,
-    deterministic: sorted single files under /tmp)."""
+    deterministic: sorted single files under /tmp; staged distributed,
+    never through the driver)."""
     import os
     tag = os.path.basename(os.path.normpath(sf_dir))
     csv_path = f"/tmp/octosql_fed_{tag}_nation.csv"
     json_path = f"/tmp/octosql_fed_{tag}_region.json"
     if not os.path.exists(csv_path):
-        pdf = (_t(spark, sf_dir, "nation")
-               .select("n_nationkey", "n_name", "n_regionkey")
-               .orderBy("n_nationkey").toPandas())
-        pdf.to_csv(csv_path, index=False)
+        _stage_single_file(
+            _t(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey"),
+            csv_path, "csv", header="true")
     if not os.path.exists(json_path):
-        pdf = (_t(spark, sf_dir, "region")
-               .select("r_regionkey", "r_name")
-               .orderBy("r_regionkey").toPandas())
-        pdf.to_json(json_path, orient="records", lines=True)
+        _stage_single_file(
+            _t(spark, sf_dir, "region")
+            .select("r_regionkey", "r_name")
+            .orderBy("r_regionkey"),
+            json_path, "json")
     return csv_path, json_path
 
 
@@ -4076,13 +4132,12 @@ def _lines_fixture(spark, sf_dir):
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/octosql_lines_{tag}_orders.lines"
     if not os.path.exists(path):
-        keys = (_t(spark, sf_dir, "orders").select("o_orderkey")
-                .orderBy("o_orderkey").toPandas()["o_orderkey"])
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            for k in keys:
-                f.write(f"{int(k)}\n")
-        os.replace(tmp, path)
+        _stage_single_file(
+            _t(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").cast("long").alias("k"))
+            .orderBy("k")
+            .select(F.col("k").cast("string").alias("value")),
+            path, "text")
     return path
 
 
@@ -5939,24 +5994,34 @@ WITH d AS (
            AS sh
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
         FROM documents)
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-FROM d a JOIN d b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-""", cartesian_ok=True)
+),
+u AS (SELECT doc_id, unnest(sh) AS g FROM d),
+pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(COUNT(*) AS DOUBLE) AS shared
+         FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT id_a, id_b,
+       shared / (len(x.sh) + len(y.sh) - shared) AS jaccard
+FROM pair JOIN d x ON x.doc_id = id_a JOIN d y ON y.doc_id = id_b
+WHERE shared / (len(x.sh) + len(y.sh) - shared) >= 0.5
+""")
 def dedup_jaccard_complete_prefix_q(spark, sf_dir):
     """AllPairs theorem-complete prefix filtering
     (ngram_jaccard_pairs(complete=True)): every doc indexes its first
     |s| − ceil(t·|s|) + 1 grams under the global rare-first order, so
     recall at Jaccard ≥ 0.5 is GUARANTEED, not measured — the exact
-    quadratic all-pairs oracle must match row-for-row, at a threshold
-    where the heuristic top-k prefix would have no such guarantee.
-    Candidate buckets stay small because the prefix order puts rare
-    grams first; no bucket cap is applied (a cap would break the
-    theorem)."""
+    all-pairs oracle must match row-for-row, at a threshold where the
+    heuristic top-k prefix would have no such guarantee. Candidate
+    buckets stay small because the prefix order puts rare grams
+    first; no bucket cap is applied (a cap would break the theorem).
+
+    The oracle is the EXACT all-pairs result computed sub-quadratic:
+    shared-shingle counts via an inverted-index self-join (any pair
+    with Jaccard ≥ 0.5 > 0 shares a shingle, so candidates are
+    complete) and |A∩B|/(|A|+|B|−|A∩B|) over distinct shingles —
+    identical values to the r7 list_intersect form, but it runs the
+    full sf0.1 sweep in ~5 s instead of minutes (r7 verdict #3: this
+    was one of the four sweep exclusions)."""
     from octosql_spark.datapipe import ngram_jaccard_pairs
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return ngram_jaccard_pairs(d, n=3, threshold=0.5, complete=True)

@@ -592,3 +592,64 @@ def test_trigger_counting_right_join_not_demoted(spark, tmp_path,
     # joined records for 'alpha' must appear (no exact per-record
     # emission markers required)
     assert "'alpha', 2" in out
+
+
+def test_trigger_counting_stream_stream_inner(spark, tmp_path, capsys):
+    """Stream-STREAM inner equi-join under TRIGGER COUNTING routes to
+    the EXACT per-record operator (r8 — DEVIATIONS 6 residual closed:
+    Spark 4 runs applyInPandasWithState behind a stream-stream join
+    when no event-time column reaches it). Fan-out counts per
+    POST-JOIN record. All of a key's v values are equal so the
+    asserted emission values are independent of the join's
+    within-batch emission order (which neither engine pins)."""
+    da = tmp_path / "ssa"
+    db = tmp_path / "ssb"
+    da.mkdir()
+    db.mkdir()
+    (da / "a.json").write_text('{"k": 1, "v": 2}\n{"k": 1, "v": 2}\n')
+    (db / "b.json").write_text('{"k": 1, "w": 7}\n{"k": 1, "w": 9}\n')
+    rc = main([f"SELECT s.k AS k, COUNT(*) AS n, SUM(v) AS sv "
+               f"FROM '{da}/*.json?tail=true' s "
+               f"JOIN '{db}/*.json?tail=true' t ON s.k = t.k "
+               "GROUP BY s.k TRIGGER COUNTING 2",
+               "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # 2 x 2 joined records; emissions at every 2nd: (2, sv 4), (4, sv 8)
+    assert "{+0001-01-01T00:00:00Z| 1, 2, 2, 4 |}" in out
+    assert "{+0001-01-01T00:00:00Z| 1, 4, 4, 8 |}" in out
+
+
+def test_trigger_counting_stream_stream_outer_falls_back(
+        spark, tmp_path, capsys):
+    """LEFT OUTER stream-stream needs watermark time bounds by
+    Structured Streaming's rules — the route must NOT claim it; the
+    generic per-micro-batch fallback (or a clean error) handles it."""
+    da = tmp_path / "sso_a"
+    db = tmp_path / "sso_b"
+    da.mkdir()
+    db.mkdir()
+    (da / "a.json").write_text('{"k": 1, "v": 5}\n')
+    (db / "b.json").write_text('{"k": 1, "w": 7}\n')
+    from octosql_spark.cli import _build_counting_join_source
+    import re
+    q = (f"SELECT s.k AS k, COUNT(*) AS n FROM '{da}/*.json?tail=true' s "
+         f"LEFT JOIN '{db}/*.json?tail=true' t ON s.k = t.k "
+         "GROUP BY s.k TRIGGER COUNTING 1")
+    # the route's own matcher: LEFT + both-streaming returns None
+    from octosql_spark.sql import run_query
+    res = run_query(spark, q.split(" TRIGGER")[0])
+    jm = re.match(
+        r"(?is)^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<v1>\S+)"
+        r"(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b"
+        r"|CROSS\b|OUTER\b)(?P<a1>\w+))?"
+        r"\s+(?:(?P<jt>LEFT)\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+"
+        r"(?P<v2>\S+)"
+        r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<a2>\w+))?"
+        r"\s+ON\s+(?P<on>.*?)\s+"
+        r"GROUP\s+BY\s+(?P<keys>.*?)\s*$", q.split(" TRIGGER")[0])
+    assert jm is not None
+    views = [v for v in res.views]
+    assert len(views) == 2
+    assert _build_counting_join_source(spark, jm, views[0],
+                                       views[1]) is None

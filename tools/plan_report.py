@@ -21,14 +21,31 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _dedupe_cached(plan: str) -> str:
-    """Keep ONE copy of each distinct InMemoryRelation child subtree.
+_DEDUP_ROOTS = ("InMemoryRelation", "Exchange hashpartitioning",
+                "Exchange rangepartitioning",
+                "Exchange RoundRobinPartitioning",
+                "Exchange SinglePartition", "Scan ExistingRDD")
 
-    ``executedPlan().toString()`` re-prints a persisted subtree at
-    every InMemoryTableScan that reads it, so a plan that caches a
-    rollup and consumes it from k branches prints the rollup's
-    exchanges k times while executing them once. Budgets count what
-    executes."""
+
+def _dedupe_cached(plan: str) -> str:
+    """Keep ONE copy of each distinct shared subtree. Budgets count
+    what executes:
+
+    - ``executedPlan().toString()`` re-prints a persisted subtree at
+      every InMemoryTableScan that reads it, so a plan that caches a
+      rollup and consumes it from k branches prints the rollup's
+      exchanges k times while executing them once.
+    - The SAME holds for un-persisted shared subtrees under exchange
+      reuse: canonically-equal Exchanges execute ONE shuffle
+      (``spark.sql.exchange.reuse`` / AQE stage reuse — the final
+      adaptive plan shows ``ReusedExchange``), but the PRE-execution
+      plan this tool reads prints the full producer subtree at every
+      consumer (r8: the parallel-prefix operators dropped their
+      persists in favor of exchange reuse, which tripled the printed
+      — not executed — exchange count).
+    - Identical ``Scan ExistingRDD`` prints of one bounded local
+      relation collapse the same way; a NEW distributed round-trip is
+      a distinct subtree and still grows the count."""
     lines = plan.splitlines()
     out, seen, i = [], set(), 0
     pre = re.compile(r"^[\s:+|-]*")
@@ -42,7 +59,7 @@ def _dedupe_cached(plan: str) -> str:
 
     while i < len(lines):
         ln = lines[i]
-        if "InMemoryRelation" in ln:
+        if any(r in ln for r in _DEDUP_ROOTS):
             ind = len(pre.match(ln).group(0))
             j = i + 1
             block = [ln]
@@ -51,11 +68,11 @@ def _dedupe_cached(plan: str) -> str:
                 j += 1
             key = "\n".join(norm(b) for b in block)
             if key in seen:
-                i = j  # duplicate cached subtree: executes 0 more times
+                i = j  # duplicate shared subtree: executes 0 more times
             else:
                 seen.add(key)
                 out.append(ln)
-                i += 1  # descend: inner cached subtrees dedupe too
+                i += 1  # descend: inner shared subtrees dedupe too
         else:
             out.append(ln)
             i += 1

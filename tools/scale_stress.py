@@ -21,6 +21,15 @@ corpus - the realistic worst case for LSH bucket load.
 Run: python tools/scale_stress.py [sf_dir] [k] [extra,names]
 (extra: comma-separated non-headline registry names to also measure)
 Prints one JSON line; SCALE.md records the checked-in results.
+
+Frozen-ratio gate (r7 verdict #1 — mirror of the plan-budget
+freeze): ``--update-report`` writes the measured ratios to
+SCALE_REPORT.json at the repo root; ``--check`` re-measures every
+FROZEN entry and exits 1 when any ratio grew more than
+``RATIO_TOL`` (25%) over its committed value — catching a plan that
+stopped scaling (planted ``repartition(1)``, un-broadcast dim,
+lineage re-execution) at commit time instead of on a cluster.
+Round checklist: ``python tools/scale_stress.py --check``.
 """
 
 from __future__ import annotations
@@ -85,18 +94,35 @@ def timed(spark, build, warmups: int = 1, runs: int = 3) -> float:
     return sorted(ts)[len(ts) // 2]
 
 
-def main() -> int:
-    from octosql_spark.session import get_spark
+REPORT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "SCALE_REPORT.json")
+RATIO_TOL = 0.25  # a frozen entry's ratio may grow at most 25%
+
+
+def ratio_regressions(frozen: dict, fresh: dict,
+                      tol: float = RATIO_TOL) -> list[str]:
+    """Compare fresh ratio measurements against the committed report.
+    Returns one message per FROZEN entry whose scale ratio grew more
+    than ``tol`` (relative). Entries absent from the snapshot are
+    exempt (freeze them with --update-report); entries absent from
+    the fresh run are flagged — a gate entry that stopped building is
+    itself a regression."""
+    bad = []
+    for name, f in sorted(frozen.items()):
+        cur = fresh.get(name)
+        if cur is None:
+            bad.append(f"{name}: frozen entry missing from fresh run")
+            continue
+        if cur["ratio"] > f["ratio"] * (1 + tol):
+            bad.append(f"{name}: ratio {f['ratio']} -> {cur['ratio']} "
+                       f"(>{tol:.0%} growth)")
+    return bad
+
+
+def measure(spark, names, src: str, dst: str, k: int) -> dict:
+    from octosql_spark.session import release_cached
     from octosql_spark.workloads import REGISTRY
-
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    dst = f"/tmp/octosql_scale{k}x"
-
-    spark = get_spark("scale-stress")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-
-    build_scaled(spark, src, dst, k)
 
     # size-derived tuning, same policy as bench.py, per directory
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -111,19 +137,14 @@ def main() -> int:
         split = min(max(biggest // (2 * cpus), 2 << 20), 256 << 20)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
-    extra = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
-    # --only-extra: re-measure just the named workloads (headliner
-    # ratios from a prior full run stay valid when their plans are
-    # untouched)
-    only_extra = len(sys.argv) > 4 and sys.argv[4] == "--only-extra"
     out: dict[str, dict] = {}
-    for name, w in REGISTRY.items():
-        if (name not in extra) and (only_extra or not w.headline):
-            continue
+    for name in names:
+        w = REGISTRY[name]
         tune(src)
         base = timed(spark, lambda: w.build(spark, src))
         tune(dst)
         scaled = timed(spark, lambda: w.build(spark, dst))
+        release_cached(spark)
         out[name] = {
             "base_sec": round(base, 4),
             f"x{k}_sec": round(scaled, 4),
@@ -131,9 +152,62 @@ def main() -> int:
         }
         print(f"  {name}: {base:.3f}s -> {scaled:.3f}s "
               f"(x{scaled / base:.1f})", file=sys.stderr)
+    return out
 
-    print(json.dumps({"metric": f"scale_stress_x{k}", "src": src,
-                      "queries": out}))
+
+def main() -> int:
+    from octosql_spark.session import get_spark
+    from octosql_spark.workloads import REGISTRY
+
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = args[0] if args else "/root/testdata/sf0.1"
+    k = int(args[1]) if len(args) > 1 else 10
+    dst = f"/tmp/octosql_scale{k}x"
+
+    spark = get_spark("scale-stress")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    build_scaled(spark, src, dst, k)
+
+    extra = set(args[2].split(",")) if len(args) > 2 else set()
+    # --only-extra: re-measure just the named workloads (headliner
+    # ratios from a prior full run stay valid when their plans are
+    # untouched)
+    only_extra = "--only-extra" in flags
+
+    if "--check" in flags:
+        with open(REPORT) as f:
+            frozen = json.load(f)["queries"]
+        names = [n for n in frozen if n in REGISTRY]
+        names += [n for n in extra if n not in names]
+        fresh = measure(spark, names, src, dst, k)
+        bad = ratio_regressions(frozen, fresh)
+        print(json.dumps({"metric": f"scale_check_x{k}", "src": src,
+                          "regressions": bad, "queries": fresh}))
+        if bad:
+            print("SCALE RATIO REGRESSIONS:\n  " + "\n  ".join(bad),
+                  file=sys.stderr)
+        return 1 if bad else 0
+
+    names = [n for n, w in REGISTRY.items()
+             if (n in extra) or (w.headline and not only_extra)]
+    out = measure(spark, names, src, dst, k)
+    doc = {"metric": f"scale_stress_x{k}", "src": src, "k": k,
+           "queries": out}
+    print(json.dumps(doc))
+    if "--update-report" in flags:
+        merged = out
+        if os.path.exists(REPORT) and (extra or only_extra):
+            with open(REPORT) as f:
+                merged = {**json.load(f)["queries"], **out}
+        with open(REPORT, "w") as f:
+            json.dump({"metric": f"scale_stress_x{k}", "src": src,
+                       "k": k, "tol": RATIO_TOL, "queries": merged},
+                      f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {REPORT} ({len(merged)} entries)",
+              file=sys.stderr)
     return 0
 
 
