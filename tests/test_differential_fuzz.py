@@ -487,3 +487,60 @@ def test_dialect_set_ops_match_duckdb(spark, duck, nation_view,
         f"SELECT CAST({ob} AS BIGINT) AS v FROM nation "
         f"WHERE n_nationkey >= 7").fetchall()), key=key)
     assert got == want, f"{op} over {da} / {db}"
+
+
+# ---------------- r8 grammar: window FRAMES (ROWS / RANGE) ----------
+# (r7 verdict #10 — the one dialect surface the fuzzer didn't
+# generate. EXCLUDE clauses are NOT generated: Spark has no window
+# EXCLUDE — probed r8, `EXCLUDE CURRENT ROW` → PARSE_SYNTAX_ERROR —
+# and the dialect exposes Spark's window surface.)
+
+def _frame_bounds() -> st.SearchStrategy:
+    starts = st.one_of(
+        st.just("UNBOUNDED PRECEDING"),
+        st.integers(0, 4).map(lambda n: f"{n} PRECEDING"),
+        st.just("CURRENT ROW"))
+    ends = st.one_of(
+        st.just("CURRENT ROW"),
+        st.integers(0, 4).map(lambda n: f"{n} FOLLOWING"),
+        st.just("UNBOUNDED FOLLOWING"))
+    return st.tuples(starts, ends)
+
+
+@settings(max_examples=_N or 25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(_ints(1), st.sampled_from(["SUM", "MIN", "MAX", "COUNT"]),
+       st.sampled_from(["ROWS", "RANGE"]), _frame_bounds(),
+       st.booleans())
+@example(expr=("n_regionkey", "CAST(n_regionkey AS BIGINT)"), fn="SUM",
+         mode="RANGE", bounds=("1 PRECEDING", "1 FOLLOWING"),
+         partition=False)
+@example(expr=("1", "1"), fn="COUNT", mode="ROWS",
+         bounds=("0 PRECEDING", "0 FOLLOWING"), partition=True)
+def test_dialect_window_frames_match_duckdb(spark, duck, nation_view,
+                                            expr, fn, mode, bounds,
+                                            partition):
+    """Explicit window frames: ROWS frames run over the UNIQUE key
+    (tied ROWS ordering is nondeterministic in any engine); RANGE
+    frames run over the TIED key (n_regionkey) so peer-group
+    inclusion — the semantics that distinguish RANGE from ROWS — is
+    exercised. RANGE offsets bound the ORDER BY value itself, so the
+    order key must be the bare column there (both engines agree on
+    value-offset frames over integers)."""
+    from octosql_spark.sql import run_query
+    de, oe = expr
+    start, end = bounds
+    frame = f"{mode} BETWEEN {start} AND {end}"
+    okey = "n_nationkey" if mode == "ROWS" else "n_regionkey"
+    over = (("PARTITION BY n_regionkey " if partition and mode == "ROWS"
+             else "") + f"ORDER BY {okey} {frame}")
+    ours = run_query(
+        spark, f"SELECT n_nationkey AS k, {fn}({de}) "
+               f"OVER ({over}) AS w FROM nation").df
+    got = sorted((r.k, r.w) for r in ours.collect())
+    cast = "BIGINT" if fn in ("SUM", "COUNT") else "INT"
+    want = sorted(tuple(r) for r in duck.execute(
+        f"SELECT n_nationkey AS k, CAST({fn}({oe}) OVER ({over}) "
+        f"AS {cast}) AS w FROM nation").fetchall())
+    assert got == want, f"{fn}({de}) OVER ({over})"
