@@ -711,17 +711,15 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                                   F.col("_m").alias("_mb")), "id_b")
              .select(F.least("_ma", "_mb").alias("id_a"),
                      F.greatest("_ma", "_mb").alias("id_b"), "dist"))
-    ids = F.col("_ids")
-    within_arr = F.filter(
-        F.flatten(F.transform(
-            ids, lambda x: F.transform(
-                ids, lambda y: F.struct(x.alias("a"), y.alias("b"))))),
-        lambda p: p["a"] < p["b"])
-    within = (canon.filter(F.size("_ids") >= 2)
-              .select(F.explode(within_arr).alias("p"))
-              .select(F.col("p.a").alias("id_a"),
-                      F.col("p.b").alias("id_b"),
-                      F.lit(0).alias("dist")))
+    # within-group pairs via a members self-join on the representative:
+    # its aggregate subtree canonicalizes with `members` above, so the
+    # exchange is shared (one fewer canon re-execution than the r7
+    # within-row array fan-out, and no |group|² array materialization)
+    within = (members.select(F.col("_rep"), F.col("_m").alias("id_a"))
+              .join(members.select(F.col("_rep"),
+                                   F.col("_m").alias("id_b")), "_rep")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", F.lit(0).alias("dist")))
     return cross.unionByName(within)
 
 
