@@ -113,13 +113,36 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       max_bucket: int = 1000) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with
     exact shingle Jaccard. Returns (id_a, id_b, jaccard) with
-    id_a < id_b."""
+    id_a < id_b.
+
+    Byte-identical documents are collapsed to one representative
+    BEFORE signatures (r8; the production "exact-dedup before
+    near-dup" shape the jaccard complete-prefix op adopted in r5):
+    verbatim duplicates share every band hash, so a dup group of g
+    docs used to put g copies in each of its buckets — pair fan-out
+    ×g², the measured ×6.4 wall at the 10x 90%-dup replica, and
+    groups past ``max_bucket`` silently LOST their pairs to the cap.
+    Collapsing makes the cap apply to DISTINCT contents, dup-group
+    pairs are emitted exactly (jaccard 1.0) rather than re-verified
+    g² times, and emitted pairs are identical-or-more-complete."""
+    # persisted like sigs/with_sh below (this operator's documented
+    # cache contract, released via session.release_cached): canon
+    # feeds the signature pipeline, the shingle verify table and the
+    # member expansion — un-persisted, its full-text reduce side
+    # re-executes per consumer (measured 4× the operator wall)
+    canon = (df.select(F.col(text_col).alias("_s"), F.col(id_col))
+             .groupBy("_s")
+             .agg(F.min(id_col).alias("_rid"),
+                  F.collect_list(id_col).alias("_ids"))
+             .persist())
+    reps = canon.select(F.col("_rid").alias(id_col),
+                        F.col("_s").alias(text_col))
     # slim signature table (id, minhash) — persisted: the banding, the
     # bucket-count cap and the a/b self-join all reuse it; without the
     # persist each branch would recompute every signature from the raw
     # text (~4× the work). At cluster scale this is the standard
     # "materialize the signature table" step.
-    sigs = minhash_signatures(df.select(id_col, text_col), text_col,
+    sigs = minhash_signatures(reps.select(id_col, text_col), text_col,
                               num_hashes, shingle).select(id_col, "minhash")
     sigs = sigs.persist()
     banded = _band_table(sigs, id_col, num_hashes, bands)
@@ -143,10 +166,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.col("_p.id_b").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
     # exact-Jaccard verification only for candidates: shingles are
-    # recomputed for the (small) candidate id set, not carried through
-    # the banding shuffle
-    with_sh = df.select(id_col, _word_shingles(F.col(text_col), shingle)
-                        .alias("_sh")).persist()
+    # recomputed for the (small) REPRESENTATIVE candidate id set, not
+    # carried through the banding shuffle
+    with_sh = reps.select(id_col, _word_shingles(F.col(text_col), shingle)
+                          .alias("_sh")).persist()
     sh_a = with_sh.select(F.col(id_col).alias("id_a"),
                           F.col("_sh").alias("_sh_a"))
     sh_b = with_sh.select(F.col(id_col).alias("id_b"),
@@ -154,9 +177,42 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
-    return (pairs.withColumn("jaccard", inter / union)
-            .filter(F.col("jaccard") >= jaccard_threshold)
-            .select("id_a", "id_b", "jaccard"))
+    rep_pairs = (pairs.withColumn("jaccard", inter / union)
+                 .filter(F.col("jaccard") >= jaccard_threshold)
+                 .select("id_a", "id_b", "jaccard"))
+    # expand dup groups: cross pairs inherit the representatives'
+    # jaccard (members are byte-identical to their representative);
+    # within-group pairs are exactly 1.0 ≥ any threshold
+    members = canon.select(F.col("_rid").alias("_rep"),
+                           F.explode("_ids").alias("_m"))
+    cross = (rep_pairs
+             .join(members.select(F.col("_rep").alias("id_a"),
+                                  F.col("_m").alias("_ma")), "id_a")
+             .join(members.select(F.col("_rep").alias("id_b"),
+                                  F.col("_m").alias("_mb")), "id_b")
+             .select(F.least("_ma", "_mb").alias("id_a"),
+                     F.greatest("_ma", "_mb").alias("id_b"), "jaccard"))
+    # within-group pairs: a within-row array fan-out over the CACHED
+    # canon — map-only, no self-join shuffle (dup groups are the rows
+    # the collapse already bounded). Degenerate groups (no shingle:
+    # empty/sub-shingle text) have UNDEFINED Jaccard (0/0 → NULL,
+    # never ≥ threshold) — their byte-identical members must not
+    # pair, matching the uncollapsed semantics and the exact oracle.
+    sorted_ids = F.array_sort(F.col("_ids"))
+    within_arr = F.flatten(F.transform(
+        sorted_ids,
+        lambda x, i: F.transform(
+            F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    within = (canon
+              .filter((F.size("_ids") >= 2)
+                      & (F.size(_word_shingles(F.col("_s"), shingle))
+                         >= 1))
+              .select(F.explode(within_arr).alias("_p"))
+              .select(F.col("_p.a").alias("id_a"),
+                      F.col("_p.b").alias("id_b"),
+                      F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(within)
 
 
 def minhash_ingest_near_dups(batch: DataFrame, corpus: DataFrame,

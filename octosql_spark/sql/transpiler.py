@@ -583,6 +583,11 @@ _FN_RESULT_CAT = {
     "len": "int", "length": "int", "size": "int", "instr": "int",
     "int": "int", "float": "float", "sqrt": "float",
     "pow": "float", "log": "float", "log2": "float", "log10": "float",
+    # aggregates (aggregates/table.go): count is Int regardless of
+    # argument, avg(Int) is Float; min/max/sum are per-overload
+    # polymorphic (see _POLY_FNS)
+    "count": "int", "count_distinct": "int",
+    "avg": "float", "avg_distinct": "float",
     # nanosecond-carrying Duration (division results): see
     # _rewrite_arith_pass "durdiv_int" and _expand_durns_markers
     "__durns__": "durns",
@@ -596,7 +601,12 @@ _FN_RESULT_CAT = {
 # overload and float-divided (found by the long differential-fuzz
 # sweep).
 _POLY_FNS = {"coalesce", "nullif", "ifnull", "nvl", "greatest",
-             "least", "abs"}
+             "least", "abs",
+             # per-overload polymorphic aggregates: min/max/sum keep
+             # their argument's category (sum(Int) is Int, so
+             # SUM(a)/COUNT(*) integer-divides like the reference)
+             "min", "max", "sum",
+             "min_distinct", "max_distinct", "sum_distinct"}
 
 
 _CAST_TARGET_CAT = {
@@ -704,6 +714,29 @@ def _span_cat(toks: list[Tok], lo: int, hi: int,
         if cats <= {"int", "float"}:
             return "float"
         return cats.pop() if len(cats) == 1 else None
+    if t.kind == "IDENT" and t.text.upper() == "SELECT":
+        # scalar subquery: its category is the category of its single
+        # select item (the reference types a subquery by its output
+        # column — `(SELECT min(k) FROM t) / 2` must keep the Int/Int
+        # integer-division overload; found by the r8 9k-example fuzz
+        # soak). Bounded: the item ends at the top-level FROM.
+        depth2 = 0
+        item_end = None
+        for pos in range(1, len(sig)):
+            tt = toks[sig[pos]]
+            if tt.text in ("(", "["):
+                depth2 += 1
+            elif tt.text in (")", "]"):
+                depth2 -= 1
+            elif depth2 == 0 and tt.text == ",":
+                return None  # multi-column subquery: not scalar
+            elif (depth2 == 0 and tt.kind == "IDENT"
+                  and tt.text.upper() == "FROM"):
+                item_end = sig[pos - 1]
+                break
+        if item_end is None or item_end < sig[1]:
+            return None
+        return _span_cat(toks, sig[1], item_end, types)
     if t.kind == "STRING":
         return "string" if len(sig) == 1 else None
     if t.kind == "NUMBER":

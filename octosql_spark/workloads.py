@@ -1640,13 +1640,16 @@ WITH d AS (
            AS sh
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         FROM documents)
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-FROM d a JOIN d b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+),
+u AS (SELECT doc_id, unnest(sh) AS g FROM d),
+pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(COUNT(*) AS DOUBLE) AS shared
+         FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT id_a, id_b,
+       shared / (len(x.sh) + len(y.sh) - shared) AS jaccard
+FROM pair JOIN d x ON x.doc_id = id_a JOIN d y ON y.doc_id = id_b
+WHERE shared / (len(x.sh) + len(y.sh) - shared) >= 0.8
 """, headline=True)
 def dedup_minhash_lsh_q(spark, sf_dir):
     """MinHash+LSH near-dup pairs — banded signatures + bucket join
@@ -1802,13 +1805,16 @@ WITH d AS (
            AS sh
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
         FROM documents)
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-FROM d a JOIN d b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+),
+u AS (SELECT doc_id, unnest(sh) AS g FROM d),
+pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(COUNT(*) AS DOUBLE) AS shared
+         FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT id_a, id_b,
+       shared / (len(x.sh) + len(y.sh) - shared) AS jaccard
+FROM pair JOIN d x ON x.doc_id = id_a JOIN d y ON y.doc_id = id_b
+WHERE shared / (len(x.sh) + len(y.sh) - shared) >= 0.8
 """, cartesian_ok=True)
 def dedup_ngram_jaccard_q(spark, sf_dir):
     """Exact n-gram Jaccard pairs over a prefix-filtered candidate

@@ -292,6 +292,13 @@ def _exprs() -> st.SearchStrategy:
     "(((INTERVAL 1 SECOND / 1) + INTERVAL 1 SECOND) / INTERVAL 1 SECOND)",
     "(CAST((((1 * 1000000000::BIGINT) // 1) + 1 * 1000000000::BIGINT)"
     " AS DOUBLE) / 1000000000)"))
+# regression (r8 9k soak): a SCALAR SUBQUERY operand must carry its
+# select item's category — min() over an Int column is Int, so the
+# Int/Int integer-division overload still fires
+@example(expr=(
+    "((SELECT min(n_nationkey) FROM nation WHERE n_nationkey >= 3) / 2)",
+    "((SELECT CAST(min(n_nationkey) AS BIGINT) FROM nation "
+    "WHERE n_nationkey >= 3) // 2)"))
 def test_dialect_matches_duckdb(spark, duck, nation_view, expr):
     dialect, ducksql = expr
     from octosql_spark.sql import run_query

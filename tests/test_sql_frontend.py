@@ -397,3 +397,22 @@ def test_distinct_aggregate_call_names(spark):
     r2 = run_query(spark, "SELECT a, COUNT(DISTINCT b) FROM dn_t "
                           "GROUP BY a")
     assert r2.df.columns == ["a", "count_distinct_b"]
+
+
+def test_aggregate_results_keep_int_division(spark):
+    """Aggregate results carry their overload category (r8 fuzz-soak
+    find, generalized): sum(Int)/count(*) is Int/Int → the dialect's
+    integer division (functions.go:320-355), avg is Float, and a
+    scalar subquery takes its select item's category."""
+    from octosql_spark.sql import run_query
+
+    spark.createDataFrame([(1,), (2,), (4,)], ["v"]) \
+        .createOrReplaceTempView("aggdiv_t")
+    r = run_query(spark, "SELECT SUM(v) / COUNT(*) AS d, "
+                         "AVG(v) / 2 AS a FROM aggdiv_t").df.collect()[0]
+    assert r.d == 2 and isinstance(r.d, int)      # 7 DIV 3
+    assert abs(r.a - 7 / 3 / 2) < 1e-12            # float path intact
+    # scalar subquery operand: Int category propagates
+    r2 = run_query(spark, "SELECT (SELECT MAX(v) FROM aggdiv_t) / 3 "
+                          "AS q FROM aggdiv_t").df.collect()[0]
+    assert r2.q == 1 and isinstance(r2.q, int)
