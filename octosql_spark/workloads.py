@@ -4948,6 +4948,12 @@ def _partsupp(spark, sf_dir):
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     df = _PS_CACHE.get(key)
+    if df is not None and not df.is_cached:
+        # session.release_cached cleared the CacheManager out from
+        # under the dict entry — an unpersisted frame here would make
+        # every consumer re-derive partsupp from lineitem (and the
+        # plan-budget gate order-dependent); re-derive + re-persist
+        df = None
     if df is None:
         for k in [k for k in _PS_CACHE if k[0] != app]:
             _PS_CACHE.pop(k, None)  # frames of stopped sessions

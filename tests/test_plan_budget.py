@@ -29,7 +29,17 @@ def test_plan_budgets_do_not_grow(spark):
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from plan_report import describe
 
+    from octosql_spark import workloads
+    from octosql_spark.session import release_cached
     from octosql_spark.workloads import REGISTRY
+
+    # hermetic start (r8): frames persisted by EARLIER tests
+    # substitute into entry plans via the CacheManager and module
+    # caches may hold released frames — both make the printed counts
+    # depend on suite order. Snapshot generation (plan_report.main)
+    # starts from the same clean state.
+    release_cached(spark)
+    workloads._PS_CACHE.clear()
 
     with open(SNAPSHOT) as f:
         frozen_plans = json.load(f)["plans"]

@@ -123,10 +123,16 @@ def describe(df) -> dict:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    from octosql_spark.session import get_spark
+    from octosql_spark import workloads
+    from octosql_spark.session import get_spark, release_cached
     from octosql_spark.workloads import REGISTRY
     spark = get_spark("plan-report")
     spark.sparkContext.setLogLevel("ERROR")
+    # clean cache state: the budget gate (tests/test_plan_budget.py)
+    # starts identically, so printed counts don't depend on what ran
+    # before in the session
+    release_cached(spark)
+    workloads._PS_CACHE.clear()
     report, errors = {}, 0
     for name, w in REGISTRY.items():
         try:
