@@ -477,22 +477,30 @@ def _try_exact_counting(args, res, spec):
     record too. ``FROM tumble(...)`` also routes exactly: tumble is a
     pure per-record projection (adds window_start/window_end), so the
     transpiler's materialized TVF view substitutes for the call text
-    and its window columns group like any other columns."""
+    and its window columns group like any other columns. ``FROM
+    max_diff_watermark(...)`` routes exactly too (r8): the streaming
+    TVF is a projection + ``withWatermark`` — not a stateful op — and
+    Spark 4 accepts a single event-time column under
+    ``applyInPandasWithState``; watermark-late rows drop AT the
+    stateful operator, the same point the reference's group-by drops
+    them."""
     import re
 
     from octosql_spark.streaming.counting_trigger import (
         counting_trigger_aggregate)
 
     query = args.query
-    tvf_views = [v for v, d in res.views.items() if d == "tumble"]
+    tvf_views = [(v, d) for v, d in res.views.items()
+                 if d in ("tumble", "max_diff_watermark")]
     jm = None
     if tvf_views:
         if len(tvf_views) != 1:
             return None
-        query = _swap_tvf_call(query, "tumble", tvf_views[0])
+        view, kind = tvf_views[0]
+        query = _swap_tvf_call(query, kind, view)
         if query is None:
             return None
-        src_view = tvf_views[0]
+        src_view = view
     elif len(res.views) == 1:
         src_view = next(iter(res.views))
     elif len(res.views) == 2:

@@ -653,3 +653,30 @@ def test_trigger_counting_stream_stream_outer_falls_back(
     assert len(views) == 2
     assert _build_counting_join_source(spark, jm, views[0],
                                        views[1]) is None
+
+
+def test_trigger_counting_max_diff_watermark_exact(spark, tmp_path,
+                                                   capsys):
+    """TRIGGER COUNTING over FROM max_diff_watermark(...) routes to
+    the EXACT per-record operator (r8 — the TVF is a projection +
+    withWatermark, not a stateful op; one event-time column under
+    applyInPandasWithState is fine on Spark 4). Per-key emissions at
+    every 2nd record, not per-micro-batch."""
+    p = tmp_path / "mdw_cnt.json"
+    p.write_text('{"ts": "2024-01-01T00:00:01", "v": 1}\n'
+                 '{"ts": "2024-01-01T00:00:02", "v": 1}\n'
+                 '{"ts": "2024-01-01T00:00:03", "v": 1}\n'
+                 '{"ts": "2024-01-01T00:00:04", "v": 1}\n')
+    rc = main([
+        "SELECT v, COUNT(*) AS n FROM max_diff_watermark("
+        f"source => TABLE(SELECT * FROM '{p}?tail=true'), "
+        "max_diff => INTERVAL 5 SECOND, "
+        "time_field => DESCRIPTOR(ts)) "
+        "GROUP BY v TRIGGER COUNTING 2",
+        "--output", "stream_native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # exact route: emissions at counts 2 and 4 (the generic
+    # per-micro-batch fallback emits ONE update row n=4 here)
+    assert "{+0001-01-01T00:00:00Z| 1, 2, 2 |}" in out
+    assert "{+0001-01-01T00:00:00Z| 1, 4, 4 |}" in out

@@ -551,3 +551,52 @@ def test_dialect_window_frames_match_duckdb(spark, duck, nation_view,
         f"SELECT n_nationkey AS k, CAST({fn}({oe}) OVER ({over}) "
         f"AS {cast}) AS w FROM nation").fetchall())
     assert got == want, f"{fn}({de}) OVER ({over})"
+
+
+# ---------------- r8 grammar: JOINs (types x equi/theta ON) ---------
+# The one core clause surface without a fuzz grammar until now: the
+# dialect's join rewrites (outer-join normalization, join-modifier
+# stripping, alias qualification) against DuckDB over the same
+# tables. nation self-join via two aliased subsets keeps result
+# sizes bounded; the tiebreak keys make row multisets exact.
+
+@settings(max_examples=_N or 25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.sampled_from(["JOIN", "INNER JOIN", "LEFT JOIN",
+                        "LEFT OUTER JOIN", "RIGHT JOIN", "FULL JOIN",
+                        "FULL OUTER JOIN", "CROSS JOIN"]),
+       st.sampled_from([
+           ("a.n_regionkey = b.n_regionkey", "equi"),
+           ("a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey",
+            "equi_and_theta"),
+           ("a.n_nationkey + 1 = b.n_nationkey", "expr_equi"),
+           ("a.n_regionkey < b.n_regionkey", "theta")]),
+       st.integers(0, 3), st.integers(0, 3))
+@example(jt="FULL JOIN",
+         on=("a.n_regionkey = b.n_regionkey", "equi"), cut_a=2, cut_b=3)
+def test_dialect_joins_match_duckdb(spark, duck, nation_view,
+                                    jt, on, cut_a, cut_b):
+    from octosql_spark.sql import run_query
+    on_sql, kind = on
+    a = f"(SELECT * FROM nation WHERE n_nationkey % 4 >= {cut_a})"
+    b = f"(SELECT * FROM nation WHERE n_nationkey % 5 >= {cut_b})"
+    if jt == "CROSS JOIN":
+        sel = (f"SELECT a.n_nationkey AS ka, b.n_nationkey AS kb "
+               f"FROM {a} a CROSS JOIN {b} b")
+    else:
+        # theta predicates on outer joins: the REFERENCE rejects them
+        # ("outer join predicate must be a conjunction of equalities")
+        # while we deliberately support them (VERDICT §2.3) — both
+        # engines here agree, so the fuzz covers the superset
+        sel = (f"SELECT a.n_nationkey AS ka, b.n_nationkey AS kb "
+               f"FROM {a} a {jt} {b} b ON {on_sql}")
+    ours = run_query(spark, sel).df
+
+    def key(t):  # outer-join NULLs sort first, None-safe
+        return tuple((v is not None, v) for v in t)
+
+    got = sorted(((r.ka, r.kb) for r in ours.collect()), key=key)
+    want = sorted((tuple(r) for r in duck.execute(sel).fetchall()),
+                  key=key)
+    assert got == want, f"{jt} ON {on_sql} cuts=({cut_a},{cut_b})"
