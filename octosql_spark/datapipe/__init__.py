@@ -19,7 +19,7 @@ from octosql_spark.datapipe.similarity import (  # noqa: F401
 from octosql_spark.datapipe.text import (  # noqa: F401
     token_count, quality_metrics, language_id, fingerprint,
     redact_pii, tf_idf_top_terms, unigram_logprob, bigram_logprob,
-    bm25_scores,
+    perplexity_buckets, bm25_scores,
     hashed_linear_score, char_entropy, dsir_importance, dsir_select,
     heavy_hitters, winnowing_fingerprints, winnowing_overlap_pairs,
     cap_per_key,

@@ -211,6 +211,48 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  .alias("avg_logprob")))
 
 
+def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_buckets: int = 3,
+                       labels: tuple = ("head", "middle", "tail")
+                       ) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting high quality monolingual datasets from web crawl
+    data"): score each document with the corpus's own unigram-LM
+    perplexity and split the corpus into equal-population quality
+    buckets — CCNet's head/middle/tail thirds, the standard
+    quality-stratification step before mixture sampling. Returns
+    (id, n_tokens, perplexity, bucket, quality) with bucket 1 =
+    lowest perplexity (head).
+
+    The bucket boundary is an exact equal-population split
+    (distribution terciles, like CCNet's percentile cuts), computed
+    with the distributed NTILE decomposition — NOT a single-partition
+    window sort. The ORDER key is the rounded mean log-prob (not
+    exp(−x)): monotonic-equivalent, and it avoids making the bucket
+    assignment depend on cross-engine libm exp behavior.
+
+    Scale shape: unigram_logprob's two map-side aggregations + vocab
+    join, then global_ntile's one range shuffle + broadcast offsets.
+    Nothing touches the driver.
+    """
+    from octosql_spark.operators.order_limit import global_ntile
+    scored = unigram_logprob(df, id_col, text_col)
+    # head = LOWEST perplexity = HIGHEST avg log-prob
+    tiled = global_ntile(
+        scored, n_buckets,
+        [F.col("avg_logprob").desc(), F.col(id_col).asc()],
+        out_col="bucket")
+    quality = F.when(F.lit(n_buckets != len(labels)),
+                     F.concat(F.lit("q"), F.col("bucket").cast("string")))
+    for i, lab in enumerate(labels):
+        quality = quality.when(F.col("bucket") == i + 1, F.lit(lab))
+    return tiled.select(
+        id_col, "n_tokens",
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("perplexity"),
+        F.col("bucket").cast("long").alias("bucket"),
+        quality.alias("quality"))
+
+
 def fingerprint(text: Column, mode: str = "md5") -> Column:
     """Document fingerprint over whitespace-normalized, lowercased
     text. ``md5`` = content hash; ``rolling`` = min of rolling window

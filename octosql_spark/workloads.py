@@ -2178,6 +2178,40 @@ def text_unigram_logprob_q(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+@workload("text_perplexity_buckets", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+vocab AS (SELECT term, COUNT(*) AS cnt FROM t2 GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(AVG(LN(CAST(cnt AS DOUBLE) / total)), 6) AS lp
+  FROM t2 JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(EXP(-lp), 6) AS perplexity,
+       NTILE(3) OVER (ORDER BY lp DESC, doc_id) AS bucket,
+       CASE NTILE(3) OVER (ORDER BY lp DESC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS quality
+FROM scored
+""", cartesian_ok=True, broadcast_ok=True)
+def text_perplexity_buckets_q(spark, sf_dir):
+    """CCNet-style head/middle/tail quality split by in-corpus
+    unigram perplexity (Wenzek et al. 2020) — equal-population
+    terciles over the EXACT perplexity ordering. The bucket comes
+    from the distributed NTILE decomposition (range shuffle +
+    parallel-prefix offsets — bit-equal to the window NTILE on this
+    total order, never an Exchange SinglePartition sort); the oracle
+    replays the full pipeline including the tercile assignment."""
+    from octosql_spark.datapipe import perplexity_buckets
+    return perplexity_buckets(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 @workload("text_bigram_logprob", """
 WITH w AS (
   SELECT doc_id,

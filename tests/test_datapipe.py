@@ -2099,3 +2099,47 @@ def test_winnowing_auto_dispatch_crossover(spark):
     j = {tuple(r) for r in winnowing_fingerprints(
         long_, impl="jvm").collect()}
     assert a == j
+
+
+def test_perplexity_buckets_ccnet_split(spark):
+    """CCNet head/middle/tail: equal-population buckets (±1), head
+    holds the LOWEST perplexity (most probable text), labels map from
+    the bucket index, and a non-default n_buckets falls back to qN
+    labels."""
+    import random
+
+    from octosql_spark.datapipe import perplexity_buckets
+
+    rng = random.Random(5)
+    common = ["the", "cat", "sat", "on", "mat", "dog", "ran"]
+    rows = []
+    for i in range(30):  # probable docs: common words only
+        rows.append((i, " ".join(rng.choice(common) for _ in range(30))))
+    def uniq(i, j):  # letter-only (the tokenizer drops [^a-z])
+        n = i * 100 + j
+        w = ""
+        while n:
+            w += chr(ord("a") + n % 26)
+            n //= 26
+        return "zq" + w
+
+    for i in range(30, 45):  # improbable docs: corpus-unique words
+        rows.append((i, " ".join(uniq(i, j) for j in range(30))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = perplexity_buckets(df).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 45
+    assert {r.quality for r in by_bucket[1]} == {"head"}
+    assert {r.quality for r in by_bucket[3]} == {"tail"}
+    # every head perplexity <= every tail perplexity
+    assert (max(r.perplexity for r in by_bucket[1])
+            <= min(r.perplexity for r in by_bucket[3]))
+    # the word-salad docs land in the tail
+    salad = {r.doc_id for r in out if r.doc_id >= 30}
+    assert salad <= {r.doc_id for r in by_bucket[3]
+                     } | {r.doc_id for r in by_bucket[2]}
+    q5 = perplexity_buckets(df, n_buckets=5).collect()
+    assert {r.quality for r in q5} == {f"q{i}" for i in range(1, 6)}
