@@ -66,29 +66,25 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     def tune(d: str) -> None:
-        biggest = max((os.path.getsize(os.path.join(d, f))
-                       for f in os.listdir(d) if f.endswith(".parquet")
-                       and os.path.isfile(os.path.join(d, f))),
-                      default=0)
-        if not biggest:  # replica dirs hold parquet DIRECTORIES
-            biggest = max(
-                sum(os.path.getsize(os.path.join(r, f))
-                    for r, _, fs in os.walk(os.path.join(d, t))
-                    for f in fs)
-                for t in os.listdir(d) if t.endswith(".parquet"))
+        # per-table size handles plain files AND parquet DIRECTORIES
+        # uniformly (replica dirs mix both: the dims are copied files
+        # — r8 review: a files-first max found only the tiny dims and
+        # clamped replica splits to the 2 MB floor)
+        def sz(p: str) -> int:
+            if os.path.isfile(p):
+                return os.path.getsize(p)
+            return sum(os.path.getsize(os.path.join(r, x))
+                       for r, _, xs in os.walk(p) for x in xs)
+
+        sizes = [sz(os.path.join(d, f)) for f in os.listdir(d)
+                 if f.endswith(".parquet")]
+        biggest = max(sizes, default=0)
         split = min(max(biggest // (2 * cpus), 2 << 20), 256 << 20)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         # AQE is the 100 TB story (skew re-plan, partition coalescing)
         # but pure latency overhead (~30%) on sub-GB inputs — size-gate
-        total = sum(
-            (os.path.getsize(os.path.join(d, f))
-             if os.path.isfile(os.path.join(d, f)) else
-             sum(os.path.getsize(os.path.join(r, x))
-                 for r, _, xs in os.walk(os.path.join(d, f))
-                 for x in xs))
-            for f in os.listdir(d) if f.endswith(".parquet"))
         spark.conf.set("spark.sql.adaptive.enabled",
-                       "true" if total >= (1 << 30) else "false")
+                       "true" if sum(sizes) >= (1 << 30) else "false")
 
     tune(sf_dir)
 
@@ -119,6 +115,12 @@ def main() -> None:
         anchor_rows[0] = sum(r[1] for r in rows)
 
     def anchor(tag: str, warmups: int = 1, runs: int = 3) -> dict:
+        # anchors ALWAYS run under the sf_dir tuning: the committed
+        # solo floor is only comparable at that split size / AQE
+        # setting (r8 review: a post-sf1 anchor measured under the
+        # replica tuning would spuriously flag load at >=1 GB
+        # replicas, where AQE turns on)
+        tune(sf_dir)
         ts = timed_runs(csv_groupby, warmups, runs)
         sec = median(ts)
         return {"tag": tag, "sec": round(sec, 4),
@@ -131,6 +133,7 @@ def main() -> None:
     # multi-second noise spikes and a median-of-5 rejects two
     # outliers instead of one).
     def measure_block(names, d: str, warmups: int, runs: int) -> dict:
+        tune(d)  # block queries run under their own dir's tuning
         out = {}
         for name in names:
             w = REGISTRY[name]
@@ -200,7 +203,6 @@ def main() -> None:
         from scale_stress import build_scaled
         dst = "/tmp/octosql_scale10x"
         build_scaled(spark, sf_dir, dst, 10)
-        tune(dst)
         sf1_queries, sf1_adj = run_block(
             "sf1", ["pricing_summary", "join_multiway_revenue",
                     "dedup_minhash_lsh"], dst, 1, 3)
@@ -210,6 +212,7 @@ def main() -> None:
         # drown the scale signal this block is for
         from octosql_spark.catalog import load_table
         from octosql_spark.datapipe import winnowing_fingerprints
+        tune(dst)  # run_block's trailing anchor re-tuned to sf_dir
         docs10 = load_table(spark, dst, "documents")
         sf1_queries["winnowing_xxhash64_auto"] = round(median(
             timed_runs(lambda: winnowing_fingerprints(

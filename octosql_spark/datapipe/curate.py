@@ -227,10 +227,16 @@ def weighted_sample_wor(df: DataFrame, k: int,
     # canonicalize to the same range Exchange, so exchange reuse makes
     # both read ONE shuffle output with identical boundaries (pinned
     # by tests/test_persist_hygiene.py) — a persist here leaked
-    # executor storage to library callers (r7 verdict)
+    # executor storage to library callers (r7 verdict). With reuse
+    # DISABLED the persist comes back as the consistency fallback
+    # (r8 review; see operators.order_limit.global_ntile).
+    from octosql_spark.operators.order_limit import (
+        _exchange_reuse_enabled)
     d = (d.repartitionByRange(F.col("_es_key").desc(),
                               F.col(id_col).asc())
          .withColumn("_pid", F.spark_partition_id()))
+    if not _exchange_reuse_enabled(df.sparkSession):
+        d = d.persist()
     cnt = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
     w_pid = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -39,12 +39,21 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None,
 
 def _word_shingles(text: Column, n: int) -> Column:
     """n-word shingles as an array<string>, distinct. Built from
-    split + sequence + transform + slice — all codegen'd."""
+    split + sequence + transform + slice — all codegen'd.
+
+    NULL text → EMPTY array (no shingles, so null docs never pair):
+    without the guard, ``concat_ws`` coerces the null slice to ``''``
+    and a null doc silently shared the empty-text shingle — pairing
+    with every ''-text doc at 1.0 while the DuckDB oracles' unnest
+    over a NULL list yields no inverted-index rows at all (r8 review
+    chase; latent until a null-text corpus)."""
     words = F.split(F.trim(text), r"\s+")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), k)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+    return F.when(text.isNull(), F.array().cast("array<string>")) \
+        .otherwise(F.array_distinct(
+            F.transform(idx,
+                        lambda i: F.concat_ws(" ", F.slice(words, i, n)))))
 
 
 _MERSENNE31 = (1 << 31) - 1
@@ -194,10 +203,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                      F.greatest("_ma", "_mb").alias("id_b"), "jaccard"))
     # within-group pairs: a within-row array fan-out over the CACHED
     # canon — map-only, no self-join shuffle (dup groups are the rows
-    # the collapse already bounded). Degenerate groups (no shingle:
-    # empty/sub-shingle text) have UNDEFINED Jaccard (0/0 → NULL,
-    # never ≥ threshold) — their byte-identical members must not
-    # pair, matching the uncollapsed semantics and the exact oracle.
+    # the collapse already bounded). Identical EMPTY/short texts DO
+    # pair at exactly 1.0: _word_shingles emits at least one
+    # (possibly partial) shingle for any non-null text, so the
+    # uncollapsed path and the oracle both give two identical such
+    # docs Jaccard 1/1. Only NULL-text groups must not pair (null
+    # shingle array → the oracle's inverted index has no rows for
+    # them) — hence the isNotNull guard.
     sorted_ids = F.array_sort(F.col("_ids"))
     within_arr = F.flatten(F.transform(
         sorted_ids,
@@ -205,9 +217,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
             lambda y: F.struct(x.alias("a"), y.alias("b")))))
     within = (canon
-              .filter((F.size("_ids") >= 2)
-                      & (F.size(_word_shingles(F.col("_s"), shingle))
-                         >= 1))
+              .filter((F.size("_ids") >= 2) & F.col("_s").isNotNull())
               .select(F.explode(within_arr).alias("_p"))
               .select(F.col("_p.a").alias("id_a"),
                       F.col("_p.b").alias("id_b"),

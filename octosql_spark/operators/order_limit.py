@@ -19,6 +19,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _exchange_reuse_enabled(spark) -> bool:
+    """The parallel-prefix decompositions rely on Catalyst exchange
+    reuse for boundary consistency between their offset-table and
+    final-join subtrees; when a caller disables it they fall back to
+    a persist (see global_ntile's docstring)."""
+    try:
+        return spark.conf.get("spark.sql.exchange.reuse",
+                              "true").lower() == "true"
+    except Exception:  # noqa: BLE001 — conf surface missing: assume on
+        return True
+
+
 def order_by_limit(df: DataFrame,
                    order: Sequence[tuple[str | Column, str]] = (),
                    limit: int | None = None) -> DataFrame:
@@ -72,11 +84,17 @@ def global_ntile(df: DataFrame, n_tiles: int,
     over the rangepartitioning node; pinned by
     tests/test_persist_hygiene.py). A persist here leaked executor
     storage to library callers until session teardown (r7 verdict).
+    If a caller has DISABLED exchange reuse, the two subtrees would
+    execute independent range exchanges whose sampled boundaries can
+    differ — silently wrong ranks — so the persist comes back as the
+    consistency fallback in exactly that configuration (r8 review).
     """
     from pyspark.sql.window import Window
 
     d = (df.repartitionByRange(*order)
            .withColumn("_pid", F.spark_partition_id()))
+    if not _exchange_reuse_enabled(df.sparkSession):
+        d = d.persist()
     cnt = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
     w_pid = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -617,6 +617,38 @@ _CAST_TARGET_CAT = {
 }
 
 
+def _scalar_subquery_cat(toks: list[Tok], sig: list[int],
+                         types: dict[str, str]) -> str | None:
+    """Category of a scalar subquery span (``sig[0]`` is SELECT): the
+    category of its single select item — the reference types a
+    subquery by its output column, so ``(SELECT min(k) FROM t) / 2``
+    keeps the Int/Int integer-division overload (found by the r8
+    9k-example fuzz soak). The item ends at the first depth-0 FROM;
+    an aliased item or a multi-column list returns None (no rewrite —
+    Spark semantics, the safe fallback)."""
+    start = 1
+    if (len(sig) > 1 and toks[sig[1]].kind == "IDENT"
+            and toks[sig[1]].text.upper() == "DISTINCT"):
+        start = 2  # DISTINCT keeps the item's category
+    depth = 0
+    item_end = None
+    for pos in range(start, len(sig)):
+        tt = toks[sig[pos]]
+        if tt.text in ("(", "["):
+            depth += 1
+        elif tt.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and tt.text == ",":
+            return None  # multi-column subquery: not scalar
+        elif (depth == 0 and tt.kind == "IDENT"
+              and tt.text.upper() == "FROM"):
+            item_end = sig[pos - 1]
+            break
+    if item_end is None or item_end < sig[start]:
+        return None
+    return _span_cat(toks, sig[start], item_end, types)
+
+
 def _span_cat(toks: list[Tok], lo: int, hi: int,
               types: dict[str, str]) -> str | None:
     """Type category of the expression spanned by toks[lo..hi]
@@ -626,6 +658,15 @@ def _span_cat(toks: list[Tok], lo: int, hi: int,
            if toks[i].kind not in ("WS", "COMMENT")]
     if not sig:
         return None
+    if (toks[sig[0]].kind == "IDENT"
+            and toks[sig[0]].text.upper() == "SELECT"):
+        # scalar subquery — MUST be handled before the binary-op scan
+        # below: a SELECT-led span is never an operand chain, and an
+        # arithmetic token inside the subquery's item or WHERE (e.g.
+        # `SELECT min(k)+1 …`, `… WHERE k % 2 = 0`) sits at paren
+        # depth 0 relative to this span and would wrongly split it
+        # (r8 review finding on the r8 soak fix)
+        return _scalar_subquery_cat(toks, sig, types)
     # top-level binary operators?
     depth = 0
     ops = []
@@ -714,29 +755,6 @@ def _span_cat(toks: list[Tok], lo: int, hi: int,
         if cats <= {"int", "float"}:
             return "float"
         return cats.pop() if len(cats) == 1 else None
-    if t.kind == "IDENT" and t.text.upper() == "SELECT":
-        # scalar subquery: its category is the category of its single
-        # select item (the reference types a subquery by its output
-        # column — `(SELECT min(k) FROM t) / 2` must keep the Int/Int
-        # integer-division overload; found by the r8 9k-example fuzz
-        # soak). Bounded: the item ends at the top-level FROM.
-        depth2 = 0
-        item_end = None
-        for pos in range(1, len(sig)):
-            tt = toks[sig[pos]]
-            if tt.text in ("(", "["):
-                depth2 += 1
-            elif tt.text in (")", "]"):
-                depth2 -= 1
-            elif depth2 == 0 and tt.text == ",":
-                return None  # multi-column subquery: not scalar
-            elif (depth2 == 0 and tt.kind == "IDENT"
-                  and tt.text.upper() == "FROM"):
-                item_end = sig[pos - 1]
-                break
-        if item_end is None or item_end < sig[1]:
-            return None
-        return _span_cat(toks, sig[1], item_end, types)
     if t.kind == "STRING":
         return "string" if len(sig) == 1 else None
     if t.kind == "NUMBER":

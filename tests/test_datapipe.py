@@ -2143,3 +2143,24 @@ def test_perplexity_buckets_ccnet_split(spark):
                      } | {r.doc_id for r in by_bucket[2]}
     q5 = perplexity_buckets(df, n_buckets=5).collect()
     assert {r.quality for r in q5} == {f"q{i}" for i in range(1, 6)}
+
+
+def test_minhash_collapse_degenerate_texts(spark):
+    """Identical EMPTY/short texts pair at exactly 1.0 (they share
+    the single partial shingle — same as the uncollapsed path and
+    the oracle); NULL-text docs never pair (r8 review: the old guard
+    claimed the opposite and never fired)."""
+    from octosql_spark.datapipe import minhash_lsh_pairs
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    rows = [(1, ""), (2, ""), (3, "ab"), (4, "ab"),
+            (5, None), (6, None), (7, "the cat sat on the mat")]
+    df = spark.createDataFrame(rows, StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType())]))
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_lsh_pairs(df).collect()}
+    assert got.get((1, 2)) == 1.0
+    assert got.get((3, 4)) == 1.0
+    assert not any(5 in p or 6 in p for p in got)

@@ -299,6 +299,18 @@ def _exprs() -> st.SearchStrategy:
     "((SELECT min(n_nationkey) FROM nation WHERE n_nationkey >= 3) / 2)",
     "((SELECT CAST(min(n_nationkey) AS BIGINT) FROM nation "
     "WHERE n_nationkey >= 3) // 2)"))
+# regression (r8 review): the subquery branch must run BEFORE the
+# binary-op scan — an arithmetic token in the subquery's WHERE or
+# item sits at depth 0 of the span and used to split it, silently
+# losing the Int category (float division) for exactly these shapes
+@example(expr=(
+    "((SELECT min(n_nationkey) FROM nation WHERE n_nationkey % 2 = 0)"
+    " / 2)",
+    "((SELECT CAST(min(n_nationkey) AS BIGINT) FROM nation "
+    "WHERE n_nationkey % 2 = 0) // 2)"))
+@example(expr=(
+    "((SELECT min(n_nationkey) + 1 FROM nation) / 2)",
+    "((SELECT CAST(min(n_nationkey) AS BIGINT) + 1 FROM nation) // 2)"))
 def test_dialect_matches_duckdb(spark, duck, nation_view, expr):
     dialect, ducksql = expr
     from octosql_spark.sql import run_query

@@ -52,3 +52,29 @@ def test_parallel_prefix_reuses_range_exchange(spark):
     assert got == want
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan and "rangepartitioning" in plan
+
+
+def test_reuse_disabled_falls_back_to_persist(spark):
+    """With spark.sql.exchange.reuse=false the two range-exchange
+    subtrees would sample boundaries independently — the operators
+    must fall back to the consistency persist and stay exact
+    (r8 review finding)."""
+    from octosql_spark.operators.order_limit import global_ntile
+    from octosql_spark.session import release_cached
+    from pyspark.sql.window import Window
+
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = spark.range(20000).selectExpr(
+            "id", "cast(id % 83 as double) AS v")
+        order = [F.col("v").asc(), F.col("id").asc()]
+        out = global_ntile(df, 5, order)
+        got = {(r.id, r.tile) for r in out.collect()}
+        want = {(r.id, r.tile) for r in df.withColumn(
+            "tile", F.ntile(5).over(Window.orderBy(*order))).collect()}
+        assert got == want
+        assert _persistent_rdd_count(spark) > 0  # fallback engaged
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+        release_cached(spark)

@@ -163,6 +163,13 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     src = args[0] if args else "/root/testdata/sf0.1"
     k = int(args[1]) if len(args) > 1 else 10
+    if "--check" in flags and os.path.exists(REPORT):
+        # frozen ratios are only comparable at the snapshot's own
+        # src/k — a positional override would silently compare
+        # apples to oranges (r8 review)
+        with open(REPORT) as f:
+            _doc = json.load(f)
+        src, k = _doc.get("src", src), int(_doc.get("k", k))
     dst = f"/tmp/octosql_scale{k}x"
 
     spark = get_spark("scale-stress")
