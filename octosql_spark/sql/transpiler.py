@@ -623,29 +623,47 @@ def _scalar_subquery_cat(toks: list[Tok], sig: list[int],
     category of its single select item — the reference types a
     subquery by its output column, so ``(SELECT min(k) FROM t) / 2``
     keeps the Int/Int integer-division overload (found by the r8
-    9k-example fuzz soak). The item ends at the first depth-0 FROM;
-    an aliased item or a multi-column list returns None (no rewrite —
-    Spark semantics, the safe fallback)."""
+    9k-example fuzz soak). The item ends at the first depth-0 FROM.
+    None (no rewrite — Spark semantics, the safe fallback) for:
+    a multi-column list; an ALIASED item (`f AS cnt` must not
+    resolve the ALIAS name against the outer column-type map — r8
+    review); a set-operation subquery (UNION/INTERSECT/EXCEPT
+    branches can differ in category and the first branch alone
+    doesn't decide — r8 review)."""
     start = 1
     if (len(sig) > 1 and toks[sig[1]].kind == "IDENT"
             and toks[sig[1]].text.upper() == "DISTINCT"):
         start = 2  # DISTINCT keeps the item's category
     depth = 0
     item_end = None
+    from_pos = None
     for pos in range(start, len(sig)):
         tt = toks[sig[pos]]
+        up = tt.text.upper() if tt.kind == "IDENT" else ""
         if tt.text in ("(", "["):
             depth += 1
         elif tt.text in (")", "]"):
             depth -= 1
         elif depth == 0 and tt.text == ",":
             return None  # multi-column subquery: not scalar
-        elif (depth == 0 and tt.kind == "IDENT"
-              and tt.text.upper() == "FROM"):
+        elif depth == 0 and up == "AS":
+            return None  # aliased item: alias ≠ a typed column
+        elif depth == 0 and up == "FROM":
             item_end = sig[pos - 1]
+            from_pos = pos
             break
     if item_end is None or item_end < sig[start]:
         return None
+    depth = 0
+    for pos in range(from_pos + 1, len(sig)):
+        tt = toks[sig[pos]]
+        if tt.text in ("(", "["):
+            depth += 1
+        elif tt.text in (")", "]"):
+            depth -= 1
+        elif (depth == 0 and tt.kind == "IDENT" and tt.text.upper()
+              in ("UNION", "INTERSECT", "EXCEPT")):
+            return None  # set-op: later branches may differ
     return _span_cat(toks, sig[start], item_end, types)
 
 

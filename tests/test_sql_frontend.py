@@ -416,3 +416,30 @@ def test_aggregate_results_keep_int_division(spark):
     r2 = run_query(spark, "SELECT (SELECT MAX(v) FROM aggdiv_t) / 3 "
                           "AS q FROM aggdiv_t").df.collect()[0]
     assert r2.q == 1 and isinstance(r2.q, int)
+
+
+def test_scalar_subquery_category_safe_fallbacks(spark):
+    """_scalar_subquery_cat returns None (Spark semantics, no
+    overload rewrite) for shapes where the item category can't be
+    trusted (r8 high-effort review): an ALIASED item whose alias
+    collides with a differently-typed outer column, and set-operation
+    subqueries whose branches differ in category."""
+    from octosql_spark.sql import run_query
+
+    spark.createDataFrame([(4, 5.0)], ["cnt", "f"]) \
+        .createOrReplaceTempView("sqcat_t")
+    # alias 'cnt' must NOT be typed from the outer int column 'cnt':
+    # the subquery's value is the FLOAT f -> float division, not DIV
+    r = run_query(spark, "SELECT (SELECT f AS cnt FROM sqcat_t) / 2 "
+                         "AS v FROM sqcat_t").df.collect()[0]
+    assert r.v == 2.5
+    # set-op: first branch int, producing branch float -> no DIV
+    r2 = run_query(
+        spark, "SELECT (SELECT cnt FROM sqcat_t WHERE cnt < 0 "
+               "UNION ALL SELECT f FROM sqcat_t) / 2 AS v "
+               "FROM sqcat_t").df.collect()[0]
+    assert r2.v == 2.5
+    # the un-aliased single-branch case still integer-divides
+    r3 = run_query(spark, "SELECT (SELECT cnt FROM sqcat_t) / 3 AS v "
+                          "FROM sqcat_t").df.collect()[0]
+    assert r3.v == 1 and isinstance(r3.v, int)
