@@ -50,9 +50,11 @@ def go_duration_ns(ns: int) -> str:
 
 def go_duration(td) -> str:
     """Go duration rendering of a Python timedelta (µs precision —
-    Spark's interval payload)."""
+    Spark's interval payload). Floor-division keeps the µs count
+    exact: ``td / timedelta(µs)`` returns a FLOAT, which loses
+    microseconds past 2^53 (~285 years) — r8 review."""
     import datetime
-    us = round(td / datetime.timedelta(microseconds=1))
+    us = td // datetime.timedelta(microseconds=1)
     return go_duration_ns(us * 1000)
 
 
@@ -137,8 +139,16 @@ def _sort_key_value(v):
         return (5, v.isoformat())
     if isinstance(v, datetime.timedelta):
         return (6, v)
+    try:  # Row is a tuple SUBCLASS — structs must tag 8, not 7
+        from pyspark.sql import Row
+        if isinstance(v, Row):
+            return (8, tuple(_sort_key_value(x) for x in v))
+    except Exception:
+        pass
     if isinstance(v, (list, tuple)):
         return (7, tuple(_sort_key_value(x) for x in v))
+    if isinstance(v, dict):
+        return (8, tuple(_sort_key_value(x) for x in v.values()))
     return (8, str(v))
 
 
@@ -146,8 +156,17 @@ def record_sort_key(row):
     return tuple(_sort_key_value(v) for v in row)
 
 
-def _is_numeric(v) -> bool:
-    return isinstance(v, (int, float)) and not isinstance(v, bool)
+import re as _re
+
+# tablewriter v0.0.5's ALIGN_DEFAULT decision (util.go `decimal`):
+# right-align only RENDERED cells matching this — "1.2e+07", "NaN",
+# "+Inf" are left-aligned by the reference's table (r8 review; the
+# old by-Python-type check right-aligned them)
+_TW_DECIMAL = _re.compile(r"^-?(?:\d{1,3}(?:,\d{3})*|\d+)(?:\.\d+)?$")
+
+
+def _tw_numeric(text: str) -> bool:
+    return bool(_TW_DECIMAL.match(text.strip()))
 
 
 def write_table(df: DataFrame, out: IO[str] | None = None,
@@ -158,15 +177,19 @@ def write_table(df: DataFrame, out: IO[str] | None = None,
     values in native form ('quoted' strings, ``<null>``, Go
     durations). The reference's sink keeps records in an ordered
     btree, so rows print value-sorted unless the query itself ordered
-    them (``sort=False`` for ORDER BY queries)."""
+    them (``sort=False`` for ORDER BY queries). The WHOLE result
+    prints (the reference buffers the full btree; a silent 20k cap
+    here dropped rows — r8 review); a table printer's driver memory
+    is inherently the rendered result, same as the reference's."""
     out = out or sys.stdout
-    n = limit if limit is not None else 20_000
-    rows = df.limit(n).collect()
+    if limit is not None:
+        df = df.limit(limit)
+    rows = df.collect()
     if sort:
         rows = sorted(rows, key=record_sort_key)
     headers = list(df.columns)
-    cells = [[(_native_value(v), _is_numeric(v)) for v in row]
-             for row in rows]
+    cells = [[(lambda t: (t, _tw_numeric(t)))(_native_value(v))
+              for v in row] for row in rows]
     widths = []
     for i, h in enumerate(headers):
         w = len(h)
@@ -191,18 +214,48 @@ def write_table(df: DataFrame, out: IO[str] | None = None,
     out.write(border + "\n")
 
 
+def go_float_f(f: float) -> str:
+    """Go ``strconv.FormatFloat(f, 'f', -1, 64)``: shortest
+    round-trip digits, ALWAYS positional (never an exponent) — the
+    CSV formatter's float form (csv_format.go:55; r8 review: the 'g'
+    rendering emitted ``1e+06`` where the reference writes
+    ``1000000``)."""
+    import math
+    from decimal import Decimal
+    if f != f:
+        return "NaN"
+    if f == math.inf:
+        return "+Inf"
+    if f == -math.inf:
+        return "-Inf"
+    if f == 0:
+        return "-0" if math.copysign(1, f) < 0 else "0"
+    sign = "-" if f < 0 else ""
+    _, digits, dexp = Decimal(repr(abs(f))).as_tuple()
+    dig = list(digits)
+    while len(dig) > 1 and dig[-1] == 0:
+        dig.pop()
+        dexp += 1
+    s = "".join(map(str, dig))
+    if dexp >= 0:
+        return sign + s + "0" * dexp
+    if -dexp < len(s):
+        return sign + s[:dexp] + "." + s[dexp:]
+    return sign + "0." + "0" * (-dexp - len(s)) + s
+
+
 def _csv_value(v):
     """One CSV cell the way the reference's formatter writes it
-    (outputs/formats/csv_format.go:1-72, Go ``%v`` rendering — golden
-    outputs/csv/types.out): NULL → empty, bools lowercase, integral
-    floats without ``.0``, durations in Go form, times RFC3339."""
+    (outputs/formats/csv_format.go:1-72): NULL → empty, bools
+    lowercase, floats in ``FormatFloat('f', -1)`` positional form,
+    durations in Go form, times RFC3339."""
     import datetime
     if v is None:
         return ""
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return go_float(v)
+        return go_float_f(v)
     if isinstance(v, datetime.timedelta):
         return go_duration(v)
     if _durns(v) is not None:
@@ -239,8 +292,15 @@ def _jsonable(v):
         return [_jsonable(x) for x in v]
     if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
         # Go's encoder writes whole float64s without the decimal
-        # point (union golden: 42, not 42.0)
+        # point (union golden: 42, not 42.0). Non-integral floats
+        # keep Python repr (≈ shortest 'g'): fastjson's exact float
+        # form past 1e15 is unverifiable in this container (no
+        # vendored source, no float JSON golden) — honest residual.
         return int(v)
+    if isinstance(v, datetime.datetime):
+        # json_format.go:78: value.Time.Format(time.RFC3339) —
+        # default=str printed "2021-03-04 05:06:07" (r8 review)
+        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
     if isinstance(v, datetime.timedelta):
         return go_duration(v)
     return v
@@ -248,11 +308,14 @@ def _jsonable(v):
 
 def write_json(df: DataFrame, out: IO[str] | None = None) -> None:
     """json output (outputs/formats/json_format.go:1-103): one object
-    per line, original field names."""
+    per line, original field names. ``ensure_ascii=False``: fastjson
+    appends non-special string bytes verbatim, so the reference
+    emits raw UTF-8, not \\uXXXX escapes (r8 review)."""
     out = out or sys.stdout
     for row in df.toLocalIterator():
         out.write(json.dumps(_jsonable(row.asDict(recursive=True)),
-                             separators=(",", ":"), default=str))
+                             separators=(",", ":"), default=str,
+                             ensure_ascii=False))
         out.write("\n")
 
 
@@ -392,10 +455,14 @@ def stream_native_diff_writer(out: IO[str] | None = None):
         cur_rows = [tuple(r) for r in batch_df.collect()]
         c_prev = Counter(prev["rows"]) if prev["rows"] else Counter()
         c_cur = Counter(cur_rows)
-        for row in sorted((c_prev - c_cur).elements(), key=str):
+        # value order (the reference walks its btree in Value.Compare
+        # order) — key=str sorted (10,) before (9,) (r8 review)
+        for row in sorted((c_prev - c_cur).elements(),
+                          key=record_sort_key):
             vals = ", ".join(_native_value(v) for v in row)
             out.write(f"{{-{_ZERO_TIME}| {vals} |}}\n")
-        for row in sorted((c_cur - c_prev).elements(), key=str):
+        for row in sorted((c_cur - c_prev).elements(),
+                          key=record_sort_key):
             vals = ", ".join(_native_value(v) for v in row)
             out.write(f"{{+{_ZERO_TIME}| {vals} |}}\n")
         prev["rows"] = cur_rows
@@ -437,7 +504,10 @@ def stream_batch_writer(output: str, out: IO[str] | None = None):
                 out.write("\x1b[2J\x1b[H")  # clear + home: in-place
             else:
                 out.write(f"-- batch {batch_id} --\n")
-            write_table(batch_df.sort(batch_df.columns), out)
+            # write_table sorts driver-side (record_sort_key): a
+            # distributed pre-sort was a full shuffle per repaint
+            # whose ordering got discarded (r8 review)
+            write_table(batch_df, out)
         elif output == "csv":
             import csv as _csv
             w = _csv.writer(out, lineterminator="\n")

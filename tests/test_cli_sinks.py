@@ -379,3 +379,84 @@ def test_csv_legit_quotes_still_read(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "3" in out
+
+
+def test_csv_float_positional_form():
+    """csv_format.go:55 uses FormatFloat('f', -1, 64): never an
+    exponent (r8 review — the 'g' form emitted 1e+06)."""
+    from octosql_spark.sinks import go_float_f
+
+    assert go_float_f(1000000.0) == "1000000"
+    assert go_float_f(0.00001) == "0.00001"
+    assert go_float_f(-2.5) == "-2.5"
+    assert go_float_f(1e21) == "1" + "0" * 21
+    assert go_float_f(float("nan")) == "NaN"
+    assert go_float_f(float("inf")) == "+Inf"
+    assert go_float_f(0.0) == "0"
+    # round-trips stay shortest
+    assert go_float_f(0.1) == "0.1"
+
+
+def test_json_sink_rfc3339_and_raw_utf8(spark, capsys):
+    """json_format.go:78 renders Time via RFC3339; fastjson appends
+    non-special string bytes raw (no \\uXXXX) — r8 review."""
+    import io
+
+    from octosql_spark.sinks import write_json
+
+    df = spark.createDataFrame(
+        [("żółć",)], ["s"]).selectExpr(
+        "s", "timestamp'2021-03-04 05:06:07' AS t")
+    buf = io.StringIO()
+    write_json(df, buf)
+    assert buf.getvalue() == \
+        '{"s":"żółć","t":"2021-03-04T05:06:07Z"}\n'
+
+
+def test_table_alignment_follows_tablewriter_decimal(spark):
+    """tablewriter v0.0.5 right-aligns only cells matching its
+    decimal regex: exponent-form floats / NaN / +Inf are LEFT-aligned
+    by the reference (r8 review)."""
+    import io
+
+    from octosql_spark.sinks import write_table
+
+    df = spark.createDataFrame(
+        [(12345678901.5, 1)], ["big", "i"]).selectExpr(
+        "cast(big * 1000 as double) AS f", "i")
+    buf = io.StringIO()
+    write_table(df, buf)
+    body = buf.getvalue().splitlines()[3]
+    # f renders 1.23456789015e+13 -> left-aligned; i right-aligned
+    assert body.startswith("| 1.23456789015e+13")
+    assert body.rstrip().endswith("1 |")
+
+
+def test_table_prints_beyond_20k_rows(spark):
+    """The reference's table sink prints the WHOLE result (r8 review:
+    a silent 20k cap dropped rows)."""
+    import io
+
+    from octosql_spark.sinks import write_table
+
+    df = spark.range(25_000).selectExpr("id")
+    buf = io.StringIO()
+    write_table(df, buf, sort=False)
+    # 25k data lines + 3 border/header lines + final border
+    assert sum(1 for ln in buf.getvalue().splitlines()
+               if ln.startswith("| ")) == 25_001  # + header line
+
+
+def test_stream_diff_writer_value_order(spark):
+    """Retraction/addition batches print in Value.Compare order, not
+    str order — (9,) before (10,) (r8 review)."""
+    from octosql_spark.sinks import stream_native_diff_writer
+    import io
+
+    buf = io.StringIO()
+    w = stream_native_diff_writer(buf)
+    w(spark.createDataFrame([(9,), (10,), (2,)], ["v"]), 0)
+    lines = buf.getvalue().splitlines()
+    assert lines == ["{+0001-01-01T00:00:00Z| 2 |}",
+                     "{+0001-01-01T00:00:00Z| 9 |}",
+                     "{+0001-01-01T00:00:00Z| 10 |}"]
