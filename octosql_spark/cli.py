@@ -764,14 +764,21 @@ def _run_streaming(args, res, df) -> int:
         print(f"error: {msg}", file=sys.stderr)
         return 1
 
-    if trig.get("availableNow"):
-        q.awaitTermination()
-    else:
-        deadline = time.time() + args.duration
-        while time.time() < deadline and q.isActive:
-            time.sleep(0.1)
-        q.stop()
-        q.awaitTermination(30)
+    try:
+        if trig.get("availableNow"):
+            q.awaitTermination()
+        else:
+            deadline = time.time() + args.duration
+            while time.time() < deadline and q.isActive:
+                time.sleep(0.1)
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        # the tail stagers' polling threads outlive the query
+        # otherwise (one leaked thread + a growing staged copy per
+        # tail query in a long-lived session — r8 review)
+        from octosql_spark.sources.files import stop_tail_stagers
+        stop_tail_stagers()
     if args.output == "stream_native":
         # final watermark metadata line, like the reference's
         # NativeFormat.WriteMeta ("{~<watermark>}",

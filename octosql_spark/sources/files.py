@@ -22,10 +22,30 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# stop events for the driver-side tail stagers: a long-lived session
+# (service, test suite) can end its tails instead of leaking one
+# polling thread per tail query for the process lifetime (r8 review).
+# The CLI calls stop_tail_stagers() when a streaming run finishes.
+_STAGER_STOPS: list = []
+
+
+def stop_tail_stagers() -> int:
+    """Signal every running tail stager thread to exit; returns how
+    many were stopped. Staged temp files stay on disk until process
+    exit (the stream may still hold references to them)."""
+    n = 0
+    for ev in _STAGER_STOPS:
+        if not ev.is_set():
+            ev.set()
+            n += 1
+    _STAGER_STOPS.clear()
+    return n
+
 
 def _stage_growing_file(path: str, poll_s: float = 0.5,
                         line_prefix: bytes = b"",
-                        number_lines: bool = False) -> str:
+                        number_lines: bool = False,
+                        sep_b: bytes = b"\n") -> str:
     """Single-growing-file follow (execution/files/files.go:26-68):
     a driver-side re-stat loop stages the file's current content and
     every subsequently APPENDED byte range as new files in a temp
@@ -54,35 +74,44 @@ def _stage_growing_file(path: str, poll_s: float = 0.5,
     import json
 
     d = tempfile.mkdtemp(prefix="octosql_tail_")
-    state = {"off": 0, "n": 0, "line": 0}
+    state = {"off": 0, "n": 0, "line": 0, "fresh": False}
 
     def stage() -> None:
         with open(path, "rb") as f:
             f.seek(state["off"])
             chunk = f.read()
-        cut = chunk.rfind(b"\n") + 1
-        if cut:
+        cut = chunk.rfind(sep_b) + len(sep_b)
+        if cut >= len(sep_b):
             name = os.path.join(d, f"part-{state['n']:08d}")
             tmp = name + ".tmp"
             with open(tmp, "wb") as out:
                 if number_lines:
-                    for ln in chunk[:cut].split(b"\n")[:-1]:
+                    for ln in chunk[:cut].split(sep_b)[:-1]:
                         row = {"number": state["line"],
                                "text": ln.decode("utf-8", "replace")}
                         out.write(json.dumps(row).encode() + b"\n")
                         state["line"] += 1
                 else:
-                    if state["n"] > 0 and line_prefix:
+                    # no prefix right after a rotation: the rewritten
+                    # file starts with its OWN header line, and Spark
+                    # skips exactly one header per staged file — the
+                    # old double-header made the new header parse as a
+                    # data row (r8 review)
+                    if (state["n"] > 0 and line_prefix
+                            and not state["fresh"]):
                         out.write(line_prefix)
                     out.write(chunk[:cut])
             os.rename(tmp, name)  # atomic: the stream never sees partials
             state["off"] += cut
             state["n"] += 1
+            state["fresh"] = False
 
     stage()  # current contents = batch 0
+    stop = threading.Event()
+    _STAGER_STOPS.append(stop)
 
     def loop() -> None:
-        while True:
+        while not stop.is_set():
             time.sleep(poll_s)
             try:
                 size = os.path.getsize(path)
@@ -91,6 +120,7 @@ def _stage_growing_file(path: str, poll_s: float = 0.5,
                     # gone — restart as a new file (numbering from 0
                     # for the lines tail), like the directory stager
                     state["off"], state["line"] = 0, 0
+                    state["fresh"] = True
                 if size > state["off"]:
                     stage()
             except OSError:
@@ -101,7 +131,8 @@ def _stage_growing_file(path: str, poll_s: float = 0.5,
     return d
 
 
-def _stage_growing_dir(pattern: str, poll_s: float = 0.5) -> str:
+def _stage_growing_dir(pattern: str, poll_s: float = 0.5,
+                       sep_b: bytes = b"\n") -> str:
     """Directory/glob ``lines`` tail: the `_stage_growing_file` loop
     generalized to many files — per-file (offset, next line number)
     state, each growth burst staged as JSON rows with numbers that
@@ -149,13 +180,13 @@ def _stage_growing_dir(pattern: str, poll_s: float = 0.5) -> str:
                 chunk = f.read()
         except OSError:
             return
-        cut = chunk.rfind(b"\n") + 1
-        if not cut:
+        cut = chunk.rfind(sep_b) + len(sep_b)
+        if cut < len(sep_b):
             return
         name = os.path.join(d, f"part-{seq[0]:08d}")
         tmp = name + ".tmp"
         with open(tmp, "wb") as out:
-            for ln in chunk[:cut].split(b"\n")[:-1]:
+            for ln in chunk[:cut].split(sep_b)[:-1]:
                 row = {"number": st["line"],
                        "text": ln.decode("utf-8", "replace")}
                 out.write(json.dumps(row).encode() + b"\n")
@@ -166,9 +197,11 @@ def _stage_growing_dir(pattern: str, poll_s: float = 0.5) -> str:
 
     for p0 in matches():
         stage_one(p0)
+    stop = threading.Event()
+    _STAGER_STOPS.append(stop)
 
     def loop() -> None:
-        while True:
+        while not stop.is_set():
             time.sleep(poll_s)
             for p in matches():
                 stage_one(p)
@@ -188,6 +221,16 @@ def _stream_reader(spark: SparkSession, path: str, fmt: str, schema,
     Schema comes from a static read of the current contents (streams
     need one up front)."""
     if "://" not in path and os.path.isfile(path):
+        if fmt not in ("csv", "json", "text"):
+            # binary formats can't be cut at newline boundaries: the
+            # line stager would truncate a parquet/orc file at an
+            # incidental 0x0A byte and stage a footerless fragment
+            # (r8 review). Directory/glob tails work natively.
+            raise ValueError(
+                f"tail=true on a single {fmt} file is not supported "
+                f"(binary formats cannot be followed byte-wise); "
+                f"watch a directory instead — new files are "
+                f"discovered natively")
         prefix = b""
         if fmt == "csv" and str(options.get("header", "")).lower() == "true":
             with open(path, "rb") as f:
@@ -202,6 +245,21 @@ def _stream_reader(spark: SparkSession, path: str, fmt: str, schema,
 
 _CSV_PROBE_CACHE: dict[tuple, tuple[bool, str | None]] = {}
 _CSV_PROBE_CACHE_MAX = 256
+
+
+def _local_csv_files(path: str) -> list[str]:
+    """The local files a Spark csv read of ``path`` will scan: the
+    file itself, every file in a directory, or the glob matches —
+    the probe set for strict-quote parity."""
+    import glob as _glob
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+            and not f.startswith((".", "_")))
+    return sorted(p for p in _glob.glob(path) if os.path.isfile(p))
 
 
 def _read_head(path: str, cap: int) -> bytes:
@@ -309,7 +367,12 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
             "escape": '"',
             "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"}
     if tail:
-        return _stream_reader(spark, path, "csv", schema, **opts, **_)
+        # extras that collide with the strictness opts are overridden
+        # by them (a plain **opts, **_ raised TypeError: multiple
+        # values — r8 review); the dialect's own named options were
+        # already consumed as keyword parameters above
+        return _stream_reader(spark, path, "csv", schema,
+                              **{**_, **opts})
     # Strict quote parity (DEVIATIONS 9, closed): univocity diverges
     # from Go csv on three quote shapes — a bare `"` mid-field and an
     # unterminated quote to EOF parse as DATA (so FAILFAST never
@@ -328,13 +391,18 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
     # r6 Next #7). Probe + replay verdicts are cached per
     # (path, size, mtime), so a session re-querying the same file
     # pays once (r6 Next #5).
-    if "://" not in path and os.path.isfile(path):
-        has_quote, msg = _csv_quote_probe(spark, path, sep, header)
-        if has_quote:
-            opts["multiLine"] = "true"
-            if msg:
-                from octosql_spark.goemu import GoCSVDecodeError
-                raise GoCSVDecodeError(msg)
+    # dir/glob reads probe EVERY matched file (r8 review: the old
+    # isfile gate skipped them entirely, so a quoted embedded newline
+    # in a directory CSV split rows and Go-rejected damage passed);
+    # per-file verdicts stay cached by (path, size, mtime)
+    if "://" not in path:
+        for p in _local_csv_files(path):
+            has_quote, msg = _csv_quote_probe(spark, p, sep, header)
+            if has_quote:
+                opts["multiLine"] = "true"
+                if msg:
+                    from octosql_spark.goemu import GoCSVDecodeError
+                    raise GoCSVDecodeError(msg)
     reader = spark.read
     for k, v in opts.items():
         reader = reader.option(k, v)
@@ -369,9 +437,11 @@ def read_json(spark: SparkSession, path: str, octosql_infer: bool = True,
     # FAILFAST: a malformed line is a query error, like the reference
     # ("couldn't parse line N", tests/scenarios/datasources/json/
     # error1/2) — not a silent NULL row (Spark's PERMISSIVE default)
-    return (spark.read.option("timestampFormat", ts_fmt)
-            .option("mode", "FAILFAST")
-            .schema(schema).json(path))
+    reader = (spark.read.option("timestampFormat", ts_fmt)
+              .option("mode", "FAILFAST"))
+    for k, v in extra.items():  # batch honors extras like tail does
+        reader = reader.option(k, str(v))
+    return reader.schema(schema).json(path)
 
 
 def read_lines(spark: SparkSession, path: str, sep: str | None = None,
@@ -391,12 +461,21 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
     JVM text scan. (At 100 TB you would not want a global line number
     at all — it is inherently sequential; the reference is
     single-machine.)"""
+    sep_b = (sep or "\n").encode()
     if tail:
-        if "://" not in path and os.path.isfile(path):
+        if "://" in path:
+            # the driver-side stagers read the LOCAL filesystem; an
+            # s3://-style glob would silently stage nothing forever
+            # (r8 review)
+            raise ValueError(
+                "lines tail on a remote path is not supported "
+                "(the byte-wise follower reads the local filesystem)")
+        if os.path.isfile(path):
             # single growing file: the staged-append loop sees chunks
             # strictly in file order, so it assigns the reference's
             # sequential 0-based numbers (impl.go:13-63) as it stages
-            path = _stage_growing_file(path, number_lines=True)
+            path = _stage_growing_file(path, number_lines=True,
+                                       sep_b=sep_b)
             return (spark.readStream
                     .schema("number long, text string").json(path)
                     .select("number", "text"))
@@ -406,7 +485,7 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
         # where its 0-based numbering and this coincide; a GLOBAL
         # number over an unordered multi-file stream would not be
         # well-defined)
-        staged = _stage_growing_dir(path)
+        staged = _stage_growing_dir(path, sep_b=sep_b)
         return (spark.readStream
                 .schema("number long, text string").json(staged)
                 .select("number", "text"))
@@ -418,6 +497,19 @@ def read_lines(spark: SparkSession, path: str, sep: str | None = None,
         reader = reader.option("lineSep", sep)
     from pyspark.sql.window import Window
     df = reader.text(path)
+    if "://" in path or not os.path.isfile(path):
+        # MULTI-file input (dir/glob/remote): numbers are PER FILE
+        # 0-based, matching the tail path and the reference's
+        # per-file numbering (impl.go) — the old global sequence
+        # followed Spark's size-descending split packing, i.e.
+        # effectively arbitrary file order (r8 review). One shuffle
+        # keyed on the file name; the single-local-file fast path
+        # below stays the zero-shuffle broadcast decomposition.
+        w_f = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id())
+        return df.select(
+            (F.row_number().over(w_f) - 1).cast("long").alias("number"),
+            F.col("value").alias("text"))
     # per-partition count + broadcast offset merge — the distributed
     # form of a global sequential number, with every stage JVM-side.
     # The scan subtree evaluates twice (counts + final join); a text
@@ -461,7 +553,10 @@ def read_orc(spark: SparkSession, path: str, tail: bool = False,
     if tail:
         return _stream_reader(spark, path, "orc",
                               spark.read.orc(path).schema, **extra)
-    return spark.read.orc(path)
+    reader = spark.read
+    for k, v in extra.items():  # batch honors extras like parquet's
+        reader = reader.option(k, str(v))
+    return reader.orc(path)
 
 
 FILE_HANDLERS = {
@@ -477,12 +572,19 @@ FILE_HANDLERS = {
 def read_stdin(spark: SparkSession, fmt: str, **opts: object) -> DataFrame:
     """stdin.<ext> — the reference buffers stdin to a temp file
     (execution/files/files.go:106-127); same here, then the normal
-    reader takes over."""
+    reader takes over. The format is validated BEFORE consuming
+    stdin (a KeyError after draining the pipe was the old failure —
+    r8 review), and the temp copy is unlinked at process exit (the
+    lazy DataFrame may read it any time before that)."""
+    import atexit
+    if fmt not in FILE_HANDLERS:
+        raise ValueError(f"unsupported file extension: 'stdin.{fmt}'")
     data = sys.stdin.buffer.read()
     f = tempfile.NamedTemporaryFile(prefix="octosql_stdin_",
                                     suffix=f".{fmt}", delete=False)
     f.write(data)
     f.close()
+    atexit.register(lambda p=f.name: os.path.exists(p) and os.unlink(p))
     return FILE_HANDLERS[fmt](spark, f.name, **opts)  # type: ignore[operator]
 
 

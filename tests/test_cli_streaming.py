@@ -680,3 +680,31 @@ def test_trigger_counting_max_diff_watermark_exact(spark, tmp_path,
     # per-micro-batch fallback emits ONE update row n=4 here)
     assert "{+0001-01-01T00:00:00Z| 1, 2, 2 |}" in out
     assert "{+0001-01-01T00:00:00Z| 1, 4, 4 |}" in out
+
+
+def test_cli_tail_csv_truncate_rewrite_no_double_header(spark, tmp_path,
+                                                        capsys):
+    """CSV tail across a truncate-then-rewrite rotation: the
+    rewritten file starts with its OWN header, so the stager must not
+    prepend the old one — the double header made the new header line
+    parse as a data row / FAILFAST (r8 review)."""
+    p = tmp_path / "rot.csv"
+    p.write_text("name,age\nalice,3\n")
+
+    def rotate():
+        time.sleep(6)  # after batch 0
+        with open(p, "w") as f:  # truncate + SHORTER rewrite (a
+            # same-size rewrite is invisible to a stat loop — the
+            # documented tail -f limitation)
+            f.write("name,age\nbo,9\n")
+
+    a = threading.Thread(target=rotate)
+    a.start()
+    rc = main([f"SELECT name, age FROM '{p}?tail=true'",
+               "--output", "stream_native", "--duration", "20"])
+    a.join()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'alice', 3" in out
+    assert "'bo', 9" in out
+    assert "'name'" not in out  # the header never surfaces as data

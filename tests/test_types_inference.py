@@ -128,3 +128,62 @@ def test_read_json_with_union_carrier(spark, tmp_path):
     out = run_query(spark, "SELECT id, value::int AS as_int FROM u").df
     vals = {int(r.id): r.as_int for r in out.collect()}
     assert vals == {1: 42, 2: None, 3: None}
+
+
+def test_csv_directory_strict_quote_parity(spark, tmp_path):
+    """DEVIATIONS 9 extends to directory/glob reads (r8 review — the
+    probe was gated on isfile): a quoted embedded newline in a
+    directory CSV parses as ONE row, and Go-rejected damage raises at
+    read time."""
+    from octosql_spark.goemu import GoCSVDecodeError
+    from octosql_spark.sources.files import read_csv
+
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    (d / "a.csv").write_text('name,note\nalice,"line1\nline2"\n')
+    (d / "b.csv").write_text("name,note\nbob,plain\n")
+    rows = read_csv(spark, str(d)).collect()
+    assert len(rows) == 2
+    assert {r.note for r in rows} == {"line1\nline2", "plain"}
+    # Go-rejected damage inside the directory errors like single-file
+    (d / "c.csv").write_text('name,note\nx,"unterminated\n')
+    try:
+        read_csv(spark, str(d)).collect()
+        raise AssertionError("expected GoCSVDecodeError")
+    except GoCSVDecodeError:
+        pass
+
+
+def test_lines_batch_glob_numbers_per_file(spark, tmp_path):
+    """Batch lines over a glob numbers PER FILE 0-based (matching the
+    tail path and impl.go's per-file numbering) — the old global
+    sequence followed Spark's size-descending split packing, i.e.
+    arbitrary file order (r8 review)."""
+    from octosql_spark.sources.files import read_lines
+
+    d = tmp_path / "ld"
+    d.mkdir()
+    (d / "a.lines").write_text("a0\na1\na2\n")
+    (d / "b.lines").write_text("b0\nb1\n")
+    rows = read_lines(spark, str(d / "*.lines")).collect()
+    got = {(r.text, r.number) for r in rows}
+    assert got == {("a0", 0), ("a1", 1), ("a2", 2), ("b0", 0),
+                   ("b1", 1)}
+
+
+def test_single_parquet_tail_rejected(spark, tmp_path):
+    """tail=true on a single binary-format file raises a clear error
+    instead of staging newline-truncated fragments (r8 review)."""
+    import pytest
+
+    from octosql_spark.sources.files import read_parquet
+
+    p = tmp_path / "one.parquet"
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(str(p))
+    # a single FILE inside the written directory
+    part = next(f for f in p.iterdir() if f.name.startswith("part-"))
+    with pytest.raises(ValueError, match="binary formats"):
+        read_parquet(spark, str(part), tail=True)
+    # directory tail keeps working natively
+    sdf = read_parquet(spark, str(p), tail=True)
+    assert sdf.isStreaming
