@@ -39,9 +39,15 @@ def read_stream_file(spark: SparkSession, path: str, fmt: str = "json",
     Spark idiom is new-file discovery in a directory)."""
     reader = spark.readStream.format(fmt)
     if schema is None:
-        # streaming sources need a schema: infer from current contents
-        static = getattr(spark.read, fmt)(path)
-        schema = static.schema
+        # streaming sources need a schema: infer from current
+        # contents WITH the same reader options — header/sep/
+        # multiLine change the inferred shape (r8 review: a csv
+        # header=True stream inferred _c0.._cN from the headerless
+        # static read)
+        static = spark.read.format(fmt)
+        for k, v in options.items():
+            static = static.option(k, str(v))
+        schema = static.load(path).schema
     reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -55,6 +61,14 @@ def with_watermark(df: DataFrame, time_field: str, max_diff: str) -> DataFrame:
     return df.withWatermark(time_field, max_diff)
 
 
+def _agg_cols(aggs: Sequence[tuple[str, str, str]]) -> list:
+    """(name, column|'*', alias) triples → aggregate Columns (shared
+    by the three window shapes — the builder was copy-pasted thrice,
+    r8 review)."""
+    return [AGGREGATES[n](F.lit(True) if c == "*" else F.col(c)).alias(a)
+            for n, c, a in aggs]
+
+
 def windowed_aggregate(df: DataFrame, window_length: str,
                        keys: Sequence[str],
                        aggs: Sequence[tuple[str, str, str]],
@@ -63,17 +77,10 @@ def windowed_aggregate(df: DataFrame, window_length: str,
     CustomTriggerGroupBy over a tumble TVF
     (custom_trigger_group_by.go:62-233 + tumble.go). State is bounded
     by the watermark; emission policy comes from the output mode at
-    sink time (map_trigger)."""
-    agg_cols = []
-    for name, col, alias in aggs:
-        fn = AGGREGATES[name]
-        c = F.lit(True) if col == "*" else F.col(col)
-        agg_cols.append(fn(c).alias(alias))
-    return (df.groupBy(F.window(F.col(time_field), window_length), *keys)
-              .agg(*agg_cols)
-              .withColumn("window_start", F.col("window.start"))
-              .withColumn("window_end", F.col("window.end"))
-              .drop("window"))
+    sink time (map_trigger). Exactly the slide == window_length case
+    of ``sliding_aggregate``."""
+    return sliding_aggregate(df, window_length, window_length, keys,
+                             aggs, time_field)
 
 
 def sliding_aggregate(df: DataFrame, window_length: str, slide: str,
@@ -82,11 +89,9 @@ def sliding_aggregate(df: DataFrame, window_length: str, slide: str,
                       time_field: str = "ts") -> DataFrame:
     """Sliding windows (exceeds parity: the reference has only tumble,
     §2.8). Each event contributes to window_length/slide windows."""
-    agg_cols = [AGGREGATES[n](F.lit(True) if c == "*" else F.col(c)).alias(a)
-                for n, c, a in aggs]
     return (df.groupBy(F.window(F.col(time_field), window_length, slide),
                        *keys)
-              .agg(*agg_cols)
+              .agg(*_agg_cols(aggs))
               .withColumn("window_start", F.col("window.start"))
               .withColumn("window_end", F.col("window.end"))
               .drop("window"))
@@ -98,10 +103,8 @@ def session_aggregate(df: DataFrame, gap: str, keys: Sequence[str],
     """Session windows (exceeds parity): window closes after ``gap``
     of inactivity per key; state bounded by the watermark in
     streaming mode."""
-    agg_cols = [AGGREGATES[n](F.lit(True) if c == "*" else F.col(c)).alias(a)
-                for n, c, a in aggs]
     return (df.groupBy(F.session_window(F.col(time_field), gap), *keys)
-              .agg(*agg_cols)
+              .agg(*_agg_cols(aggs))
               .withColumn("session_start", F.col("session_window.start"))
               .withColumn("session_end", F.col("session_window.end"))
               .drop("session_window"))
@@ -163,7 +166,10 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
     inputs), used by tests."""
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()  # a silent partial table is worse than the error
+        raise TimeoutError(
+            f"streaming pass {name!r} did not finish in {timeout_s}s")
     return df.sparkSession.table(name)
 
 
@@ -208,11 +214,29 @@ def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
                                               minhash_lsh_pairs,
                                               minhash_signatures)
 
+    def _read_prior(sess, root: str, epoch_id: int):
+        """Epoch-partitioned table restricted to epochs BEFORE this
+        one. Two r8 review fixes: (1) a foreachBatch REPLAY of a
+        committed epoch used to read the epoch's own partitions, so
+        every accepted doc matched itself at Jaccard 1.0 and the
+        overwrite emptied the epoch — the filter makes replays
+        genuinely idempotent; (2) existence is probed by attempting
+        the read, not os.path (driver-local checks silently skipped
+        the probe for s3://-style paths)."""
+        try:
+            d = sess.read.parquet(root)
+        except Exception:  # noqa: BLE001 — no table yet (first epoch)
+            return None
+        if "epoch" not in d.columns:
+            return None
+        return d.filter(F.col("epoch") < F.lit(epoch_id))
+
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
+        jsc = sess.sparkContext._jsc
+        pre_cached = set(jsc.getPersistentRDDs().keySet().toArray())
         batch = (batch.select(id_col, text_col)
                  .dropDuplicates([id_col]).persist())
-        clean0 = bb = None
         try:
             pairs = minhash_lsh_pairs(
                 batch, id_col, text_col, num_hashes, bands, shingle,
@@ -220,15 +244,21 @@ def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
             drop = (pairs.select(F.col("id_b").alias(id_col))
                     .dropDuplicates([id_col]))
             clean = batch.join(drop, id_col, "left_anti").persist()
-            clean0 = clean  # the persisted handle (clean is rebound)
             bs = minhash_signatures(clean, text_col, num_hashes,
                                     shingle).select(id_col, "minhash")
             bb = (_band_table(bs, id_col, num_hashes, bands)
                   .withColumnRenamed(id_col, "batch_id").persist())
-            if os.path.isdir(index_path) and any(
-                    e.startswith("epoch=")
-                    for e in os.listdir(index_path)):
-                idx = sess.read.parquet(index_path)
+            idx = _read_prior(sess, index_path, epoch_id)
+            if idx is not None:
+                # restrict the stored index to the batch's CANDIDATE
+                # buckets before any aggregation: the old full-index
+                # groupBy shuffled every epoch per micro-batch (r8
+                # review); the semi-join keeps the probe shuffle
+                # candidate-bucket-sized
+                pb = (bb.select("band_id", "band_hash")
+                      .dropDuplicates(["band_id", "band_hash"]))
+                idx = idx.join(pb, ["band_id", "band_hash"],
+                               "leftsemi")
                 sizes = (idx.groupBy("band_id", "band_hash")
                          .agg(F.count(F.lit(True)).alias("_n"))
                          .filter(F.col("_n") <= max_bucket).drop("_n"))
@@ -239,7 +269,8 @@ def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
                         .dropDuplicates(["batch_id", "corpus_id"]))
                 cids = (cand.select(F.col("corpus_id").alias(id_col))
                         .dropDuplicates([id_col]))
-                csh = (sess.read.parquet(corpus_path).join(cids, id_col)
+                corpus = _read_prior(sess, corpus_path, epoch_id)
+                csh = (corpus.join(cids, id_col)
                        .select(F.col(id_col).alias("corpus_id"),
                                _word_shingles(F.col(text_col), shingle)
                                .alias("_sb")))
@@ -264,10 +295,17 @@ def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
              .write.mode("overwrite").parquet(
                  os.path.join(index_path, f"epoch={epoch_id}")))
         finally:
-            # per-epoch frames must not accumulate over a long stream
-            for f in (batch, clean0, bb):
-                if f is not None:
-                    f.unpersist()
+            # per-epoch frames must not accumulate over a long
+            # stream: sweep EVERY cache this epoch registered —
+            # including minhash_lsh_pairs' internal persists, which
+            # leaked 3 frames per micro-batch before (r8 review)
+            jmap = jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                if rid not in pre_cached:
+                    try:
+                        jmap.get(rid).unpersist(False)
+                    except Exception:  # noqa: BLE001 — released race
+                        pass
 
     w = df.writeStream.foreachBatch(_apply)
     if checkpoint:

@@ -82,10 +82,17 @@ def make_counting_fn(agg_specs: Sequence[tuple[str, str, str]], n: int,
             for f, col, _alias in agg_specs:
                 if col == "*":
                     v = np.ones(m, dtype=float)
+                    valid = np.ones(m, dtype=bool)
+                elif f == "count":
+                    # count needs only NON-NULLness — to_numeric
+                    # coerced every string to NaN, so count(name)
+                    # over a string column reported 0 (r8 review)
+                    valid = pdf[col].notna().to_numpy()
+                    v = valid.astype(float)
                 else:
                     v = pd.to_numeric(pdf[col], errors="coerce") \
                           .to_numpy(dtype=float)
-                valid = ~np.isnan(v)
+                    valid = ~np.isnan(v)
                 ccnt = np.cumsum(valid)
                 if f == "min":
                     cacc = np.fmin.accumulate(np.where(valid, v, np.nan))
@@ -146,9 +153,23 @@ def counting_trigger_aggregate(df: DataFrame, keys: Sequence[str],
     """``aggs``: (fn, column, alias) with fn in count/sum/min/max/avg.
     Returns a streaming DataFrame that emits one row per key each time
     that key has accumulated ``n`` more records."""
-    for fn, _, _ in aggs:
+    if n < 1:
+        # `TRIGGER COUNTING 0` would modulo-by-zero inside the
+        # executor UDF — fail at the driver instead (r8 review)
+        raise ValueError(f"counting trigger: n must be >= 1, got {n}")
+    from pyspark.sql.types import NumericType
+    for fn, col, _ in aggs:
         if fn not in _SUPPORTED:
             raise ValueError(f"counting trigger: unsupported aggregate {fn!r}")
+        if fn != "count" and col != "*" and not isinstance(
+                df.schema[col].dataType, NumericType):
+            # sum/min/max/avg state is numeric; a string column would
+            # silently aggregate to NULL (r8 review) — raising here
+            # sends the CLI route to its generic per-micro-batch
+            # fallback, which handles any type
+            raise ValueError(
+                f"counting trigger: {fn}({col}) needs a numeric "
+                f"column, got {df.schema[col].dataType.simpleString()}")
 
     key_fields = [df.schema[k] for k in keys]
     out_schema = StructType(

@@ -136,7 +136,10 @@ def poll(spark: SparkSession, build: Callable[[SparkSession], DataFrame],
     Streaming consumers can feed each round to foreachBatch."""
     n = 0
     while rounds is None or n < rounds:
-        yield build(spark).withColumn("poll_time", F.current_timestamp())
+        # poll_time LEADS (poll.go:49-59 puts its time field at
+        # outFields[0]; withColumn appended it — r8 review)
+        yield build(spark).select(
+            F.current_timestamp().alias("poll_time"), "*")
         n += 1
         if sleep and (rounds is None or n < rounds):
             _time.sleep(poll_interval_s)

@@ -239,9 +239,13 @@ def test_cli_poll_continuous_retract_emit(spark, tmp_path, capsys):
     t.join(timeout=90)
     assert not t.is_alive()
     out = capsys.readouterr().out
-    adds_1 = [l for l in out.splitlines() if l.startswith("{+") and "| 1, " in l]
+    # poll_time LEADS (poll.go:49-59 outFields[0]; r8 review), so the
+    # subquery value is the LAST cell of each record
+    adds_1 = [l for l in out.splitlines()
+              if l.startswith("{+") and ", 1 |" in l]
     retracts = [l for l in out.splitlines() if l.startswith("{-")]
-    adds_2 = [l for l in out.splitlines() if l.startswith("{+") and "| 2, " in l]
+    adds_2 = [l for l in out.splitlines()
+              if l.startswith("{+") and ", 2 |" in l]
     # rounds with the old value, retractions between rounds, and the
     # refreshed value after the source changed
     assert adds_1 and retracts and adds_2

@@ -127,3 +127,37 @@ def test_strip_alias_qualifier_token_aware():
     assert strip("os.v = s.v", "s") == "os.v = v"
     # case-insensitive alias match (SQL identifiers)
     assert strip("S.v = 1", "s") == "v = 1"
+
+
+def test_count_string_column_counts_non_nulls(spark, tmp_path):
+    """count(<string col>) counts NON-NULL values (r8 review: the
+    numeric coercion NaN'd every string, reporting 0); sum/min/max
+    over a string column raise a clean driver-side error (the CLI
+    route then falls back to the generic mapping); n=0 rejects."""
+    import json as _json
+    import uuid
+
+    import pytest
+
+    from octosql_spark import streaming as st
+    from octosql_spark.streaming.counting_trigger import (
+        counting_trigger_aggregate)
+
+    p = tmp_path / "cstr"
+    p.mkdir()
+    rows = [{"user": 1, "name": "a"}, {"user": 1, "name": None},
+            {"user": 1, "name": "b"}, {"user": 1, "name": "c"}]
+    (p / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    src = st.read_stream_file(spark, str(p), "json")
+    agg = counting_trigger_aggregate(
+        src, ["user"], [("count", "name", "c")], n=2)
+    out = st.run_to_memory(agg, f"cs_{uuid.uuid4().hex[:8]}")
+    got = {(r.user, r.emitted_at_count, r.c) for r in out.collect()}
+    # records 1..4; name null at record 2 → counts 1,3 at boundaries
+    assert got == {(1, 2, 1), (1, 4, 3)}
+    with pytest.raises(ValueError, match="numeric"):
+        counting_trigger_aggregate(src, ["user"],
+                                   [("sum", "name", "s")], n=2)
+    with pytest.raises(ValueError, match="n must be"):
+        counting_trigger_aggregate(src, ["user"],
+                                   [("count", "*", "c")], n=0)

@@ -391,3 +391,45 @@ def test_stream_stream_join_front_door(spark, tmp_path):
         q.stop()
     rows = spark.sql("SELECT * FROM ssj").collect()
     assert [(r.v, r.w) for r in rows] == [(10, 20)]
+
+
+def test_stream_near_dup_ingest_epoch_replay_idempotent(spark, tmp_path):
+    """A foreachBatch REPLAY of a committed epoch must be idempotent:
+    the probe reads only epochs BEFORE the replayed one, so accepted
+    docs do not match themselves at Jaccard 1.0 and get erased (r8
+    review: the old read included the epoch's own partitions — a
+    crash-after-write replay permanently deleted the epoch). Also
+    pins the per-epoch cache sweep: no persistent RDDs survive."""
+    import json as _json
+    import os
+    from pyspark.sql import functions as F
+
+    docs = [{"doc_id": 1, "text": "alpha beta gamma delta epsilon "
+                                  "zeta eta theta iota kappa"},
+            {"doc_id": 2, "text": "one two three four five six seven "
+                                  "eight nine ten eleven twelve"}]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in docs))
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+
+    def run_once():
+        stream = (st.read_stream_file(spark, str(src), "json")
+                  .select(F.col("doc_id").cast("long"), "text"))
+        # NO checkpoint: the second run re-delivers the same batch
+        # with the same epoch_id=0 — exactly the replay shape
+        q = st.stream_near_dup_ingest(stream, corpus, index)
+        q.awaitTermination(120)
+
+    base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    run_once()
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} \
+        == {1, 2}
+    run_once()  # replay of epoch 0
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} \
+        == {1, 2}  # NOT emptied
+    assert {r.corpus_id for r in spark.read.parquet(index).collect()} \
+        == {1, 2}
+    # the per-epoch sweep released every cache the batches registered
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() \
+        == base
