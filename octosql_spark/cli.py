@@ -305,7 +305,9 @@ def _diagnose_parse_error(spark, res, ex, query: str = "") -> str | None:
                 detail = _json_line_detail(first["text"])
                 return f"{msg}: {detail}" if detail else msg
         except Exception:
-            return None
+            continue  # probe the remaining views — a failed probe on
+            # one view must not hide another view's real error (r8
+            # review: this returned None and aborted the loop)
     return None
 
 
@@ -721,10 +723,16 @@ def _run_streaming(args, res, df) -> int:
     from octosql_spark.streaming.core import map_trigger
 
     spec = res.triggers[0] if res.triggers else None
-    if spec is None:
-        mode, trig = "update", {}
-    else:
-        mode, trig = map_trigger(spec)
+    try:
+        if spec is None:
+            mode, trig = "update", {}
+        else:
+            mode, trig = map_trigger(spec)
+    except ValueError as ex:
+        # unsupported TRIGGER spec: the one-line error contract, not
+        # a traceback (r8 review)
+        print(f"error: {ex}", file=sys.stderr)
+        return 1
     if args.duration is None and not trig:
         trig = {"availableNow": True}  # finite run: drain and exit
 
@@ -773,6 +781,17 @@ def _run_streaming(args, res, df) -> int:
                 time.sleep(0.1)
             q.stop()
             q.awaitTermination(30)
+    except Exception as ex:
+        # runtime streaming failures (malformed record under
+        # FAILFAST mid-batch, …) keep the one-line error contract the
+        # batch path has — not a Py4J traceback (r8 review). The
+        # parse-error diagnosis maps FAILFAST causes to the
+        # reference-exact message like the batch path does.
+        msg = (_diagnose_parse_error(df.sparkSession, res, ex,
+                                     args.query)
+               or str(ex).strip().split("\n")[0])
+        print(f"error: {msg}", file=sys.stderr)
+        return 1
     finally:
         # the tail stagers' polling threads outlive the query
         # otherwise (one leaked thread + a growing staged copy per

@@ -53,6 +53,11 @@ def go_quote(s: str) -> str:
             out.append(ch)
         elif ord(ch) < 0x20 or ord(ch) == 0x7F:
             out.append("\\x%02x" % ord(ch))
+        elif 0xDC80 <= ord(ch) <= 0xDCFF:
+            # surrogateescape carrier for a raw invalid byte (e.g. a
+            # rune split by the byte-based _start_end cut): Go's %q
+            # prints the byte as \x%02x
+            out.append("\\x%02x" % (ord(ch) - 0xDC00))
         elif ch.isprintable():
             out.append(ch)
         elif ord(ch) > 0xFFFF:
@@ -64,11 +69,18 @@ def go_quote(s: str) -> str:
 
 
 def _start_end(s: str) -> str:
-    """fastjson ``startEndString``: >80 bytes → first 40 + "..." +
-    last 40."""
-    if len(s) <= 80:
+    """fastjson ``startEndString``: >80 BYTES → first 40 + "..." +
+    last 40, measured and cut in UTF-8 bytes like the Go string (a
+    character-based cut let ≤80 multibyte chars through untruncated
+    and split at the wrong offset — r8 review). A cut that lands
+    inside a rune decodes its fragment bytes as lone surrogates,
+    which ``go_quote`` renders as ``\\x%02x`` exactly like Go's %q
+    renders invalid bytes."""
+    b = s.encode("utf-8", "surrogateescape")
+    if len(b) <= 80:
         return s
-    return s[:40] + "..." + s[-40:]
+    return ((b[:40] + b"..." + b[-40:])
+            .decode("utf-8", "surrogateescape"))
 
 
 class _FJError(Exception):
@@ -87,13 +99,18 @@ def _fj_skip_ws(s: str) -> str:
 
 def _fj_parse_raw_string(s: str) -> str:
     """parser.go parseRawString (opening quote already consumed):
-    find the first unescaped ``"``; error tail is the EMPTY string."""
+    find the first unescaped ``"``; error tail is the EMPTY string.
+    The fast-path check (``n == 0 or s[n-1] != '\\'``) re-runs at the
+    TOP of the slow-path loop exactly like fastjson's — omitting it
+    misparsed any string whose escaped quote is followed by a closing
+    quote not preceded by a backslash, e.g. ``"a\\"b"`` (r8 review,
+    reproduced)."""
     n = s.find('"')
     if n < 0:
         raise _FJError("missing closing '\"'", "")
-    if n == 0 or s[n - 1] != "\\":
-        return s[n + 1:]
     while True:
+        if n == 0 or s[n - 1] != "\\":
+            return s[n + 1:]
         i = n - 1
         while i > 0 and s[i - 1] == "\\":
             i -= 1
@@ -374,6 +391,7 @@ class _GoCSVReader:
             pos_col += 1
             buf = b""
             closed = False
+            comma_closed = False
             while not closed:
                 i = line.find(b'"')
                 if i >= 0:
@@ -390,6 +408,7 @@ class _GoCSVReader:
                         pos_col += len(self.comma)
                         fields.append(buf)
                         closed = True          # continue parseField
+                        comma_closed = True
                     elif self._length_nl(line) == len(line):
                         fields.append(buf)     # `"\n` — end of record
                         closed = True
@@ -416,6 +435,15 @@ class _GoCSVReader:
             if err is not None:
                 break
             if not line:
+                if comma_closed:
+                    # Go parses one more (empty) field after a quoted
+                    # field closed by a comma at EOF without a
+                    # newline: b'"x",' is ["x", ""] (parseField's
+                    # next iteration hits the empty non-quoted
+                    # branch) — the early break dropped it and
+                    # fabricated a wrong-field-count error (r8
+                    # review, reproduced)
+                    fields.append(b"")
                 break
 
         if err is not None:

@@ -136,6 +136,14 @@ def map_trigger(spec: str | None):
     if s == "ON WATERMARK":
         return "append", {}
     if s.startswith("COUNTING"):
+        import re
+        if not re.fullmatch(r"COUNTING\s+\d+", s):
+            # a bare COUNTING (no record count) used to slip through
+            # here and crash the exact-route regex downstream with an
+            # AttributeError (r8 review) — it is a parse error in the
+            # reference's grammar too (parser.go:503-534)
+            raise ValueError(f"unsupported trigger: {spec!r} "
+                             f"(COUNTING needs a record count)")
         # exact per-key counting semantics are implemented in
         # streaming/counting_trigger.py (applyInPandasWithState); this
         # mapping is the cheap approximation for generic aggregates:

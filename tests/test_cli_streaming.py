@@ -712,3 +712,33 @@ def test_cli_tail_csv_truncate_rewrite_no_double_header(spark, tmp_path,
     assert "'alice', 3" in out
     assert "'bo', 9" in out
     assert "'name'" not in out  # the header never surfaces as data
+
+
+def test_streaming_runtime_error_one_line(spark, tmp_path, capsys):
+    """A malformed record failing FAILFAST mid-batch keeps the
+    one-line 'error: ...' contract in STREAMING mode too (r8 review:
+    awaitTermination's exception escaped as a Py4J traceback)."""
+    d = tmp_path / "badjson"
+    d.mkdir()
+    (d / "a.json").write_text('{"v": 1}\n{broken\n')
+    rc = main([f"SELECT v FROM '{d}/*.json?tail=true'",
+               "--output", "stream_native"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert err.startswith("error: ")
+    assert "Traceback" not in err and "py4j" not in err.lower()
+
+
+def test_bare_counting_trigger_clean_error(spark, tmp_path, capsys):
+    """TRIGGER COUNTING without a record count is a clean one-line
+    error (r8 review: it crashed the exact-route regex with an
+    AttributeError traceback)."""
+    d = tmp_path / "bc"
+    d.mkdir()
+    (d / "a.json").write_text('{"v": 1}\n')
+    rc = main([f"SELECT v, COUNT(*) AS c FROM '{d}/*.json?tail=true' "
+               "GROUP BY v TRIGGER COUNTING",
+               "--output", "stream_native"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "error: unsupported trigger" in err

@@ -410,3 +410,45 @@ def test_fuzz_fastjson_classification_total_and_deterministic():
                     or d1.startswith("expected JSON object, got ")), \
                 f"unknown shape on case {case}: {d1!r}\n{line!r}"
     assert n_err > 50
+
+
+def test_gocsv_quoted_field_comma_at_eof():
+    """b'a,b\\n\"x\",' (no trailing newline): Go parses record 2 as
+    ["x", ""] — the early EOF break dropped the pending empty field
+    and fabricated a wrong-field-count error (r8 review)."""
+    import tempfile
+
+    from octosql_spark.goemu import gocsv_decode_error
+
+    with tempfile.NamedTemporaryFile("wb", suffix=".csv",
+                                     delete=False) as f:
+        f.write(b'a,b\n"x",')
+        p = f.name
+    assert gocsv_decode_error(p, ",") is None
+
+
+def test_fastjson_escaped_quote_then_plain_close():
+    r"""'{"k":"a\"b"}' is valid JSON: the slow path must re-run the
+    fast-path check per iteration like fastjson's parseRawString
+    (r8 review: the port misparsed it as unterminated)."""
+    from octosql_spark.cli import _json_line_detail
+
+    assert _json_line_detail('{"k":"a\\"b"}') is None
+    assert _json_line_detail('{"k":"a\\\\"}') is None   # escaped backslash
+    assert _json_line_detail('{"k":"unterminated') is not None
+
+
+def test_start_end_truncates_by_bytes():
+    """startEndString cuts at 80 BYTES (r8 review: 60 multibyte chars
+    = 120 bytes slipped through the char-based check)."""
+    from octosql_spark.goemu import _start_end, go_quote
+
+    s = "ż" * 60  # 120 UTF-8 bytes
+    out = _start_end(s)
+    assert "..." in out
+    # 40-byte cut = 20 two-byte runes on each side
+    assert out == "ż" * 20 + "..." + "ż" * 20
+    # a cut splitting a rune renders the fragment byte as \xNN via %q
+    s2 = "x" * 39 + "ż" + "y" * 60
+    q = go_quote(_start_end(s2))
+    assert "\\xc5" in q  # first byte of ż split at offset 40
