@@ -89,7 +89,7 @@ def _run(args, spark) -> int:
         # parse failure renders the reference's full error chain.
         msg = (_format_json_line_error(ex, args.query)
                or _format_gocsv_error(ex, args.query)
-               or str(ex).strip().split("\n")[0])
+               or _one_line_error(ex))
         print(f"error: {msg}", file=sys.stderr)
         return 1
 
@@ -134,7 +134,7 @@ def _run(args, spark) -> int:
         # print as one line + nonzero exit, like the reference's
         # "Error: couldn't run query: ..." (.err goldens)
         msg = (_diagnose_parse_error(df.sparkSession, res, ex, args.query)
-               or str(ex).strip().split("\n")[0])
+               or _one_line_error(ex))
         print(f"error: {msg}", file=sys.stderr)
         return 1
     return 0
@@ -227,6 +227,28 @@ def _format_gocsv_error(ex, query: str) -> str | None:
     return f"couldn't run query: {_source_chain(query)}{go_msg}"
 
 
+def _one_line_error(ex) -> str:
+    """Collapse an exception to one line for the ``error: ...``
+    contract. Spark's StreamingQueryException first line can itself
+    embed a Python traceback header (``... Return Message: Traceback
+    (most recent call last):`` for foreachBatch failures), so truncate
+    at any embedded Traceback/JVM-stacktrace marker BEFORE taking the
+    first line (r8 verdict #1)."""
+    msg = str(ex).strip()
+    for marker in ("Traceback (most recent call last):",
+                   "JVM stacktrace:"):
+        i = msg.find(marker)
+        if i != -1:
+            msg = msg[:i]
+    msg = msg.split("\n")[0].strip()
+    # an embedded-cause prefix often ends "... Return Message:" after
+    # truncation — drop the dangling connective
+    for tail in ("Return Message:", "Reason:"):
+        if msg.endswith(tail):
+            msg = msg[: -len(tail)].strip()
+    return msg.rstrip(":").strip() or "streaming query failed"
+
+
 def _diagnose_parse_error(spark, res, ex, query: str = "") -> str | None:
     """Map Spark's FAILFAST malformed-record failure onto the
     reference's error shapes: ``couldn't parse line N`` for JSON
@@ -261,6 +283,8 @@ def _diagnose_parse_error(spark, res, ex, query: str = "") -> str | None:
         res.views.items(),
         key=lambda kv: (os.path.basename(
             str(kv[1]).strip().strip("'\"").split("?")[0]) not in ex_text))
+    from octosql_spark.sources.files import _local_csv_files
+
     for view, desc in views:
         desc = str(desc).strip().strip("'\"")
         path, _, qs = desc.partition("?")
@@ -272,42 +296,50 @@ def _diagnose_parse_error(spark, res, ex, query: str = "") -> str | None:
         # Spark resolves bare relative paths against its own start
         # cwd, which breaks the probe when the CLI runs elsewhere
         path = os.path.abspath(path)
-        low = path.lower()
-        if not os.path.isfile(path):
-            continue
-        if low.endswith((".csv", ".tsv")):
-            msg = _csv_decode_error(
-                path, "\t" if low.endswith(".tsv") else ",",
-                header=str(opts.get("header", "true")).lower() != "false")
-            if msg:
-                return f"couldn't run query: {chain}{msg}"
-            continue
-        if not low.endswith((".json", ".jsonl", ".ndjson")):
-            continue
-        try:
-            from pyspark.sql.types import StringType
+        # a directory or glob source (``dir/*.json?tail=true``) scans
+        # MANY files — expand to the concrete file set exactly like
+        # the scan does and probe each, exception-named files first
+        # (r8 verdict #1: the probe never reached glob sources)
+        files = _local_csv_files(path)
+        files.sort(key=lambda p: os.path.basename(p) not in ex_text)
+        for fpath in files:
+            low = fpath.lower()
+            if low.endswith((".csv", ".tsv")):
+                msg = _csv_decode_error(
+                    fpath, "\t" if low.endswith(".tsv") else ",",
+                    header=str(opts.get("header",
+                                        "true")).lower() != "false")
+                if msg:
+                    return f"couldn't run query: {chain}{msg}"
+                continue
+            if not low.endswith((".json", ".jsonl", ".ndjson")):
+                continue
+            try:
+                from pyspark.sql.types import StringType
 
-            # PERMISSIVE from_json yields an all-null struct (not
-            # NULL) for malformed rows; route the original text into
-            # a corrupt-record field and key on that instead
-            schema = spark.table(view).schema.add("_corrupt", StringType())
-            first = (read_lines(spark, path)
-                     .filter(F.length(F.trim("text")) > 0)
-                     .withColumn("_p", F.from_json(
-                         "text", schema,
-                         {"columnNameOfCorruptRecord": "_corrupt"}))
-                     .filter(F.col("_p._corrupt").isNotNull())
-                     .orderBy("number").select("number", "text").first())
-            if first is not None and first["number"] is not None:
-                # lines source numbers are 0-based; file lines 1-based
-                msg = (f"couldn't run query: {chain}"
-                       f"couldn't parse line {int(first['number']) + 1}")
-                detail = _json_line_detail(first["text"])
-                return f"{msg}: {detail}" if detail else msg
-        except Exception:
-            continue  # probe the remaining views — a failed probe on
-            # one view must not hide another view's real error (r8
-            # review: this returned None and aborted the loop)
+                # PERMISSIVE from_json yields an all-null struct (not
+                # NULL) for malformed rows; route the original text
+                # into a corrupt-record field and key on that instead
+                schema = spark.table(view).schema.add(
+                    "_corrupt", StringType())
+                first = (read_lines(spark, fpath)
+                         .filter(F.length(F.trim("text")) > 0)
+                         .withColumn("_p", F.from_json(
+                             "text", schema,
+                             {"columnNameOfCorruptRecord": "_corrupt"}))
+                         .filter(F.col("_p._corrupt").isNotNull())
+                         .orderBy("number")
+                         .select("number", "text").first())
+                if first is not None and first["number"] is not None:
+                    # lines numbers are 0-based; file lines 1-based
+                    msg = (f"couldn't run query: {chain}"
+                           f"couldn't parse line {int(first['number']) + 1}")
+                    detail = _json_line_detail(first["text"])
+                    return f"{msg}: {detail}" if detail else msg
+            except Exception:
+                continue  # probe the remaining files/views — a failed
+                # probe on one must not hide another's real error (r8
+                # review: this returned None and aborted the loop)
     return None
 
 
@@ -768,8 +800,7 @@ def _run_streaming(args, res, df) -> int:
         if q is None:
             q = _start(mode, sinks.stream_batch_writer(args.output))
     except Exception as ex:
-        msg = str(ex).strip().split("\n")[0]
-        print(f"error: {msg}", file=sys.stderr)
+        print(f"error: {_one_line_error(ex)}", file=sys.stderr)
         return 1
 
     try:
@@ -789,7 +820,7 @@ def _run_streaming(args, res, df) -> int:
         # reference-exact message like the batch path does.
         msg = (_diagnose_parse_error(df.sparkSession, res, ex,
                                      args.query)
-               or str(ex).strip().split("\n")[0])
+               or _one_line_error(ex))
         print(f"error: {msg}", file=sys.stderr)
         return 1
     finally:

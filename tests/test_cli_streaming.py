@@ -727,6 +727,27 @@ def test_streaming_runtime_error_one_line(spark, tmp_path, capsys):
     assert rc == 1
     assert err.startswith("error: ")
     assert "Traceback" not in err and "py4j" not in err.lower()
+    # not just traceback-free: the reference-exact parse error (the
+    # diagnose probe resolves glob sources since r9)
+    assert "couldn't parse line 2" in err
+
+
+def test_streaming_runtime_error_csv_glob(spark, tmp_path, capsys):
+    """CSV sibling of the glob+tail contract (r8 verdict #1): a
+    wrong-field-count record under full-width decode fails the stream
+    with the reference's one-line Go-csv error, not a Py4J
+    traceback."""
+    d = tmp_path / "badcsv"
+    d.mkdir()
+    (d / "a.csv").write_text("a,b\n1,2\n3,4,5\n")
+    rc = main([f"SELECT a, b FROM '{d}/*.csv?tail=true'",
+               "--output", "stream_native"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert err.startswith("error: ")
+    assert "Traceback" not in err and "py4j" not in err.lower()
+    assert ("couldn't decode message: record on line 3: "
+            "wrong number of fields" in err)
 
 
 def test_bare_counting_trigger_clean_error(spark, tmp_path, capsys):
