@@ -2164,3 +2164,39 @@ def test_minhash_collapse_degenerate_texts(spark):
     assert got.get((1, 2)) == 1.0
     assert got.get((3, 4)) == 1.0
     assert not any(5 in p or 6 in p for p in got)
+
+
+def test_minhash_collapse_auto_probe(spark):
+    """collapse="auto" (r9): the dup-ratio probe keeps the canon
+    collapse on dup-heavy corpora and skips it (plus its full-text
+    shuffle) on dup-light ones — and both paths emit the SAME pairs
+    below the bucket cap. The verdict is memoized per input plan."""
+    from octosql_spark.datapipe import dedup as ddp
+    from octosql_spark.datapipe import minhash_lsh_pairs
+
+    light = spark.createDataFrame(
+        [(i, f"doc number {i} with some distinct words {i * 7}")
+         for i in range(40)], "doc_id long, text string")
+    heavy = spark.createDataFrame(
+        [(i, "the same exact text every time") for i in range(20)]
+        + [(100 + i, f"unique text {i}") for i in range(5)],
+        "doc_id long, text string")
+
+    ddp._COLLAPSE_MEMO.clear()
+    light_pairs = {(r.id_a, r.id_b, round(r.jaccard, 9))
+                   for r in minhash_lsh_pairs(light).collect()}
+    assert list(ddp._COLLAPSE_MEMO.values()) == [False]
+    heavy_pairs = {(r.id_a, r.id_b, round(r.jaccard, 9))
+                   for r in minhash_lsh_pairs(heavy).collect()}
+    assert sorted(ddp._COLLAPSE_MEMO.values()) == [False, True]
+    # path equivalence on both corpora
+    assert light_pairs == {(r.id_a, r.id_b, round(r.jaccard, 9))
+                           for r in minhash_lsh_pairs(
+                               light, collapse=True).collect()}
+    assert heavy_pairs == {(r.id_a, r.id_b, round(r.jaccard, 9))
+                           for r in minhash_lsh_pairs(
+                               heavy, collapse=False).collect()}
+    # memoized: a second auto call on the same plan must not re-probe
+    n_keys = len(ddp._COLLAPSE_MEMO)
+    minhash_lsh_pairs(light).collect()
+    assert len(ddp._COLLAPSE_MEMO) == n_keys
