@@ -203,9 +203,13 @@ def main() -> None:
         from scale_stress import build_scaled
         dst = "/tmp/octosql_scale10x"
         build_scaled(spark, sf_dir, dst, 10)
+        # r8 verdict #8 added the two heaviest non-headline shapes:
+        # edit-distance (persist-hygiene trade) and q9 (composite-key
+        # fact-fact join) — both get 10x visibility here
         sf1_queries, sf1_adj = run_block(
             "sf1", ["pricing_summary", "join_multiway_revenue",
-                    "dedup_minhash_lsh"], dst, 1, 3)
+                    "dedup_minhash_lsh", "dedup_edit_distance",
+                    "tpch_q9_product_profit"], dst, 1, 3)
         # winnowing at 10x in the PRODUCTION parameterization
         # (xxhash64 + auto dispatch) — the registry entry's md5p mode
         # exists only for DuckDB oracle replay and its md5 cost would

@@ -712,7 +712,7 @@ def _deletion_variants(s: Column, max_dist: int) -> Column:
 
 def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", max_dist: int = 2,
-                        q: int = 3) -> DataFrame:
+                        q: int = 3, cache: bool = False) -> DataFrame:
     """Exact edit-distance similarity self-join: every pair of rows
     whose ``text_col`` strings are within Levenshtein distance
     ``max_dist``, verified with Spark's built-in ``levenshtein``
@@ -752,6 +752,18 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
     filter (|len_a − len_b| ≤ d) prunes before verification;
     verification is per-candidate-pair ``levenshtein(a, b, d)``
     (early-exit banded DP in the JVM). No all-pairs stage anywhere.
+
+    ``cache=False`` (default) keeps the operator leak-free for
+    library callers: canon is consumed five times but every
+    consumer's aggregate subtree canonicalizes to the same Exchange,
+    so exchange reuse runs the scan+map side ONCE and only the slim
+    reduce side re-executes per consumer (a persist here leaked
+    executor storage until session teardown, r7 verdict).
+    ``cache=True`` persists canon — the r7 fast path for long-lived
+    callers (~20% at sf0.1: the reduce side runs once); release it
+    with ``octosql_spark.session.release_cached`` between units of
+    work, the same contract as ``minhash_lsh_pairs``'s documented
+    caches.
     """
     from pyspark.sql.window import Window
     if not 0 <= max_dist <= 2:
@@ -762,15 +774,12 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
     d = max_dist
     lmin = q * (d + 1)          # enough grams for the prefix theorem
     short_max = lmin - 1 + d    # band so cross-boundary pairs stay short-path
-    # no persist: canon is consumed five times, but every consumer's
-    # aggregate subtree canonicalizes to the same Exchange — exchange
-    # reuse runs the scan+map side ONCE and only the slim reduce-side
-    # re-executes per consumer (a persist here leaked executor
-    # storage to library callers until session teardown, r7 verdict)
     canon = (df.select(F.col(text_col).alias("_s"), F.col(id_col))
              .groupBy("_s")
              .agg(F.min(id_col).alias("_rid"),
                   F.collect_list(id_col).alias("_ids")))
+    if cache:
+        canon = canon.persist()
     reps = canon.select("_rid", "_s", F.length("_s").alias("_len"))
     # -- long path: rare-first q-gram prefix --------------------------
     longs = reps.filter(F.col("_len") >= lmin)

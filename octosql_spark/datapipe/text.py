@@ -282,33 +282,29 @@ def _let(val: Column, body) -> Column:
     return F.element_at(F.transform(F.array(val), body), 1)
 
 
-def _winnow_probe_impl(df: DataFrame, text_col: str,
-                       arrow_min_words: int,
-                       probe_rows: int = 1024) -> str:
-    """Bounded sample probe (same shape as the CSV quote probe,
-    sources/files.py): mean whitespace-token count over the first
-    ``probe_rows`` rows decides jvm vs arrow. The jvm path's
-    interpreted per-window HOF scan is ~linear in document length
-    with a large constant (16× slower at ~3k words/doc, SCALE.md
-    long-doc stress); the arrow path pays a fixed Python-worker +
-    Arrow transfer cost that only amortizes on long documents."""
+def _winnow_auto_impl() -> str:
+    """``auto`` dispatch for winnowing: arrow whenever numpy/pandas
+    import (jvm otherwise). The r8 dispatch probed mean document
+    length (crossover 512 words) because the arrow path then looped
+    per DOCUMENT in Python, so its fixed cost only amortized on long
+    docs; the r9 cross-document vectorization (one flat min-scan +
+    lexsort per Arrow batch) beats the interpreted per-window HOF
+    plan at every measured shape — 500×54-word docs (0.5 vs 0.9 s),
+    50k×54 (1.45 vs 5.2 s), 2k×3k (0.86 vs 11.4 s) — so the probe
+    and its crossover are gone."""
     try:
-        row = (df.select(F.size(F.split(F.trim(F.col(text_col)),
-                                        r"\s+")).alias("_n"))
-               .limit(probe_rows).agg(F.avg("_n")).first())
-        mean = row[0] if row is not None else None
-    except Exception:
-        return "jvm"  # unprobeable source (e.g. streaming): plan-only
-    return "arrow" if (mean is not None
-                       and mean >= arrow_min_words) else "jvm"
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        return "arrow"
+    except Exception:  # pragma: no cover — both ship with pyspark
+        return "jvm"
 
 
 def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 4,
                            w: int = 4,
                            hash_mode: str = "xxhash64",
-                           impl: str = "auto",
-                           arrow_min_words: int = 512) -> DataFrame:
+                           impl: str = "auto") -> DataFrame:
     """Winnowing fingerprint SET per document (Schleimer, Wilkerson &
     Aiken, SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide
     a window of ``w`` consecutive hashes, and keep each window's
@@ -338,21 +334,22 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     re-evaluates the whole upstream array per element and goes
     quadratic in document length (8.4× slower at sf0.1).
 
-    ``impl``: ``auto`` (default — a bounded sample probe of mean
-    document length picks the path: mean ≥ ``arrow_min_words`` →
-    arrow, else jvm), ``jvm`` (pure Catalyst, zero Python; right for
-    short documents and for keeping the operator entirely in the
-    plan) or ``arrow`` — gram hashing stays JVM-side (so the
+    ``impl``: ``auto`` (default — arrow whenever numpy/pandas are
+    importable; see ``_winnow_auto_impl`` for why the r8 mean-length
+    probe is gone), ``jvm`` (pure Catalyst, zero Python; keeps the
+    operator entirely in the plan for contexts where Python workers
+    are barred) or ``arrow`` — gram hashing stays JVM-side (so the
     fingerprint VALUES are bit-identical to ``jvm``) and only the
-    per-window min-scan runs as a vectorized numpy pass over Arrow
-    batches (w-1 ``np.minimum`` shifts + a rightmost-tie overwrite
-    scan). Interpreted HOF evaluation is the JVM path's ceiling on
-    LONG documents: at ~3,000 words/doc the arrow path measured
-    16x faster (0.92 s vs 14.99 s, identical output) — for a 100 TB
-    fingerprinting pass, arrow is the one auto picks.
+    per-window min-scan runs as ONE vectorized numpy pass per Arrow
+    batch: every document's gram hashes concatenate into a flat
+    array, w-1 ``np.minimum`` shifts + a rightmost-tie overwrite
+    scan compute all window minima at once, windows straddling a
+    document boundary are masked out, and a lexsort dedupes the
+    (doc, fingerprint, pos) triples — no per-document Python loop
+    (r9; the loop made 500k short docs cost 7 s at the 10x replica).
     """
     if impl == "auto":
-        impl = _winnow_probe_impl(df, text_col, arrow_min_words)
+        impl = _winnow_auto_impl()
     if impl not in ("jvm", "arrow"):
         raise ValueError(impl)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -403,38 +400,71 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                      "boolean": "bool"}.get(
             id_field.dataType.simpleString(), "object")
 
+        def _empty_frame():
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=_id_dtype),
+                "fingerprint": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int32")})
+
         def sel_batches(batches):
+            # Vectorized ACROSS documents (r9; the per-document numpy
+            # loop was the largest sf1 line at 7.0 s): concatenate
+            # every doc's gram hashes into ONE flat array, run the
+            # w-shift min + rightmost-tie overwrite once over it, and
+            # mask out the windows that straddle a document boundary
+            # (a start g in doc j is valid iff g - seg_start(j) ≤
+            # len(j) - w). One np.unique sort replaces D per-doc ones.
             for pdf in batches:
-                ids, fps, poss = [], [], []
-                for did, hs in zip(pdf[id_col], pdf["_h"]):
-                    hs = np.asarray(hs, dtype=np.int64)
-                    n = hs.shape[0]
-                    if n < w:
-                        continue
-                    nw = n - w + 1
-                    m = hs[0:nw].copy()
-                    for off in range(1, w):
-                        np.minimum(m, hs[off:nw + off], out=m)
-                    # rightmost tie: ascending overwrite keeps the
-                    # LARGEST matching offset (paper §2.2 rule)
-                    p = np.zeros(nw, dtype=np.int64)
-                    for off in range(w):
-                        np.copyto(p, off, where=hs[off:nw + off] == m)
-                    pos = np.arange(1, nw + 1, dtype=np.int64) + p
-                    u = np.unique(np.stack([m, pos], axis=1), axis=0)
-                    ids.append(np.full(u.shape[0], did))
-                    fps.append(u[:, 0])
-                    poss.append(u[:, 1])
-                if ids:
-                    yield pd.DataFrame({
-                        id_col: np.concatenate(ids),
-                        "fingerprint": np.concatenate(fps),
-                        "pos": np.concatenate(poss).astype("int32")})
-                else:
-                    yield pd.DataFrame({
-                        id_col: pd.Series([], dtype=_id_dtype),
-                        "fingerprint": pd.Series([], dtype="int64"),
-                        "pos": pd.Series([], dtype="int32")})
+                col = pdf["_h"]
+                ndocs = len(col)
+                if ndocs == 0:
+                    yield _empty_frame()
+                    continue
+                arrs = [np.asarray(x, dtype=np.int64)
+                        if x is not None else np.empty(0, np.int64)
+                        for x in col]
+                lens = np.fromiter((a.shape[0] for a in arrs),
+                                   dtype=np.int64, count=ndocs)
+                kept = np.nonzero(lens >= w)[0]
+                if kept.size == 0:
+                    yield _empty_frame()
+                    continue
+                hs = np.concatenate([arrs[i] for i in kept])
+                klens = lens[kept]
+                n = hs.shape[0]
+                nw = n - w + 1
+                m = hs[0:nw].copy()
+                for off in range(1, w):
+                    np.minimum(m, hs[off:nw + off], out=m)
+                # rightmost tie: ascending overwrite keeps the
+                # LARGEST matching offset (paper §2.2 rule)
+                p = np.zeros(nw, dtype=np.int64)
+                for off in range(w):
+                    np.copyto(p, off, where=hs[off:nw + off] == m)
+                seg_start = np.concatenate(
+                    ([0], np.cumsum(klens)[:-1]))
+                didx = np.repeat(np.arange(kept.size), klens)[:nw]
+                g = np.arange(nw, dtype=np.int64)
+                local = g - seg_start[didx]
+                valid = local <= klens[didx] - w
+                dv = didx[valid]
+                mv = m[valid]
+                pv = local[valid] + 1 + p[valid]
+                # distinct (doc, fingerprint, pos) triples: lexsort +
+                # consecutive-diff mask (np.unique(axis=0)'s
+                # void-view row sort measured ~2× slower end-to-end
+                # on the long-doc corpus)
+                order = np.lexsort((pv, mv, dv))
+                dv, mv, pv = dv[order], mv[order], pv[order]
+                first = np.empty(dv.shape[0], dtype=bool)
+                first[0] = True
+                np.not_equal(dv[1:], dv[:-1], out=first[1:])
+                first[1:] |= (mv[1:] != mv[:-1]) | (pv[1:] != pv[:-1])
+                ids_np = pdf[id_col].to_numpy()
+                yield pd.DataFrame({
+                    id_col: ids_np[kept[dv[first]]],
+                    "fingerprint": mv[first],
+                    "pos": pv[first].astype("int32")})
 
         from pyspark.sql.types import IntegerType, LongType, StructType
         out_schema = StructType([id_field]) \

@@ -52,7 +52,8 @@ def order_by_limit(df: DataFrame,
 
 def global_ntile(df: DataFrame, n_tiles: int,
                  order: Sequence[Column],
-                 out_col: str = "tile") -> DataFrame:
+                 out_col: str = "tile",
+                 cache: bool | str = "auto") -> DataFrame:
     """Exact NTILE over a global ordering WITHOUT a single-partition
     sort of the data.
 
@@ -88,13 +89,28 @@ def global_ntile(df: DataFrame, n_tiles: int,
     execute independent range exchanges whose sampled boundaries can
     differ — silently wrong ranks — so the persist comes back as the
     consistency fallback in exactly that configuration (r8 review).
+
+    ``cache``: ``"auto"`` (default) persists only in that
+    reuse-disabled fallback; ``True`` persists the range-partitioned
+    frame unconditionally — the opt-in fast path for long-lived
+    callers that run several actions over the result (release via
+    ``octosql_spark.session.release_cached``); ``False`` never
+    persists and RAISES if exchange reuse is disabled rather than
+    return silently inconsistent ranks.
     """
     from pyspark.sql.window import Window
 
     d = (df.repartitionByRange(*order)
            .withColumn("_pid", F.spark_partition_id()))
-    if not _exchange_reuse_enabled(df.sparkSession):
+    reuse = _exchange_reuse_enabled(df.sparkSession)
+    if cache is True or (cache == "auto" and not reuse):
         d = d.persist()
+    elif not reuse:
+        raise ValueError(
+            "global_ntile(cache=False) requires exchange reuse "
+            "(spark.sql.exchange.reuse) — without it the offset table "
+            "and the final join would sample independent range "
+            "boundaries")
     cnt = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
     w_pid = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))

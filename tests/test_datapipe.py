@@ -2070,35 +2070,35 @@ def test_winnowing_arrow_string_ids_and_empty_partitions(spark):
     assert a == j and {r[0] for r in a} == {"doc-a"}
 
 
-def test_winnowing_auto_dispatch_crossover(spark):
-    """impl='auto' probes mean document length (bounded sample) and
-    picks jvm below arrow_min_words, arrow at/above it — the 16×
-    long-document path must be the DEFAULT at corpus scale
-    (SCALE.md long-doc stress)."""
+def test_winnowing_auto_dispatch(spark):
+    """impl='auto' (r9): the cross-document vectorized arrow path
+    beats the interpreted per-window HOF plan at every measured
+    shape (SCALE.md), so auto = arrow whenever numpy/pandas import —
+    the r8 mean-length probe and its 512-word crossover are gone."""
     from octosql_spark.datapipe import winnowing_fingerprints
-    from octosql_spark.datapipe.text import _winnow_probe_impl
+    from octosql_spark.datapipe.text import _winnow_auto_impl
 
+    assert _winnow_auto_impl() == "arrow"
     short = spark.createDataFrame(
         [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)],
         ["doc_id", "text"])
     long_ = spark.createDataFrame(
         [(i, " ".join(f"w{j % 97}" for j in range(1500)))
          for i in range(6)], ["doc_id", "text"])
-    assert _winnow_probe_impl(short, "text", 512) == "jvm"
-    assert _winnow_probe_impl(long_, "text", 512) == "arrow"
     # the dispatch is visible in the physical plan: arrow → a
-    # MapInPandas stage; jvm → pure Catalyst (no Python stage)
-    plan_s = winnowing_fingerprints(short)._jdf.queryExecution() \
+    # MapInPandas stage; the explicit jvm opt-out stays pure Catalyst
+    plan_a = winnowing_fingerprints(short)._jdf.queryExecution() \
         .executedPlan().toString()
-    plan_l = winnowing_fingerprints(long_)._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "MapInPandas" not in plan_s
-    assert "MapInPandas" in plan_l
-    # and the two paths agree on the long corpus
-    a = {tuple(r) for r in winnowing_fingerprints(long_).collect()}
-    j = {tuple(r) for r in winnowing_fingerprints(
-        long_, impl="jvm").collect()}
-    assert a == j
+    plan_j = winnowing_fingerprints(short, impl="jvm")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_a
+    assert "MapInPandas" not in plan_j
+    # and the two paths agree on both corpus shapes
+    for df in (short, long_):
+        a = {tuple(r) for r in winnowing_fingerprints(df).collect()}
+        j = {tuple(r) for r in winnowing_fingerprints(
+            df, impl="jvm").collect()}
+        assert a == j
 
 
 def test_perplexity_buckets_ccnet_split(spark):

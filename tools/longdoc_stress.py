@@ -93,7 +93,8 @@ def main() -> int:
     run("winnowing_arrow",
         lambda: winnowing_fingerprints(d, impl="arrow").count())
     # the dispatch decision this corpus exists to pin: auto must take
-    # the arrow path here (mean ~3k words >> arrow_min_words)
+    # the arrow path here (r9: auto = arrow whenever numpy/pandas
+    # import — the vectorized path wins at every measured shape)
     run("winnowing_auto",
         lambda: winnowing_fingerprints(d).count())
     auto_ok = out["winnowing_auto"] < out["winnowing_jvm"] / 2
