@@ -76,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run(args, spark) -> int:
+    # tail stagers started while building/running THIS query are
+    # collected so its teardown doesn't stop a concurrent query's
+    # followers in a long-lived process (r8 advice)
+    from octosql_spark.sources.files import tail_stager_scope
+    with tail_stager_scope() as stagers:
+        return _run_scoped(args, spark, stagers)
+
+
+def _run_scoped(args, spark, stagers) -> int:
     from octosql_spark import sinks
     from octosql_spark.sql import run_query
 
@@ -114,7 +123,7 @@ def _run(args, spark) -> int:
         return 0
 
     if df.isStreaming:
-        return _run_streaming(args, res, df)
+        return _run_streaming(args, res, df, stagers)
 
     if res.polls and args.duration:
         return _run_poll(args, spark, res)
@@ -742,7 +751,7 @@ def _run_poll(args, spark, first) -> int:
                         strict_assert=args.strict_assert)
 
 
-def _run_streaming(args, res, df) -> int:
+def _run_streaming(args, res, df, stagers=None) -> int:
     """A ``?tail=true`` source (or TVF stream) reached the sink: map
     the TRIGGER spec to an output mode (streaming/core.map_trigger)
     and drive a foreachBatch printer. The reference runs streaming
@@ -826,9 +835,11 @@ def _run_streaming(args, res, df) -> int:
     finally:
         # the tail stagers' polling threads outlive the query
         # otherwise (one leaked thread + a growing staged copy per
-        # tail query in a long-lived session — r8 review)
+        # tail query in a long-lived session — r8 review). Scoped to
+        # THIS query's stagers so a concurrent tail query's follower
+        # keeps running (r8 advice).
         from octosql_spark.sources.files import stop_tail_stagers
-        stop_tail_stagers()
+        stop_tail_stagers(stagers)
     if args.output == "stream_native":
         # final watermark metadata line, like the reference's
         # NativeFormat.WriteMeta ("{~<watermark>}",

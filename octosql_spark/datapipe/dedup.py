@@ -123,7 +123,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       bands: int = 16, shingle: int = 3,
                       jaccard_threshold: float = 0.5,
                       max_bucket: int = 1000,
-                      collapse: bool | str = "auto") -> DataFrame:
+                      collapse: bool | str = "auto",
+                      cache_registry: list | None = None) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with
     exact shingle Jaccard. Returns (id_a, id_b, jaccard) with
     id_a < id_b.
@@ -153,7 +154,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     paths emit the same pairs (the collapse is strictly
     more-complete only past ``max_bucket``), so a stale memo after
     the underlying files change can only cost speed, never answers.
-    Pass True/False to pin either path."""
+    Pass True/False to pin either path.
+
+    ``cache_registry``: a caller-supplied list that receives every
+    DataFrame this call persists, so a scoped consumer (the streaming
+    ingest epoch loop) can unpersist exactly ITS OWN caches instead
+    of diffing the session-global RDD map — which swept caches
+    registered by CONCURRENT queries in a shared session (r8
+    advice)."""
+    def _persist(fr: DataFrame) -> DataFrame:
+        fr = fr.persist()
+        if cache_registry is not None:
+            cache_registry.append(fr)
+        return fr
+
     if collapse == "auto":
         try:
             key = df._jdf.queryExecution().analyzed().semanticHash()
@@ -184,11 +198,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         # feeds the signature pipeline, the shingle verify table and
         # the member expansion — un-persisted, its full-text reduce
         # side re-executes per consumer (measured 4× the operator wall)
-        canon = (df.select(F.col(text_col).alias("_s"), F.col(id_col))
-                 .groupBy("_s")
-                 .agg(F.min(id_col).alias("_rid"),
-                      F.collect_list(id_col).alias("_ids"))
-                 .persist())
+        canon = _persist(
+            df.select(F.col(text_col).alias("_s"), F.col(id_col))
+            .groupBy("_s")
+            .agg(F.min(id_col).alias("_rid"),
+                 F.collect_list(id_col).alias("_ids")))
         reps = canon.select(F.col("_rid").alias(id_col),
                             F.col("_s").alias(text_col))
     # slim signature table (id, minhash) — persisted: the banding is
@@ -199,7 +213,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # recompute; measured 1.4 → 4.8 s at sf0.1 when removed, r9).
     sigs = minhash_signatures(reps.select(id_col, text_col), text_col,
                               num_hashes, shingle).select(id_col, "minhash")
-    sigs = sigs.persist()
+    sigs = _persist(sigs)
     banded = _band_table(sigs, id_col, num_hashes, bands)
     # ONE shuffle for candidate generation: group each bucket's ids,
     # cap pathological buckets (constant/empty docs — the n² hazard)
@@ -223,8 +237,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # exact-Jaccard verification only for candidates: shingles are
     # recomputed for the (small) REPRESENTATIVE candidate id set, not
     # carried through the banding shuffle
-    with_sh = reps.select(id_col, _word_shingles(F.col(text_col), shingle)
-                          .alias("_sh")).persist()
+    with_sh = _persist(
+        reps.select(id_col, _word_shingles(F.col(text_col), shingle)
+                    .alias("_sh")))
     sh_a = with_sh.select(F.col(id_col).alias("id_a"),
                           F.col("_sh").alias("_sh_a"))
     sh_b = with_sh.select(F.col(id_col).alias("id_b"),

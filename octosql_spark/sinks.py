@@ -17,6 +17,20 @@ from typing import IO
 from pyspark.sql import DataFrame
 
 
+def rfc3339(v) -> str:
+    """Format a timestamp like Go ``time.Format(time.RFC3339)`` on a
+    UTC value. PySpark ``collect()``/``toLocalIterator`` converts
+    TimestampType to NAIVE datetimes in the driver's LOCAL timezone —
+    hard-coding the 'Z' suffix mislabeled the instant whenever the
+    driver TZ wasn't UTC (r8 advice). A naive value is therefore
+    interpreted as driver-local (``astimezone`` does exactly that)
+    and converted to UTC before formatting; an aware value converts
+    directly."""
+    import datetime
+    v = v.astimezone(datetime.timezone.utc)
+    return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
 def go_duration_ns(ns: int) -> str:
     """Go ``time.Duration.String()`` from int64 nanoseconds (Go's own
     representation) — ``5h32m42s``, ``-3s``, ``333.333ms``,
@@ -261,7 +275,7 @@ def _csv_value(v):
     if _durns(v) is not None:
         return go_duration_ns(_durns(v))
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+        return rfc3339(v)
     return v
 
 
@@ -300,7 +314,7 @@ def _jsonable(v):
     if isinstance(v, datetime.datetime):
         # json_format.go:78: value.Time.Format(time.RFC3339) —
         # default=str printed "2021-03-04 05:06:07" (r8 review)
-        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+        return rfc3339(v)
     if isinstance(v, datetime.timedelta):
         return go_duration(v)
     return v
@@ -344,7 +358,7 @@ def _native_value(v) -> str:
     if _durns(v) is not None:
         return go_duration_ns(_durns(v))
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+        return rfc3339(v)
     if isinstance(v, Row):
         return "{ " + ", ".join(_native_value(x) for x in v) + " }"
     if isinstance(v, (list, tuple)):
@@ -371,7 +385,7 @@ def write_stream_native(df: DataFrame, out: IO[str] | None = None,
     for row in df.toLocalIterator():
         ts = _ZERO_TIME
         if et_idx is not None and row[et_idx] is not None:
-            ts = row[et_idx].strftime("%Y-%m-%dT%H:%M:%SZ")
+            ts = rfc3339(row[et_idx])
         vals = ", ".join(_native_value(v) for v in row)
         out.write(f"{{{marker}{ts}| {vals} |}}\n")
 

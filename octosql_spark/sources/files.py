@@ -15,6 +15,7 @@ reads (csv/execution.go:33-52) are Spark-native here.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
 import tempfile
@@ -27,18 +28,45 @@ from pyspark.sql import functions as F
 # polling thread per tail query for the process lifetime (r8 review).
 # The CLI calls stop_tail_stagers() when a streaming run finishes.
 _STAGER_STOPS: list = []
+_STAGER_SCOPES: list[list] = []
 
 
-def stop_tail_stagers() -> int:
-    """Signal every running tail stager thread to exit; returns how
-    many were stopped. Staged temp files stay on disk until process
-    exit (the stream may still hold references to them)."""
+@contextlib.contextmanager
+def tail_stager_scope():
+    """Collect the stop events of every tail stager started while the
+    scope is open, so a query's teardown stops only ITS OWN follower
+    threads. The old process-global stop silently froze a CONCURRENT
+    tail query's stream in a long-lived session (r8 advice)."""
+    mine: list = []
+    _STAGER_SCOPES.append(mine)
+    try:
+        yield mine
+    finally:
+        _STAGER_SCOPES.remove(mine)
+
+
+def _register_stager(stop) -> None:
+    _STAGER_STOPS.append(stop)
+    for scope in _STAGER_SCOPES:
+        scope.append(stop)
+
+
+def stop_tail_stagers(stops: list | None = None) -> int:
+    """Signal tail stager threads to exit — the given collection
+    (from ``tail_stager_scope``) or ALL running stagers when None;
+    returns how many were stopped. Staged temp files stay on disk
+    until process exit (the stream may still hold references)."""
     n = 0
-    for ev in _STAGER_STOPS:
+    for ev in (_STAGER_STOPS if stops is None else stops):
         if not ev.is_set():
             ev.set()
             n += 1
-    _STAGER_STOPS.clear()
+    if stops is None:
+        _STAGER_STOPS.clear()
+    else:
+        for ev in stops:
+            if ev in _STAGER_STOPS:
+                _STAGER_STOPS.remove(ev)
     return n
 
 
@@ -108,7 +136,7 @@ def _stage_growing_file(path: str, poll_s: float = 0.5,
 
     stage()  # current contents = batch 0
     stop = threading.Event()
-    _STAGER_STOPS.append(stop)
+    _register_stager(stop)
 
     def loop() -> None:
         while not stop.is_set():
@@ -198,7 +226,7 @@ def _stage_growing_dir(pattern: str, poll_s: float = 0.5,
     for p0 in matches():
         stage_one(p0)
     stop = threading.Event()
-    _STAGER_STOPS.append(stop)
+    _register_stager(stop)
 
     def loop() -> None:
         while not stop.is_set():

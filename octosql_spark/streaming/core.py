@@ -241,21 +241,35 @@ def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
-        jsc = sess.sparkContext._jsc
-        pre_cached = set(jsc.getPersistentRDDs().keySet().toArray())
-        batch = (batch.select(id_col, text_col)
-                 .dropDuplicates([id_col]).persist())
+        # every frame THIS epoch persists lands here, so the finally
+        # sweep releases exactly these — the old before/after diff of
+        # the session-global RDD map unpersisted caches registered by
+        # CONCURRENT queries sharing the session (r8 advice)
+        epoch_caches: list = []
+
+        def _persist(fr):
+            fr = fr.persist()
+            epoch_caches.append(fr)
+            return fr
+
+        batch = _persist(batch.select(id_col, text_col)
+                         .dropDuplicates([id_col]))
         try:
+            # collapse pinned True: micro-batches are small, so the
+            # dup-ratio probe would cost an extra action per epoch
+            # for nothing, and ingest batches are exactly the
+            # dup-heavy shape the collapse exists for
             pairs = minhash_lsh_pairs(
                 batch, id_col, text_col, num_hashes, bands, shingle,
-                jaccard_threshold, max_bucket)
+                jaccard_threshold, max_bucket, collapse=True,
+                cache_registry=epoch_caches)
             drop = (pairs.select(F.col("id_b").alias(id_col))
                     .dropDuplicates([id_col]))
-            clean = batch.join(drop, id_col, "left_anti").persist()
+            clean = _persist(batch.join(drop, id_col, "left_anti"))
             bs = minhash_signatures(clean, text_col, num_hashes,
                                     shingle).select(id_col, "minhash")
-            bb = (_band_table(bs, id_col, num_hashes, bands)
-                  .withColumnRenamed(id_col, "batch_id").persist())
+            bb = _persist(_band_table(bs, id_col, num_hashes, bands)
+                          .withColumnRenamed(id_col, "batch_id"))
             idx = _read_prior(sess, index_path, epoch_id)
             if idx is not None:
                 # restrict the stored index to the batch's CANDIDATE
@@ -278,6 +292,18 @@ def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
                 cids = (cand.select(F.col("corpus_id").alias(id_col))
                         .dropDuplicates([id_col]))
                 corpus = _read_prior(sess, corpus_path, epoch_id)
+                if corpus is None:
+                    # index read succeeded but the corpus table is
+                    # unreadable/epoch-less (r8 advice: corpus.join
+                    # raised AttributeError and failed the batch) —
+                    # no verifiable prior corpus means nothing to
+                    # match against; accept the whole batch
+                    raise RuntimeError(
+                        f"near-dup ingest: index at {index_path} has "
+                        f"prior epochs but corpus at {corpus_path} is "
+                        f"missing or lacks an 'epoch' column — the "
+                        f"two tables are maintained together; refusing"
+                        f" to ingest against a corrupt corpus")
                 csh = (corpus.join(cids, id_col)
                        .select(F.col(id_col).alias("corpus_id"),
                                _word_shingles(F.col(text_col), shingle)
@@ -304,16 +330,15 @@ def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
                  os.path.join(index_path, f"epoch={epoch_id}")))
         finally:
             # per-epoch frames must not accumulate over a long
-            # stream: sweep EVERY cache this epoch registered —
-            # including minhash_lsh_pairs' internal persists, which
-            # leaked 3 frames per micro-batch before (r8 review)
-            jmap = jsc.getPersistentRDDs()
-            for rid in list(jmap.keySet().toArray()):
-                if rid not in pre_cached:
-                    try:
-                        jmap.get(rid).unpersist(False)
-                    except Exception:  # noqa: BLE001 — released race
-                        pass
+            # stream: release exactly the frames THIS epoch persisted
+            # (tracked via cache_registry — including
+            # minhash_lsh_pairs' internal persists, which leaked 3
+            # frames per micro-batch before the r8 sweep)
+            for fr in epoch_caches:
+                try:
+                    fr.unpersist(False)
+                except Exception:  # noqa: BLE001 — released race
+                    pass
 
     w = df.writeStream.foreachBatch(_apply)
     if checkpoint:

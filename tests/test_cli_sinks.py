@@ -460,3 +460,37 @@ def test_stream_diff_writer_value_order(spark):
     assert lines == ["{+0001-01-01T00:00:00Z| 2 |}",
                      "{+0001-01-01T00:00:00Z| 9 |}",
                      "{+0001-01-01T00:00:00Z| 10 |}"]
+
+
+def test_rfc3339_non_utc_driver_tz():
+    """Timestamps print as the real UTC instant even when the driver
+    runs in a non-UTC timezone: collect() yields NAIVE driver-local
+    datetimes, and the old hard-coded 'Z' mislabeled them (r8
+    advice)."""
+    import datetime
+    import os
+    import time as _time
+
+    from octosql_spark.sinks import rfc3339
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        # naive 07:00 EST == 12:00 UTC (January: no DST)
+        assert rfc3339(datetime.datetime(2021, 1, 2, 7, 0, 0)) \
+            == "2021-01-02T12:00:00Z"
+        # aware values convert directly
+        est = datetime.timezone(datetime.timedelta(hours=-5))
+        assert rfc3339(datetime.datetime(2021, 1, 2, 7, 0, 0,
+                                         tzinfo=est)) \
+            == "2021-01-02T12:00:00Z"
+        assert rfc3339(datetime.datetime(
+            2021, 1, 2, 7, 0, 0, tzinfo=datetime.timezone.utc)) \
+            == "2021-01-02T07:00:00Z"
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()

@@ -433,3 +433,86 @@ def test_stream_near_dup_ingest_epoch_replay_idempotent(spark, tmp_path):
     # the per-epoch sweep released every cache the batches registered
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() \
         == base
+
+
+def test_near_dup_ingest_corrupt_corpus_clear_error(spark, tmp_path):
+    """An index with prior epochs but a MISSING/epoch-less corpus is
+    corruption, not first-epoch state: the batch fails with a clear
+    error instead of an AttributeError on corpus.join (r8 advice)."""
+    from pyspark.sql import functions as F
+
+    # fabricate a prior-epoch index with no matching corpus table
+    spark.createDataFrame(
+        [(1, 0, 123)], "corpus_id long, band_id int, band_hash long"
+    ).write.parquet(str(tmp_path / "index" / "epoch=0"))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "b.json").write_text(json.dumps(
+        {"doc_id": 5, "text": "some fresh text about nothing much"}))
+    stream = (st.read_stream_file(spark, str(src), "json")
+              .select(F.col("doc_id").cast("long"), "text"))
+    q = st.stream_near_dup_ingest(stream, str(tmp_path / "corpus"),
+                                  str(tmp_path / "index"))
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "refusing to ingest against a corrupt corpus" in str(ei.value)
+
+
+def test_epoch_cache_sweep_spares_concurrent_caches(spark, tmp_path):
+    """The per-epoch cache sweep releases exactly the frames the
+    epoch persisted — a cache registered by a CONCURRENT query in the
+    shared session survives the micro-batch (r8 advice: the old
+    before/after diff of the global RDD map swept it too)."""
+    from pyspark.sql import functions as F
+
+    def live():
+        return {int(k) for k in spark.sparkContext._jsc
+                .getPersistentRDDs().keySet().toArray()}
+
+    before = live()
+    other = spark.range(100).select((F.col("id") * 2).alias("v")).persist()
+    other.count()
+    pre = live()
+    mine = pre - before   # the concurrent query's cache entries
+    assert mine
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(json.dumps(
+        {"doc_id": i, "text": f"document number {i} about topic {i % 3}"})
+        for i in range(6)))
+    stream = (st.read_stream_file(spark, str(src), "json")
+              .select(F.col("doc_id").cast("long"), "text"))
+    q = st.stream_near_dup_ingest(stream, str(tmp_path / "corpus"),
+                                  str(tmp_path / "index"))
+    q.awaitTermination(120)
+    post = live()
+    assert mine <= post, "concurrent query's cache was swept"
+    # and the epoch released everything IT persisted
+    assert post == pre
+    other.unpersist()
+
+
+def test_tail_stager_scope_isolates_queries(tmp_path):
+    """tail_stager_scope: stopping one query's stagers leaves a
+    concurrent query's follower running (r8 advice: the global stop
+    froze it)."""
+    from octosql_spark.sources.files import (_stage_growing_file,
+                                             stop_tail_stagers,
+                                             tail_stager_scope)
+
+    fa = tmp_path / "a.log"
+    fb = tmp_path / "b.log"
+    fa.write_text("one\n")
+    fb.write_text("uno\n")
+    with tail_stager_scope() as sa:
+        _stage_growing_file(str(fa), poll_s=0.05)
+    with tail_stager_scope() as sb:
+        _stage_growing_file(str(fb), poll_s=0.05)
+    assert len(sa) == 1 and len(sb) == 1
+    assert stop_tail_stagers(sa) == 1
+    assert sa[0].is_set() and not sb[0].is_set()
+    # the global stop still ends the rest
+    assert stop_tail_stagers() == 1
+    assert sb[0].is_set()
