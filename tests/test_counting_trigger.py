@@ -161,3 +161,69 @@ def test_count_string_column_counts_non_nulls(spark, tmp_path):
     with pytest.raises(ValueError, match="n must be"):
         counting_trigger_aggregate(src, ["user"],
                                    [("count", "*", "c")], n=0)
+
+
+def test_counting_behind_bounded_outer_join_mechanically_possible(
+        spark, tmp_path):
+    """r9 experiment, pinned (DEVIATIONS 6 closure): the exact
+    counting operator RUNS behind a watermarked, range-bounded
+    stream-stream LEFT OUTER join once both event-time columns are
+    dropped post-join — the second stateful op was never the blocker.
+    What keeps CLI outer joins on the per-micro-batch fallback is
+    Structured Streaming's rejection of the reference's UNBOUNDED
+    equi-only outer shape (no watermark/range condition to satisfy),
+    also asserted here."""
+    import pandas as pd  # noqa: F401 — counting fn dependency
+    from pyspark.sql import functions as F
+
+    from octosql_spark.streaming.counting_trigger import make_counting_fn
+
+    d1 = tmp_path / "s1"
+    d2 = tmp_path / "s2"
+    d1.mkdir(); d2.mkdir()
+    (d1 / "a.json").write_text("\n".join(json.dumps(
+        {"k": i % 3, "v": i, "ts": f"2024-01-01T00:00:{i:02d}Z"})
+        for i in range(12)))
+    (d2 / "a.json").write_text("\n".join(json.dumps(
+        {"k": i % 3, "w": i * 10, "ts2": f"2024-01-01T00:00:{i:02d}Z"})
+        for i in range(9)))
+    s1 = (spark.readStream.schema("k long, v long, ts string")
+          .json(str(d1)).withColumn("ts", F.to_timestamp("ts"))
+          .withWatermark("ts", "10 seconds"))
+    s2 = (spark.readStream.schema("k long, w long, ts2 string")
+          .json(str(d2)).withColumn("ts2", F.to_timestamp("ts2"))
+          .withWatermark("ts2", "10 seconds"))
+    j = s1.join(
+        s2, (s1["k"] == s2["k"])
+        & (s2["ts2"] >= s1["ts"] - F.expr("interval 5 seconds"))
+        & (s2["ts2"] <= s1["ts"] + F.expr("interval 5 seconds")),
+        "left_outer")
+    flat = j.select(s1["k"].alias("k"), "v", "w")  # event-time cols gone
+    fn = make_counting_fn([("count", "*", "c")], 2,
+                          ["k", "emitted_at_count", "c"])
+    res = flat.groupBy("k").applyInPandasWithState(
+        fn, "k long, emitted_at_count long, c double",
+        "total long, since long, acc0 double, cnt0 long",
+        "append", "NoTimeout")
+    name = f"outer_exp_{uuid.uuid4().hex[:8]}"
+    q = (res.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.k, r.emitted_at_count) for r in spark.table(name).collect()}
+    # every key sees exact per-record boundaries at 2 and 4 (each key
+    # has 4 left rows x >=1 match within the +/-5s band)
+    assert {(k, 2) for k in (0, 1, 2)} <= got
+    assert {(k, 4) for k in (0, 1, 2)} <= got
+
+    # the UNBOUNDED equi-only outer shape — the reference's ON
+    # grammar — is what Structured Streaming rejects (the honest
+    # reason the CLI keeps the fallback)
+    u1 = spark.readStream.schema("k long, v long").json(str(d1))
+    u2 = spark.readStream.schema("k long, w long").json(str(d2))
+    uj = (u1.join(u2, u1["k"] == u2["k"], "left_outer")
+          .select(u1["k"], "v", "w"))
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="range condition|watermark"):
+        (uj.writeStream.outputMode("append").format("memory")
+         .queryName(f"outer_rej_{uuid.uuid4().hex[:8]}")
+         .trigger(availableNow=True).start().awaitTermination(60))
