@@ -612,3 +612,68 @@ def test_dialect_joins_match_duckdb(spark, duck, nation_view,
     want = sorted((tuple(r) for r in duck.execute(sel).fetchall()),
                   key=key)
     assert got == want, f"{jt} ON {on_sql} cuts=({cut_a},{cut_b})"
+
+
+# ---------------- r9 grammar: scalar-subquery PLACEMENT -------------
+# Both r8 typing bugs lived here (Int category lost through division;
+# aliased/set-op subqueries falling back to Spark typing): scalar
+# subqueries in the SELECT list vs WHERE vs HAVING, crossed with
+# plain / aliased-item / set-op / correlated forms and an
+# Int-division wrapper that only agrees when the dialect keeps the
+# subquery's Int category (dialect `/` truncates, DuckDB `//`).
+
+_SUBQ_FORMS = [
+    ("(SELECT max(n_nationkey) FROM nation)",
+     "(SELECT max(n_nationkey) FROM nation)"),
+    ("(SELECT max(n_nationkey) AS m FROM nation)",
+     "(SELECT max(n_nationkey) AS m FROM nation)"),
+    ("(SELECT min(x) FROM (SELECT max(n_nationkey) AS x FROM nation "
+     "UNION ALL SELECT 30 AS x) t)",
+     "(SELECT min(x) FROM (SELECT max(n_nationkey) AS x FROM nation "
+     "UNION ALL SELECT 30 AS x) t)"),
+    ("(SELECT count(*) FROM nation i WHERE i.n_regionkey = o.n_regionkey)",
+     "(SELECT count(*) FROM nation i WHERE i.n_regionkey = o.n_regionkey)"),
+]
+
+_SUBQ_WRAPS = [
+    ("{s}", "{s}"),
+    ("({s} / 3)", "({s} // 3)"),     # Int category must survive
+    ("({s} + 1)", "({s} + 1)"),
+]
+
+
+@settings(max_examples=_N or 25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.sampled_from(_SUBQ_FORMS), st.sampled_from(_SUBQ_WRAPS),
+       st.sampled_from(["select", "where", "having"]),
+       st.integers(18, 26))
+@example(sub=_SUBQ_FORMS[2], wrap=_SUBQ_WRAPS[1], place="where", off=20)
+@example(sub=_SUBQ_FORMS[1], wrap=_SUBQ_WRAPS[1], place="select", off=20)
+def test_dialect_scalar_subquery_placement_matches_duckdb(
+        spark, duck, nation_view, sub, wrap, place, off):
+    from octosql_spark.sql import run_query
+    d_expr = wrap[0].format(s=sub[0])
+    k_expr = wrap[1].format(s=sub[1])
+    if place == "select":
+        dq = f"SELECT n_nationkey AS k, {d_expr} AS s FROM nation o"
+        kq = f"SELECT n_nationkey AS k, {k_expr} AS s FROM nation o"
+    elif place == "where":
+        dq = (f"SELECT n_nationkey AS k FROM nation o "
+              f"WHERE n_nationkey >= {d_expr} - {off}")
+        kq = (f"SELECT n_nationkey AS k FROM nation o "
+              f"WHERE n_nationkey >= {k_expr} - {off}")
+    else:
+        dq = (f"SELECT n_regionkey AS k, count(*) AS c FROM nation o "
+              f"GROUP BY n_regionkey HAVING count(*) >= {d_expr} - {off}")
+        kq = (f"SELECT n_regionkey AS k, count(*) AS c FROM nation o "
+              f"GROUP BY n_regionkey HAVING count(*) >= {k_expr} - {off}")
+
+    def key(t):
+        return tuple((v is not None, v) for v in t)
+
+    got = sorted((tuple(r) for r in run_query(spark, dq).df.collect()),
+                 key=key)
+    want = sorted((tuple(r) for r in duck.execute(kq).fetchall()),
+                  key=key)
+    assert got == want, f"{place}: {d_expr}"
