@@ -1,0 +1,121 @@
+"""End-of-round close-out gate (r8 verdict #2).
+
+Round 8 shipped a red test because the close-out pytest ran BEFORE
+three review commits added tests, and SCALE.md carried hardcoded
+entry counts that drifted (215 vs 216). This tool runs every gate on
+the FINAL tree and writes the results — with counts DERIVED from the
+registry, never typed — to ``CLOSEOUT.md``; the snapshot commit cites
+that file. Exits nonzero if any gate is red, so a red tree cannot be
+snapshot silently.
+
+Gates:
+1. full ``pytest tests/`` (includes the frozen plan-budget and
+   scale-ratio comparator gates);
+2. full-registry DuckDB oracle at sf0.01
+   (``tools/check_correctness.py``);
+3. derived counts: registry entries, oracle entries, headline set.
+
+Usage::
+
+    python tools/closeout.py            # all gates (~35-45 min)
+    python tools/closeout.py --fast     # skip pytest (oracle + counts
+                                        # only; for mid-round checks)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd: list[str], timeout: int) -> tuple[int, str]:
+    p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                       timeout=timeout)
+    return p.returncode, (p.stdout or "") + (p.stderr or "")
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv
+    lines: list[str] = []
+    red = False
+
+    # -- derived counts (never hardcode these anywhere else) --------
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+    from octosql_spark.workloads import REGISTRY
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    headline = [n for n, w in REGISTRY.items() if w.headline]
+    lines.append(f"- registry entries: **{len(qs)}** "
+                 f"({len(oracles)} oracled, "
+                 f"{len(qs) - len(oracles)} rows-only; "
+                 f"{len(headline)} headline)")
+    if set(oracles) - set(qs):
+        red = True
+        lines.append(f"- RED: oracle keys missing from queries(): "
+                     f"{sorted(set(oracles) - set(qs))}")
+
+    # -- full-registry oracle gate -----------------------------------
+    rc, out = _run([sys.executable, "tools/check_correctness.py",
+                    "/root/testdata/sf0.01", "--jobs=4"],
+                   timeout=3600)
+    m = re.search(r"(\d+) ok, (\d+) failed, (\d+) rows-only", out)
+    if not m or rc != 0 or int(m.group(2)) != 0:
+        red = True
+        tail = "\n".join(out.strip().splitlines()[-12:])
+        lines.append(f"- RED: oracle gate rc={rc}: "
+                     f"{m.group(0) if m else 'unparseable'}\n"
+                     f"```\n{tail}\n```")
+    else:
+        lines.append(f"- oracle gate (sf0.01, full registry): "
+                     f"**{m.group(0)}**")
+        if int(m.group(1)) + int(m.group(3)) != len(qs):
+            red = True
+            lines.append(f"- RED: oracle gate covered "
+                         f"{int(m.group(1)) + int(m.group(3))} of "
+                         f"{len(qs)} registry entries")
+
+    # -- full test suite ---------------------------------------------
+    if fast:
+        lines.append("- pytest: SKIPPED (--fast) — not a close-out")
+    else:
+        rc, out = _run([sys.executable, "-m", "pytest", "tests/",
+                        "-q", "--tb=line"], timeout=5400)
+        m = re.search(r"(\d+) passed", out)
+        fm = re.search(r"(\d+) failed", out)
+        if rc != 0 or fm:
+            red = True
+            tail = "\n".join(out.strip().splitlines()[-15:])
+            lines.append(f"- RED: pytest rc={rc} "
+                         f"({fm.group(0) if fm else '?'} / "
+                         f"{m.group(0) if m else '?'})\n"
+                         f"```\n{tail}\n```")
+        else:
+            sk = re.search(r"(\d+) skipped", out)
+            lines.append(f"- pytest tests/: **{m.group(0)}**"
+                         + (f", {sk.group(0)}" if sk else ""))
+
+    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                          cwd=REPO, capture_output=True,
+                          text=True).stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain"],
+                           cwd=REPO, capture_output=True,
+                           text=True).stdout.strip()
+    status = "RED" if red else "GREEN"
+    body = (f"# CLOSEOUT — {status}\n\n"
+            f"Tree: `{head}`"
+            + (" + uncommitted changes" if dirty else " (clean)")
+            + ("\n\nMode: --fast (pytest skipped; NOT a valid "
+               "round close-out)" if fast else "")
+            + "\n\n" + "\n".join(lines) + "\n")
+    with open(os.path.join(REPO, "CLOSEOUT.md"), "w") as f:
+        f.write(body)
+    print(body)
+    return 1 if red else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
