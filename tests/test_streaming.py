@@ -349,24 +349,34 @@ def test_nested_tvfs_streaming_front_door(spark, tmp_path):
     (r6 — pinned alongside the withWatermark dispatch fix)."""
     import time
 
+    from octosql_spark.sources.files import (stop_tail_stagers,
+                                              tail_stager_scope)
     from octosql_spark.sql import run_query
     p = tmp_path / "ev.json"
     p.write_text('{"ts": "2024-01-01T00:00:01", "v": 1}\n')
-    r = run_query(
-        spark,
-        "SELECT window_end, COUNT(*) AS n FROM tumble("
-        "source => TABLE(SELECT * FROM max_diff_watermark("
-        f"source => TABLE(SELECT * FROM '{p}?tail=true'), "
-        "max_diff => INTERVAL 5 SECOND, time_field => DESCRIPTOR(ts))), "
-        "window_length => INTERVAL 1 MINUTE) GROUP BY window_end")
+    with tail_stager_scope() as stagers:
+        r = run_query(
+            spark,
+            "SELECT window_end, COUNT(*) AS n FROM tumble("
+            "source => TABLE(SELECT * FROM max_diff_watermark("
+            f"source => TABLE(SELECT * FROM '{p}?tail=true'), "
+            "max_diff => INTERVAL 5 SECOND, time_field => DESCRIPTOR(ts))), "
+            "window_length => INTERVAL 1 MINUTE) GROUP BY window_end")
     assert r.df.isStreaming
     q = (r.df.writeStream.outputMode("update")
          .format("memory").queryName("nested_tvf").start())
     try:
-        time.sleep(8)
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT * FROM nested_tvf").count()
+            if n:
+                break
+            time.sleep(0.5)
     finally:
         q.stop()
-    assert spark.sql("SELECT * FROM nested_tvf").count() == 1
+        stop_tail_stagers(stagers)  # direct run_query: no CLI teardown
+    assert n == 1
 
 
 def test_stream_stream_join_front_door(spark, tmp_path):
@@ -378,18 +388,29 @@ def test_stream_stream_join_front_door(spark, tmp_path):
     a, b = tmp_path / "a.json", tmp_path / "b.json"
     a.write_text('{"k": 1, "v": 10}\n')
     b.write_text('{"k": 1, "w": 20}\n')
-    r = run_query(
-        spark,
-        f"SELECT x.v AS v, y.w AS w FROM '{a}?tail=true' x, "
-        f"'{b}?tail=true' y WHERE x.k = y.k")
+    from octosql_spark.sources.files import (stop_tail_stagers,
+                                              tail_stager_scope)
+    with tail_stager_scope() as stagers:
+        r = run_query(
+            spark,
+            f"SELECT x.v AS v, y.w AS w FROM '{a}?tail=true' x, "
+            f"'{b}?tail=true' y WHERE x.k = y.k")
     assert r.df.isStreaming
     q = (r.df.writeStream.outputMode("append")
          .format("memory").queryName("ssj").start())
     try:
-        time.sleep(8)
+        # poll instead of a fixed sleep: under host load the first
+        # micro-batch can take >8 s (closeout caught this flaking)
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM ssj").collect()
+            if rows:
+                break
+            time.sleep(0.5)
     finally:
         q.stop()
-    rows = spark.sql("SELECT * FROM ssj").collect()
+        stop_tail_stagers(stagers)  # direct run_query: no CLI teardown
     assert [(r.v, r.w) for r in rows] == [(10, 20)]
 
 
@@ -513,6 +534,7 @@ def test_tail_stager_scope_isolates_queries(tmp_path):
     assert len(sa) == 1 and len(sb) == 1
     assert stop_tail_stagers(sa) == 1
     assert sa[0].is_set() and not sb[0].is_set()
-    # the global stop still ends the rest
-    assert stop_tail_stagers() == 1
+    # the global stop still ends the rest (>= because other tests may
+    # have registered stagers of their own in this process)
+    assert stop_tail_stagers() >= 1
     assert sb[0].is_set()
