@@ -773,12 +773,15 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
     consumer's aggregate subtree canonicalizes to the same Exchange,
     so exchange reuse runs the scan+map side ONCE and only the slim
     reduce side re-executes per consumer (a persist here leaked
-    executor storage until session teardown, r7 verdict).
-    ``cache=True`` persists canon — the r7 fast path for long-lived
-    callers (~20% at sf0.1: the reduce side runs once); release it
-    with ``octosql_spark.session.release_cached`` between units of
-    work, the same contract as ``minhash_lsh_pairs``'s documented
-    caches.
+    executor storage until session teardown, r7 verdict). Measured
+    (r9): for a SINGLE action the default is the fast path too —
+    at the 10x dup-heavy replica, count() is 2.25 s default vs
+    3.1 s cached (the persist write costs more than the reduce-side
+    re-execution). ``cache=True`` persists canon for callers that
+    run SEVERAL actions over the result (each action re-pays all
+    consumers otherwise); release it with
+    ``octosql_spark.session.release_cached`` between units of work,
+    the same contract as ``minhash_lsh_pairs``'s documented caches.
     """
     from pyspark.sql.window import Window
     if not 0 <= max_dist <= 2:

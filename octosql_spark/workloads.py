@@ -1945,6 +1945,11 @@ def dedup_edit_distance_q(spark, sf_dir):
     from octosql_spark.datapipe import edit_distance_pairs
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 12).alias("text"))
+    # default cache=False measured FASTER even at the 10x dup-heavy
+    # replica (count 2.25 s vs 3.1 s with cache=True, r9): exchange
+    # reuse already runs the canon map side once, and persisting the
+    # reduce output costs more than re-executing it. The opt-in cache
+    # is for callers running SEVERAL actions over the result.
     return edit_distance_pairs(d, max_dist=2)
 
 
