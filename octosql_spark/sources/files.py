@@ -28,26 +28,36 @@ from pyspark.sql import functions as F
 # polling thread per tail query for the process lifetime (r8 review).
 # The CLI calls stop_tail_stagers() when a streaming run finishes.
 _STAGER_STOPS: list = []
-_STAGER_SCOPES: list[list] = []
+# per-THREAD scope stack: concurrent queries run on separate threads
+# (each CLI invocation builds its sources on its own thread), and a
+# process-global scope list would cross-register query A's stagers
+# into query B's open scope — re-creating the bug the scoping fixes
+import threading as _threading
+
+_STAGER_SCOPES = _threading.local()
 
 
 @contextlib.contextmanager
 def tail_stager_scope():
     """Collect the stop events of every tail stager started while the
-    scope is open, so a query's teardown stops only ITS OWN follower
-    threads. The old process-global stop silently froze a CONCURRENT
-    tail query's stream in a long-lived session (r8 advice)."""
+    scope is open ON THIS THREAD, so a query's teardown stops only
+    ITS OWN follower threads. The old process-global stop silently
+    froze a CONCURRENT tail query's stream in a long-lived session
+    (r8 advice)."""
     mine: list = []
-    _STAGER_SCOPES.append(mine)
+    stack = getattr(_STAGER_SCOPES, "stack", None)
+    if stack is None:
+        stack = _STAGER_SCOPES.stack = []
+    stack.append(mine)
     try:
         yield mine
     finally:
-        _STAGER_SCOPES.remove(mine)
+        stack.remove(mine)
 
 
 def _register_stager(stop) -> None:
     _STAGER_STOPS.append(stop)
-    for scope in _STAGER_SCOPES:
+    for scope in getattr(_STAGER_SCOPES, "stack", ()):
         scope.append(stop)
 
 

@@ -538,3 +538,38 @@ def test_tail_stager_scope_isolates_queries(tmp_path):
     # have registered stagers of their own in this process)
     assert stop_tail_stagers() >= 1
     assert sb[0].is_set()
+
+
+def test_tail_stager_scope_is_thread_local(tmp_path):
+    """A scope open on thread A must not collect stagers started by a
+    concurrent query on thread B (r9: a process-global scope list
+    would have re-created the cross-query stop bug for genuinely
+    concurrent queries)."""
+    import threading
+
+    from octosql_spark.sources.files import (_stage_growing_file,
+                                             stop_tail_stagers,
+                                             tail_stager_scope)
+
+    fa = tmp_path / "a.log"
+    fb = tmp_path / "b.log"
+    fa.write_text("one\n")
+    fb.write_text("uno\n")
+    collected_b: list = []
+
+    def other_query():
+        with tail_stager_scope() as sb:
+            _stage_growing_file(str(fb), poll_s=0.05)
+        collected_b.extend(sb)
+
+    with tail_stager_scope() as sa:
+        _stage_growing_file(str(fa), poll_s=0.05)
+        t = threading.Thread(target=other_query)
+        t.start()
+        t.join()
+    assert len(sa) == 1 and len(collected_b) == 1
+    assert sa[0] is not collected_b[0]
+    stop_tail_stagers(sa)
+    assert not collected_b[0].is_set()
+    stop_tail_stagers(collected_b)
+    assert collected_b[0].is_set()
