@@ -168,6 +168,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             cache_registry.append(fr)
         return fr
 
+    if collapse == "auto" and df.isStreaming:
+        # no eager probe on a streaming frame (first() would raise);
+        # keep the r8 always-collapse behavior — micro-batches are
+        # the dup-heavy shape anyway
+        collapse = True
     if collapse == "auto":
         try:
             key = df._jdf.queryExecution().analyzed().semanticHash()
