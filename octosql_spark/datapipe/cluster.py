@@ -128,7 +128,13 @@ def _cell_candidate_keys(x: DataFrame, max_cell_population: int,
         return y.select("_id", "_nv", "cell",
                         F.lit(-1).alias("table"),
                         F.lit(0).cast("long").alias("bucket"))
-    dim = len(x.select("_nv").first()[0])
+    first = x.select("_nv").first()
+    if first is None:  # empty input: no rows to bucket (the exact
+        # branch shape keeps the downstream schema identical)
+        return y.select("_id", "_nv", "cell",
+                        F.lit(-1).alias("table"),
+                        F.lit(0).cast("long").alias("bucket"))
+    dim = len(first[0])
     exact = F.array(F.struct(F.lit(-1).alias("table"),
                              F.lit(0).cast("long").alias("bucket")))
     lsh = F.array(*[
@@ -235,6 +241,12 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
     # quadratic blowup the paper avoids with k≈100k). The count is one
     # metadata-cheap scan; the FIT below never touches the full corpus.
     n = e.count()
+    if n == 0:
+        # empty corpus: KMeans.fit rejects an empty dataset and the
+        # dimension probe has no row to read (r9 self-review)
+        return embeddings.select(
+            F.col(id_col), F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("keep"))
     k = max(2, min(max(n_cells, -(-n // max(1, target_cell_size))), n))
     feat = e.select("_id", "_nv", array_to_vector("_nv").alias("features"))
 

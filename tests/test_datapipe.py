@@ -2200,3 +2200,14 @@ def test_minhash_collapse_auto_probe(spark):
     n_keys = len(ddp._COLLAPSE_MEMO)
     minhash_lsh_pairs(light).collect()
     assert len(ddp._COLLAPSE_MEMO) == n_keys
+
+
+def test_semantic_dedup_empty_input(spark):
+    """An empty embeddings table returns an empty result instead of a
+    TypeError from the dimension probe (r9 self-review: first() is
+    None on empty input)."""
+    from octosql_spark.datapipe.cluster import semantic_dedup
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    assert semantic_dedup(empty).count() == 0
