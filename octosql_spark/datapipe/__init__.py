@@ -22,7 +22,7 @@ from octosql_spark.datapipe.text import (  # noqa: F401
     perplexity_buckets, bm25_scores,
     hashed_linear_score, char_entropy, dsir_importance, dsir_select,
     heavy_hitters, winnowing_fingerprints, winnowing_overlap_pairs,
-    cap_per_key,
+    cap_per_key, url_domain, url_normalize, html_extract_text,
 )
 from octosql_spark.datapipe.cluster import (  # noqa: F401
     connected_components, dedup_clusters, semantic_dedup,

@@ -108,6 +108,68 @@ def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
     return out
 
 
+def url_domain(url: Column, strip_www: bool = True) -> Column:
+    """Registrable-host extraction for URL-keyed dedup and domain
+    caps (the ``cap_per_key`` key a web-crawl pipeline actually
+    wants): lowercased host, port and userinfo stripped, one leading
+    ``www.`` label removed. NULL for strings with no ``scheme://``.
+    Pure regexp — whole-stage codegen at scan speed, and every
+    pattern stays in the Java/RE2 COMMON subset so a DuckDB oracle
+    replays it byte-for-byte."""
+    host = F.lower(F.regexp_extract(
+        url, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)",
+        1))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL form for exact URL-level dedup: scheme and host
+    lowercased, userinfo and fragment stripped, the scheme's default
+    port removed (http:80 / https:443), empty path → ``/``. Query
+    strings are KEPT (they select content); anything without a
+    ``scheme://`` prefix returns NULL rather than guess. Same
+    engine-portable regexp-only contract as ``url_domain``."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(
+        u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(
+        rest, r"^(?:[^/@?#]*@)?([^/?#]*)", 1))
+    hostport = F.when(scheme == "http",
+                      F.regexp_replace(hostport, r":80$", "")) \
+        .when(scheme == "https",
+              F.regexp_replace(hostport, r":443$", "")) \
+        .otherwise(hostport)
+    pq = F.regexp_replace(
+        F.regexp_replace(rest, r"^(?:[^/@?#]*@)?[^/?#]*", ""),
+        r"(?s)#.*$", "")
+    pq = F.when(pq == "", F.lit("/")).otherwise(pq)
+    return F.when(scheme == "", F.lit(None).cast("string")) \
+        .otherwise(F.concat(scheme, F.lit("://"), hostport, pq))
+
+
+def html_extract_text(html: Column) -> Column:
+    """Boilerplate strip for web-crawl ingest — the step BEFORE every
+    text operator in this module when the corpus arrives as HTML:
+    drop ``<script>``/``<style>`` elements and comments, strip the
+    remaining tags, decode the six common entities, squash
+    whitespace. A chain of regexp/replace expressions (no Python, no
+    parser library): deterministic, scan-speed, and exactly
+    replayable by a DuckDB oracle. It is deliberately a TEXT
+    extractor, not an HTML parser — malformed markup degrades to
+    extra stripped tokens, never an error."""
+    t = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def tf_idf_top_terms(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF:
