@@ -79,9 +79,20 @@ def _run(args, spark) -> int:
     # tail stagers started while building/running THIS query are
     # collected so its teardown doesn't stop a concurrent query's
     # followers in a long-lived process (r8 advice)
-    from octosql_spark.sources.files import tail_stager_scope
+    from octosql_spark.sources.files import (stop_tail_stagers,
+                                             tail_stager_scope)
     with tail_stager_scope() as stagers:
-        return _run_scoped(args, spark, stagers)
+        try:
+            return _run_scoped(args, spark, stagers)
+        finally:
+            # stop THIS query's stagers on every exit path, not just
+            # _run_streaming's finally: a build failure after a
+            # ?tail=true source already registered its stager (e.g.
+            # the second source of a multi-source query fails to
+            # parse) used to leak the polling thread and its growing
+            # staged copy (r9 advice). Idempotent — stop_tail_stagers
+            # skips events _run_streaming already set.
+            stop_tail_stagers(stagers)
 
 
 def _run_scoped(args, spark, stagers) -> int:

@@ -22,6 +22,8 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,7 +117,67 @@ def _band_table(sigs: DataFrame, id_col: str, num_hashes: int,
                     F.col("_band.band_hash").alias("band_hash")))
 
 
-_COLLAPSE_MEMO: dict[int, bool] = {}
+import threading as _threading
+
+# memoized collapse verdicts, keyed on (analyzed-plan semanticHash,
+# input-file fingerprint). Guarded by a lock: concurrent queries share
+# one session (thread-per-query CLI), and an unguarded probe+evict
+# raced with another thread's insert (r9 advice).
+_COLLAPSE_MEMO: dict[tuple, bool] = {}
+_COLLAPSE_LOCK = _threading.Lock()
+
+
+_PINNED_LEAVES = {"LocalRelation", "LogicalRDD", "OneRowRelation",
+                  "Range"}
+
+
+def _data_pinned(df: DataFrame) -> bool:
+    """True when every leaf of the analyzed plan embeds (or pins) its
+    own data — LocalRelation rows live in the plan, a LogicalRDD is
+    tied to one immutable RDD — so the semanticHash alone is a valid
+    memo key. External scans (files, JDBC, DSv2) can serve different
+    data under an identical plan and must be fingerprinted instead."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        return all(leaves.apply(i).nodeName() in _PINNED_LEAVES
+                   for i in range(leaves.size()))
+    except Exception:  # noqa: BLE001 — connect mode / plan shape
+        return False
+
+
+def _input_fingerprint(df: DataFrame) -> str | None:
+    """Staleness key for file-backed plans: a hash of the sorted
+    (path, mtime, size) of the plan's input files. Two reads of the
+    SAME path share a Catalyst semanticHash even after the files are
+    replaced, so a memo keyed on the plan alone survived data
+    replacement (r9 advice); the fingerprint changes with the data.
+    Returns None when the plan has no input files (in-memory frames
+    embed their data in the plan, so the semanticHash already tracks
+    the data) or the listing fails — callers must NOT memoize a
+    non-local plan without a fingerprint (e.g. JDBC, where the data
+    can change under an identical plan)."""
+    import hashlib
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. streaming frames
+        return None
+    if not files:
+        return None
+    if len(files) > 100_000:
+        # a listing this large is driver-memory pressure to stat
+        # twice per probe; skip the memo rather than the probe
+        return None
+    h = hashlib.sha1()
+    for uri in sorted(files):
+        p = urlparse(uri).path or uri
+        try:
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_mtime_ns}|{st.st_size};".encode())
+        except OSError:
+            h.update(f"{p}|?;".encode())
+    return h.hexdigest()
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -140,21 +202,33 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs are emitted exactly (jaccard 1.0) rather than re-verified
     g² times, and emitted pairs are identical-or-more-complete.
 
-    ``collapse="auto"`` (default) probes the verbatim-dup ratio with
-    ONE narrow map-side pass (count vs approx_count_distinct of a
-    64-bit text hash — two longs to the driver, no shuffle of rows)
-    and skips the full-text canon aggregation when fewer than ~5% of
-    documents are byte-identical copies: on dup-light corpora the
-    collapse buys nothing and its full-text shuffle was the measured
-    +0.65 s at sf0.1 (r8 verdict #2). Dup-heavy corpora keep the
-    collapse — that is the production shape at 100 TB, where crawl
-    corpora routinely carry 30-60% verbatim dups. The verdict is
-    memoized per input plan (Catalyst semanticHash), so a long-lived
-    session re-running the same pipeline pays the probe once; both
-    paths emit the same pairs (the collapse is strictly
-    more-complete only past ``max_bucket``), so a stale memo after
-    the underlying files change can only cost speed, never answers.
-    Pass True/False to pin either path.
+    ``collapse="auto"`` (default) probes the verbatim-dup ratio and
+    skips the full-text canon aggregation on dup-light corpora, where
+    the collapse buys nothing and its full-text shuffle was the
+    measured +0.65 s at sf0.1 (r8 verdict #2). The probe is
+    two-phase (r9 verdict #4): a narrow approx pass (count + one HLL
+    sketch of a 64-bit text hash — map-side partials only) decides
+    clearly-dup-heavy corpora outright; a dup-light or borderline
+    verdict is CONFIRMED by an exact groupBy on the text hash (one
+    (hash, count)-pair shuffle, strictly smaller than the banding
+    shuffle this operator runs regardless) which also checks the max
+    verbatim-group size — the no-collapse path caps buckets at
+    ``max_bucket`` RAW docs, so a single oversized dup group in an
+    otherwise dup-light corpus would silently lose its pairs without
+    this guard. Invariant: collapse is skipped only when NO verbatim
+    group exceeds ``max_bucket`` (exact-counted), so both paths emit
+    the same pairs. Dup-heavy corpora keep the collapse — the
+    production shape at 100 TB, where crawl corpora routinely carry
+    30-60% verbatim dups.
+
+    The verdict is memoized per (plan semanticHash, input-file
+    fingerprint, max_bucket); the fingerprint (path+mtime+size of the
+    plan's input files) invalidates the memo when the files change
+    under an identical plan. Plans with neither input files nor local
+    data (e.g. JDBC) are never memoized — their data can change
+    invisibly, and a stale dup-light verdict past ``max_bucket``
+    would cost answers, not just speed. Pass True/False to pin
+    either path.
 
     ``cache_registry``: a caller-supplied list that receives every
     DataFrame this call persists, so a scoped consumer (the streaming
@@ -175,23 +249,66 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         collapse = True
     if collapse == "auto":
         try:
-            key = df._jdf.queryExecution().analyzed().semanticHash()
+            ph = df._jdf.queryExecution().analyzed().semanticHash()
         except Exception:  # noqa: BLE001 — plan not hashable
-            key = None
-        if key is not None and key in _COLLAPSE_MEMO:
-            collapse = _COLLAPSE_MEMO[key]
+            ph = None
+        fp = _input_fingerprint(df)
+        # memoize ONLY plans whose data is pinned by the key: file
+        # inputs via the fingerprint, in-memory frames via the plan
+        # hash (local relations embed their rows in the plan). A
+        # file-less non-local plan (JDBC) re-probes every call — the
+        # probe is two narrow aggregates, staleness there is silent.
+        key = None
+        if ph is not None and (fp is not None or _data_pinned(df)):
+            # max_bucket participates in the phase-2 verdict, so two
+            # calls differing only in the cap must not share a verdict
+            key = (ph, fp, max_bucket)
+        with _COLLAPSE_LOCK:
+            cached = _COLLAPSE_MEMO.get(key) if key is not None else None
+        if cached is not None:
+            collapse = cached
         else:
+            # phase 1 — approx probe: count + one HLL sketch of a
+            # 64-bit text hash. Map-side partials only (sketch bytes
+            # per partition to the driver, no row shuffle) — the pass
+            # that stays cheap at 100 TB.
             probe = df.agg(
                 F.count(text_col).alias("_n"),
                 F.approx_count_distinct(
                     F.xxhash64(F.col(text_col)), 0.02).alias("_nd")
             ).first()
             n, nd = probe["_n"], probe["_nd"]
-            collapse = bool(n) and (n - min(nd, n)) / n >= 0.05
+            ratio = (n - min(nd, n)) / n if n else 0.0
+            if ratio >= 0.05 + 2 * 0.02:
+                # dup-heavy beyond the sketch's error band (rsd 0.02
+                # of nd ≤ 0.02 of n): collapse, no second pass needed
+                collapse = True
+            elif not n:
+                collapse = False
+            else:
+                # phase 2 — EXACT probe for dup-light / borderline
+                # verdicts: groupBy the 8-byte text hash and reduce to
+                # three longs. This shuffles ≤ one (hash, count) pair
+                # per distinct text — strictly smaller than the
+                # banding shuffle the operator runs regardless — and
+                # yields the max verbatim-group size, which the sketch
+                # cannot see: a single >max_bucket dup group in an
+                # otherwise dup-light corpus (one 2000-copy page in
+                # 100k docs is a 2% ratio) would lose ALL its pairs to
+                # the bucket cap on the no-collapse path (r9 advice).
+                g = (df.groupBy(F.xxhash64(F.col(text_col)).alias("_h"))
+                     .agg(F.count(F.lit(1)).alias("_c"))
+                     .agg(F.sum("_c").alias("_n"),
+                          F.count(F.lit(1)).alias("_nd"),
+                          F.max("_c").alias("_mx")).first())
+                en, ed, mx = g["_n"], g["_nd"], g["_mx"]
+                collapse = bool(en) and ((en - ed) / en >= 0.05
+                                         or (mx or 0) > max_bucket)
             if key is not None:
-                if len(_COLLAPSE_MEMO) >= 64:
-                    _COLLAPSE_MEMO.pop(next(iter(_COLLAPSE_MEMO)))
-                _COLLAPSE_MEMO[key] = collapse
+                with _COLLAPSE_LOCK:
+                    if len(_COLLAPSE_MEMO) >= 64:
+                        _COLLAPSE_MEMO.pop(next(iter(_COLLAPSE_MEMO)))
+                    _COLLAPSE_MEMO[key] = collapse
     if not collapse:
         # dup-light: every doc is its own representative; the pair set
         # below (rep_pairs) is already the full answer

