@@ -26,7 +26,7 @@ from octosql_spark.datapipe.text import (  # noqa: F401
 )
 from octosql_spark.datapipe.cluster import (  # noqa: F401
     connected_components, dedup_clusters, semantic_dedup,
-    cluster_representatives,
+    cluster_representatives, cluster_ingest_components,
 )
 from octosql_spark.datapipe.curate import (  # noqa: F401
     decontaminate, semantic_decontaminate, sample_stratified,

@@ -82,6 +82,71 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
                     .alias("cluster_id")))
 
 
+def cluster_ingest_components(labels: DataFrame, new_edges: DataFrame,
+                              node_col: str = "node",
+                              comp_col: str = "component",
+                              id_a: str = "id_a", id_b: str = "id_b",
+                              max_iter: int = 25) -> DataFrame:
+    """Incremental connected-components maintenance — the missing twin
+    of ``minhash_ingest_near_dups`` (r9 verdict #7): given the
+    PERSISTED label table of the corpus so far (``node, component``
+    where component is the min reachable node id, i.e. exactly what
+    ``connected_components`` emits) and the near-dup edges of a NEW
+    ingest increment, return the updated full label table WITHOUT
+    recomputing components from scratch.
+
+    Edges can only MERGE components, never split them, and each
+    existing label is by construction the min id of its member set —
+    so the update reduces to connected components on the QUOTIENT
+    graph over the increment: map each new edge's endpoints to their
+    current labels (unseen nodes label themselves), propagate min
+    labels across those label-level edges only, then remap. The min
+    over a merged group of labels equals the min over all member
+    nodes, so the result is identical to a full recompute on
+    (old graph + new edges) — pinned by the gate oracle and by a
+    differential test against ``connected_components``.
+
+    Scale shape: label propagation runs on the DELTA quotient graph
+    (≤ 2·|increment| nodes — label-level, not member-level), and the
+    remap is ONE map-side broadcast join over the big label table.
+    Nothing iterates over the full graph; at 100 TB the per-increment
+    cost is proportional to the increment and the handful of touched
+    components, exactly like the exact-dedup and LSH ingest paths."""
+    ends = (new_edges.select(F.col(id_a).alias(node_col))
+            .union(new_edges.select(F.col(id_b).alias(node_col)))
+            .distinct())
+    # current labels of the increment's endpoints: broadcast the
+    # (small) endpoint set INTO the big label table — one map-only
+    # pass, no shuffle of labels; the result is again increment-sized
+    known = labels.join(F.broadcast(ends), node_col).select(
+        node_col, F.col(comp_col).alias("_lab"))
+    ends_lab = (ends.join(known, node_col, "left")
+                .select(node_col,
+                        F.coalesce("_lab", F.col(node_col)).alias("_lab")))
+    la = ends_lab.select(F.col(node_col).alias(id_a),
+                         F.col("_lab").alias("_la"))
+    lb = ends_lab.select(F.col(node_col).alias(id_b),
+                         F.col("_lab").alias("_lb"))
+    quotient = (new_edges.join(la, id_a).join(lb, id_b)
+                .filter(F.col("_la") != F.col("_lb"))
+                .select(F.col("_la").alias(id_a),
+                        F.col("_lb").alias(id_b))
+                .distinct())
+    merged = connected_components(quotient, id_a, id_b, max_iter)
+    # (old label -> new smaller label) for labels that actually move;
+    # bounded by the components the increment touches -> broadcast
+    mapping = (merged.filter(F.col("node") != F.col("component"))
+               .select(F.col("node").alias("_old"),
+                       F.col("component").alias("_new")))
+    novel = ends.join(known.select(node_col), node_col, "left_anti")
+    base = labels.select(node_col, comp_col).unionByName(
+        novel.select(node_col, F.col(node_col).alias(comp_col)))
+    return (base.join(F.broadcast(mapping),
+                      base[comp_col] == F.col("_old"), "left")
+            .select(node_col,
+                    F.coalesce("_new", F.col(comp_col)).alias(comp_col)))
+
+
 def cluster_representatives(df: DataFrame, pairs: DataFrame,
                             id_col: str = "doc_id",
                             score_col: str = "score") -> DataFrame:

@@ -2044,6 +2044,66 @@ def cluster_connected_components_q(spark, sf_dir):
     return connected_components(edges)
 
 
+# incremental-CC fixture (r9 verdict #7): the persisted labels of the
+# CC fixture (+ a singleton) and an ingest increment that exercises
+# every merge shape — cross-component merge, chained merges that only
+# close at the QUOTIENT level (4-10 then 11-30), a new node with an id
+# SMALLER than the component it joins (0-20: the merged label must
+# drop to 0), brand-new chains (50-51-52), a new-node self-edge
+# (singleton 35), and a within-component no-op (31-32).
+_INGEST_EDGES = [(4, 10), (11, 30), (0, 20), (50, 51), (51, 52),
+                 (35, 35), (31, 32)]
+
+
+def _ingest_expect():
+    """Full-recompute expectation by sequential union-find — a
+    genuinely different algorithm from the distributed label
+    propagation it oracles."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        parent[find(a)] = find(b)
+
+    base = dict(_CC_EXPECT)
+    base[99] = 99
+    for n, c in base.items():
+        union(n, c)
+    for a, b in _INGEST_EDGES:
+        union(a, b)
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for n in set(base) | {e for ab in _INGEST_EDGES for e in ab}:
+        groups[find(n)].append(n)
+    return sorted((n, min(g)) for g in groups.values() for n in g)
+
+
+@workload("cluster_ingest_components",
+          "SELECT CAST(node AS BIGINT) AS node, "
+          "CAST(component AS BIGINT) AS component FROM (VALUES "
+          + ", ".join(f"({n}, {c})" for n, c in _ingest_expect())
+          + ") AS t(node, component)", broadcast_ok=True)
+def cluster_ingest_components_q(spark, sf_dir):
+    """Incremental connected-components maintenance: merge a new
+    increment's near-dup edges into persisted cluster labels via label
+    propagation on the DELTA quotient graph + one broadcast remap —
+    never re-propagating over the full graph. Oracled against a
+    sequential union-find full recompute. broadcast_ok: the broadcast
+    frames are the increment's endpoint set and the touched-component
+    remap — both bounded by the ingest batch, not the corpus."""
+    from octosql_spark.datapipe import cluster_ingest_components
+    labels = spark.createDataFrame(
+        sorted(_CC_EXPECT) + [(99, 99)], "node long, component long")
+    inc = spark.createDataFrame(_INGEST_EDGES, "id_a long, id_b long")
+    return cluster_ingest_components(labels, inc)
+
+
 def _cc_best_expect():
     """Expected cluster_representatives output on the CC fixture +
     one singleton: per component the max-(score, -id) member wins,

@@ -2345,3 +2345,48 @@ def test_html_extract_text_planted(spark):
            .collect()}
     for i, (html, want) in enumerate(cases):
         assert got[i] == want, f"html_extract_text({html!r}) = {got[i]!r}"
+
+
+def test_cluster_ingest_components_matches_full_recompute(spark):
+    """Differential: incremental maintenance == connected_components
+    full recompute on (old graph + increment), on a fixture covering
+    chained cross-component merges, a new node whose id undercuts the
+    merged component's label, brand-new chains, self-edges and
+    within-component no-ops."""
+    from octosql_spark.datapipe import (cluster_ingest_components,
+                                        connected_components)
+    from octosql_spark.workloads import _CC_EXPECT, _INGEST_EDGES
+
+    labels = spark.createDataFrame(
+        sorted(_CC_EXPECT) + [(99, 99)], "node long, component long")
+    inc = spark.createDataFrame(_INGEST_EDGES, "id_a long, id_b long")
+    got = {(r.node, r.component)
+           for r in cluster_ingest_components(labels, inc).collect()}
+    # full recompute: the old graph is equivalently its (node, label)
+    # star edges; isolated old nodes (99) keep their self label
+    full_edges = labels.selectExpr("node AS id_a", "component AS id_b") \
+        .unionByName(inc)
+    full = {(r.node, r.component)
+            for r in connected_components(full_edges).collect()
+            if r.node != r.component or True}
+    # connected_components emits every node incl. self-labeled ones
+    assert got == full
+    # spot-check the nasty shapes: 0 undercuts component 20's label;
+    # 4-10 + 11-30 chain closes 1..4,10,11,30..34 into component 1
+    as_map = dict(got)
+    assert as_map[20] == 0 and as_map[0] == 0
+    assert all(as_map[n] == 1 for n in (1, 2, 3, 4, 10, 11, 30, 34))
+    assert as_map[50] == 50 and as_map[52] == 50
+    assert as_map[35] == 35 and as_map[99] == 99
+
+
+def test_cluster_ingest_components_empty_increment(spark):
+    """An empty increment returns the label table unchanged."""
+    from octosql_spark.datapipe import cluster_ingest_components
+
+    labels = spark.createDataFrame([(1, 1), (2, 1), (7, 7)],
+                                   "node long, component long")
+    inc = spark.createDataFrame([], "id_a long, id_b long")
+    got = {(r.node, r.component)
+           for r in cluster_ingest_components(labels, inc).collect()}
+    assert got == {(1, 1), (2, 1), (7, 7)}

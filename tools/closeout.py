@@ -15,11 +15,22 @@ Gates:
    (``tools/check_correctness.py``);
 3. derived counts: registry entries, oracle entries, headline set.
 
+Round 9 then demonstrated the remaining loophole: commits can land
+AFTER a green close-out, smuggling untested code into the snapshot
+(r9 verdict #1: three functions with zero tests/oracles arrived 22
+minutes after the gate ran). ``--verify`` closes it: it re-reads
+CLOSEOUT.md's certified tree hash and exits nonzero unless the
+worktree is clean AND ``git rev-parse HEAD`` equals that hash AND the
+certification was a full (non ``--fast``) green run. The snapshot
+step runs ``--verify`` last; a mismatch means "re-run closeout.py on
+the final tree", never "snapshot anyway".
+
 Usage::
 
     python tools/closeout.py            # all gates (~35-45 min)
     python tools/closeout.py --fast     # skip pytest (oracle + counts
                                         # only; for mid-round checks)
+    python tools/closeout.py --verify   # HEAD == certified tree?
 """
 
 from __future__ import annotations
@@ -38,7 +49,70 @@ def _run(cmd: list[str], timeout: int) -> tuple[int, str]:
     return p.returncode, (p.stdout or "") + (p.stderr or "")
 
 
+def _git(*args: str) -> str:
+    return subprocess.run(["git", *args], cwd=REPO, capture_output=True,
+                          text=True).stdout.strip()
+
+
+def verify() -> int:
+    """Exit 0 iff HEAD is exactly the tree a full green close-out
+    certified and the worktree is clean."""
+    path = os.path.join(REPO, "CLOSEOUT.md")
+    try:
+        body = open(path).read()
+    except OSError:
+        print("closeout --verify: no CLOSEOUT.md — run the gate first")
+        return 1
+    m = re.search(r"^Certified-Tree: ([0-9a-f]{40})$", body, re.M)
+    problems = []
+    if not body.startswith("# CLOSEOUT — GREEN"):
+        problems.append("CLOSEOUT.md is not GREEN")
+    if "Mode: --fast" in body:
+        problems.append("certification was --fast (pytest skipped)")
+    if "+ uncommitted changes" in body:
+        problems.append("certified tree was dirty")
+    if not m:
+        problems.append("no Certified-Tree hash recorded (stale format "
+                        "— re-run closeout.py)")
+    else:
+        head = _git("rev-parse", "HEAD")
+        if head != m.group(1):
+            # the gate certifies CODE state; committing the gate's own
+            # artifacts (CLOSEOUT.md, BENCH/SCALE records) afterwards
+            # is the normal workflow and must not self-invalidate. Any
+            # post-gate change to code or tests refuses.
+            known = subprocess.run(
+                ["git", "cat-file", "-e", m.group(1) + "^{commit}"],
+                cwd=REPO, capture_output=True).returncode == 0
+            diff = _git("diff", "--name-only",
+                        m.group(1), head).splitlines() if known else []
+            code = [f for f in diff
+                    if f.endswith(".py") or "/" in f and
+                    f.split("/")[0] in ("octosql_spark", "tests",
+                                        "tools")]
+            if not known:
+                problems.append("certified hash unknown to this repo")
+            elif code:
+                problems.append(
+                    f"HEAD {head[:12]} != certified {m.group(1)[:12]} "
+                    f"with post-gate CODE changes "
+                    f"({', '.join(code[:6])}) — re-run closeout.py")
+            else:
+                print(f"closeout --verify: note — HEAD advances the "
+                      f"certified tree by artifact-only commits "
+                      f"({', '.join(diff[:8]) or 'empty diff'})")
+    if _git("status", "--porcelain"):
+        problems.append("worktree is dirty")
+    if problems:
+        print("closeout --verify: REFUSED\n- " + "\n- ".join(problems))
+        return 1
+    print(f"closeout --verify: OK (tree {m.group(1)[:12]})")
+    return 0
+
+
 def main() -> int:
+    if "--verify" in sys.argv:
+        return verify()
     fast = "--fast" in sys.argv
     lines: list[str] = []
     red = False
@@ -98,16 +172,13 @@ def main() -> int:
             lines.append(f"- pytest tests/: **{m.group(0)}**"
                          + (f", {sk.group(0)}" if sk else ""))
 
-    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                          cwd=REPO, capture_output=True,
-                          text=True).stdout.strip()
-    dirty = subprocess.run(["git", "status", "--porcelain"],
-                           cwd=REPO, capture_output=True,
-                           text=True).stdout.strip()
+    head = _git("rev-parse", "HEAD")
+    dirty = _git("status", "--porcelain")
     status = "RED" if red else "GREEN"
     body = (f"# CLOSEOUT — {status}\n\n"
-            f"Tree: `{head}`"
+            f"Tree: `{head[:9]}`"
             + (" + uncommitted changes" if dirty else " (clean)")
+            + f"\nCertified-Tree: {head}"
             + ("\n\nMode: --fast (pytest skipped; NOT a valid "
                "round close-out)" if fast else "")
             + "\n\n" + "\n".join(lines) + "\n")
