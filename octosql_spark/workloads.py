@@ -2249,17 +2249,25 @@ def _url_df(spark):
     return spark.createDataFrame(_URL_SAMPLES, "url_id long, url string")
 
 
-@workload("text_url_domain", r"""
+def url_domain_oracle_sql(values_sql: str) -> str:
+    """DuckDB replay of ``url_domain`` over any ``(url_id, url)``
+    VALUES relation — shared by the gate entry and the URL fuzz
+    grammar (r9 verdict #8) so both differentials run the SAME SQL."""
+    return r"""
 WITH h AS (
   SELECT url_id,
          regexp_replace(lower(regexp_extract(url,
            '^\s*[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#\s]+)', 1)),
            '^www\.', '') AS host
-  FROM """ + _sql_values(_URL_SAMPLES, "url_id, url") + r""")
+  FROM """ + values_sql + r""")
 SELECT CAST(url_id AS BIGINT) AS url_id,
        CASE WHEN host = '' THEN NULL ELSE host END AS domain
 FROM h
-""")
+"""
+
+
+@workload("text_url_domain",
+          url_domain_oracle_sql(_sql_values(_URL_SAMPLES, "url_id, url")))
 def text_url_domain_q(spark, sf_dir):
     """Registrable-host extraction vs a full DuckDB replay of the same
     regexp chain (both engines' patterns stay in the Java/RE2 COMMON
@@ -2270,10 +2278,13 @@ def text_url_domain_q(spark, sf_dir):
         "url_id", url_domain(F.col("url")).alias("domain"))
 
 
-@workload("text_url_normalize", r"""
+def url_normalize_oracle_sql(values_sql: str) -> str:
+    """DuckDB replay of ``url_normalize`` (same sharing contract as
+    ``url_domain_oracle_sql``)."""
+    return r"""
 WITH p1 AS (
   SELECT url_id, trim(url) AS u
-  FROM """ + _sql_values(_URL_SAMPLES, "url_id, url") + r"""),
+  FROM """ + values_sql + r"""),
 p2 AS (
   SELECT url_id, u,
          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -2298,7 +2309,12 @@ SELECT CAST(url_id AS BIGINT) AS url_id,
        CASE WHEN scheme = '' THEN NULL
             ELSE scheme || '://' || hostport || pq END AS url_norm
 FROM p4
-""")
+"""
+
+
+@workload("text_url_normalize",
+          url_normalize_oracle_sql(_sql_values(_URL_SAMPLES,
+                                               "url_id, url")))
 def text_url_normalize_q(spark, sf_dir):
     """Canonical URL form (scheme/host lowercased, userinfo+fragment
     stripped, default ports removed, empty path -> '/') vs the DuckDB
@@ -2308,11 +2324,14 @@ def text_url_normalize_q(spark, sf_dir):
         "url_id", url_normalize(F.col("url")).alias("url_norm"))
 
 
-@workload("text_html_extract", r"""
+def html_extract_oracle_sql(values_sql: str) -> str:
+    """DuckDB replay of ``html_extract_text`` (same sharing contract
+    as ``url_domain_oracle_sql``)."""
+    return r"""
 WITH s1 AS (
   SELECT doc_id, regexp_replace(html,
     '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t
-  FROM """ + _sql_values(_HTML_SAMPLES, "doc_id, html") + r"""),
+  FROM """ + values_sql + r"""),
 s2 AS (SELECT doc_id, regexp_replace(t,
          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
 s3 AS (SELECT doc_id,
@@ -2326,7 +2345,12 @@ s5 AS (SELECT doc_id,
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        trim(regexp_replace(t, '\s+', ' ', 'g')) AS text
 FROM s5
-""")
+"""
+
+
+@workload("text_html_extract",
+          html_extract_oracle_sql(_sql_values(_HTML_SAMPLES,
+                                              "doc_id, html")))
 def text_html_extract_q(spark, sf_dir):
     """Boilerplate strip (script/style/comments/tags dropped, six
     common entities decoded, whitespace squashed) vs the DuckDB replay
