@@ -181,6 +181,24 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
     return df.sparkSession.table(name)
 
 
+def _read_prior(sess, root: str, epoch_id: int):
+    """Epoch-partitioned table restricted to epochs BEFORE this one.
+    Two r8 review fixes: (1) a foreachBatch REPLAY of a committed
+    epoch used to read the epoch's own partitions, so every accepted
+    doc matched itself at Jaccard 1.0 and the overwrite emptied the
+    epoch — the filter makes replays genuinely idempotent; (2)
+    existence is probed by attempting the read, not os.path
+    (driver-local checks silently skipped the probe for s3://-style
+    paths)."""
+    try:
+        d = sess.read.parquet(root)
+    except Exception:  # noqa: BLE001 — no table yet (first epoch)
+        return None
+    if "epoch" not in d.columns:
+        return None
+    return d.filter(F.col("epoch") < F.lit(epoch_id))
+
+
 def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
                            index_path: str,
                            id_col: str = "doc_id",
@@ -221,23 +239,6 @@ def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
                                               _word_shingles,
                                               minhash_lsh_pairs,
                                               minhash_signatures)
-
-    def _read_prior(sess, root: str, epoch_id: int):
-        """Epoch-partitioned table restricted to epochs BEFORE this
-        one. Two r8 review fixes: (1) a foreachBatch REPLAY of a
-        committed epoch used to read the epoch's own partitions, so
-        every accepted doc matched itself at Jaccard 1.0 and the
-        overwrite emptied the epoch — the filter makes replays
-        genuinely idempotent; (2) existence is probed by attempting
-        the read, not os.path (driver-local checks silently skipped
-        the probe for s3://-style paths)."""
-        try:
-            d = sess.read.parquet(root)
-        except Exception:  # noqa: BLE001 — no table yet (first epoch)
-            return None
-        if "epoch" not in d.columns:
-            return None
-        return d.filter(F.col("epoch") < F.lit(epoch_id))
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
@@ -337,6 +338,265 @@ def stream_near_dup_ingest(df: DataFrame, corpus_path: str,
             # (tracked via cache_registry — including
             # minhash_lsh_pairs' internal persists, which leaked 3
             # frames per micro-batch before the r8 sweep)
+            for fr in epoch_caches:
+                try:
+                    fr.unpersist(False)
+                except Exception:  # noqa: BLE001 — released race
+                    pass
+
+    w = df.writeStream.foreachBatch(_apply)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    w = w.trigger(**(trigger_kwargs or {"availableNow": True}))
+    return w.start()
+
+
+def read_cluster_labels(spark: SparkSession, labels_path: str,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Current cluster labels from a ``stream_cluster_ingest`` delta
+    table: per node, the row from the LATEST epoch wins. One window
+    shuffle keyed by node — the read-side cost of writing O(delta)
+    instead of O(corpus) per epoch."""
+    from pyspark.sql.window import Window
+
+    d = spark.read.parquet(labels_path)
+    w = Window.partitionBy(id_col).orderBy(F.col("epoch").desc())
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "component"))
+
+
+def stream_cluster_ingest(df: DataFrame, corpus_path: str,
+                          index_path: str, labels_path: str,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          num_hashes: int = 64, bands: int = 16,
+                          shingle: int = 3,
+                          jaccard_threshold: float = 0.5,
+                          max_bucket: int = 1000,
+                          checkpoint: str | None = None,
+                          trigger_kwargs: dict | None = None):
+    """Continuous near-dup CLUSTER maintenance — the streaming twin of
+    ``datapipe.cluster.cluster_ingest_components`` the same way
+    ``stream_near_dup_ingest`` is the twin of
+    ``minhash_ingest_near_dups`` (r9 verdict #7 extended to the
+    ingest loop): every document is ACCEPTED (nothing is rejected;
+    dedup policy becomes a downstream ``filter(node == component)``
+    or a quality-aware representative pick), and three
+    epoch-partitioned tables are maintained together:
+
+    - ``corpus_path``: all ingested documents;
+    - ``index_path``: their LSH band table (the probe index);
+    - ``labels_path``: cluster-label DELTAS ``(id, component, epoch)``
+      — only rows whose label changed (or is new) this epoch.
+      ``read_cluster_labels`` resolves the current state
+      (latest epoch per node).
+
+    Per micro-batch: within-batch LSH pairs + batch-vs-corpus verified
+    probe matches form the increment's edge set; labels merge via min-
+    label propagation on the DELTA quotient graph. The label update is
+    delta-oriented end-to-end — the full label table is NEVER
+    rewritten or globally shuffled inside the loop:
+
+    1. the increment endpoints' current labels come from a
+       node-pushdown read of the delta table (latest row per endpoint);
+    2. the (old label -> new label) remap is increment-bounded;
+    3. members of relabeled components are found by a component-IN
+       pushdown scan, re-checked against their own latest row (a node
+       relabeled in an earlier epoch leaves stale rows carrying the
+       old component — the latest-epoch check drops those), remapped,
+       and written as this epoch's delta.
+
+    At 100 TB the per-epoch cost is O(batch) signature work, one
+    candidate-bucket probe join, and label scans bounded by the
+    components the increment touches. A long-lived deployment
+    compacts ``labels_path`` offline (rewrite latest-per-node as a
+    fresh base epoch) exactly like any log-structured table.
+
+    Correctness contract (pinned by the equivalence test): after any
+    sequence of batches, ``read_cluster_labels`` equals
+    ``dedup_clusters`` run from scratch on the full corpus with the
+    same LSH parameters — modulo the same ``max_bucket`` cap both
+    paths share."""
+    import os
+
+    from octosql_spark.datapipe.dedup import (_band_table,
+                                              _word_shingles,
+                                              minhash_lsh_pairs,
+                                              minhash_signatures)
+
+    def _latest(rows: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+        w = Window.partitionBy(id_col).orderBy(F.col("epoch").desc())
+        return (rows.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(id_col, "component"))
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        epoch_caches: list = []
+
+        def _persist(fr):
+            fr = fr.persist()
+            epoch_caches.append(fr)
+            return fr
+
+        batch = batch.select(id_col, text_col).dropDuplicates([id_col])
+        prior_corpus = _read_prior(sess, corpus_path, epoch_id)
+        if prior_corpus is not None:
+            # replay / re-crawl idempotence: ids already ingested are
+            # not new nodes (their cluster state is settled)
+            batch = batch.join(prior_corpus.select(id_col), id_col,
+                               "left_anti")
+        batch = _persist(batch)
+        try:
+            # -- increment edge set --------------------------------
+            within = minhash_lsh_pairs(
+                batch, id_col, text_col, num_hashes, bands, shingle,
+                jaccard_threshold, max_bucket, collapse=True,
+                cache_registry=epoch_caches).select("id_a", "id_b")
+            bs = minhash_signatures(batch, text_col, num_hashes,
+                                    shingle).select(id_col, "minhash")
+            bb = _persist(_band_table(bs, id_col, num_hashes, bands)
+                          .withColumnRenamed(id_col, "batch_id"))
+            edges = within
+            idx = _read_prior(sess, index_path, epoch_id)
+            if idx is not None:
+                if prior_corpus is None:
+                    raise RuntimeError(
+                        f"cluster ingest: index at {index_path} has "
+                        f"prior epochs but corpus at {corpus_path} is "
+                        f"missing — the tables are maintained "
+                        f"together; refusing to ingest")
+                pb = (bb.select("band_id", "band_hash")
+                      .dropDuplicates(["band_id", "band_hash"]))
+                idx = idx.join(pb, ["band_id", "band_hash"], "leftsemi")
+                sizes = (idx.groupBy("band_id", "band_hash")
+                         .agg(F.count(F.lit(True)).alias("_n"))
+                         .filter(F.col("_n") <= max_bucket).drop("_n"))
+                cand = (bb.join(idx.join(sizes,
+                                         ["band_id", "band_hash"]),
+                                ["band_id", "band_hash"])
+                        .select("batch_id", "corpus_id")
+                        .dropDuplicates(["batch_id", "corpus_id"]))
+                cids = (cand.select(F.col("corpus_id").alias(id_col))
+                        .dropDuplicates([id_col]))
+                csh = (prior_corpus.join(cids, id_col)
+                       .select(F.col(id_col).alias("corpus_id"),
+                               _word_shingles(F.col(text_col), shingle)
+                               .alias("_sb")))
+                bsh = batch.select(
+                    F.col(id_col).alias("batch_id"),
+                    _word_shingles(F.col(text_col), shingle)
+                    .alias("_sa"))
+                inter = F.size(F.array_intersect("_sa", "_sb"))
+                union = F.size(F.array_union("_sa", "_sb"))
+                cross = (cand.join(bsh, "batch_id")
+                         .join(csh, "corpus_id")
+                         .filter((inter / union) >= jaccard_threshold)
+                         .select(F.col("batch_id").alias("id_a"),
+                                 F.col("corpus_id").alias("id_b")))
+                edges = edges.unionByName(cross)
+            edges = _persist(edges)
+
+            # -- delta label maintenance ---------------------------
+            from octosql_spark.datapipe.cluster import (
+                connected_components)
+            prior_labels = _read_prior(sess, labels_path, epoch_id)
+            ends = (edges.select(F.col("id_a").alias(id_col))
+                    .union(edges.select(F.col("id_b").alias(id_col)))
+                    .union(batch.select(id_col))
+                    .distinct())
+            if prior_labels is not None:
+                known = _latest(prior_labels.join(F.broadcast(ends),
+                                                  id_col, "leftsemi"))
+                ends_lab = (ends.join(known, id_col, "left")
+                            .select(id_col,
+                                    F.coalesce("component",
+                                               F.col(id_col))
+                                    .alias("_lab")))
+            else:
+                ends_lab = ends.select(
+                    id_col, F.col(id_col).alias("_lab"))
+            ends_lab = _persist(ends_lab)
+            la = ends_lab.select(F.col(id_col).alias("id_a"),
+                                 F.col("_lab").alias("_la"))
+            lb = ends_lab.select(F.col(id_col).alias("id_b"),
+                                 F.col("_lab").alias("_lb"))
+            quotient = (edges.join(la, "id_a").join(lb, "id_b")
+                        .filter(F.col("_la") != F.col("_lb"))
+                        .select(F.col("_la").alias("id_a"),
+                                F.col("_lb").alias("id_b"))
+                        .distinct())
+            merged = connected_components(quotient)
+            mapping = (merged.filter(F.col("node") != F.col("component"))
+                       .select(F.col("node").alias("_old"),
+                               F.col("component").alias("_new")))
+            # endpoint + batch rows: remap through the quotient result
+            fresh = (ends_lab.join(F.broadcast(mapping),
+                                   ends_lab["_lab"] == F.col("_old"),
+                                   "left")
+                     .select(id_col,
+                             F.coalesce("_new", F.col("_lab"))
+                             .alias("component")))
+            if prior_labels is not None:
+                # other members of relabeled components: bounded
+                # component-IN pushdown scan, re-checked against each
+                # node's LATEST row so stale delta rows can't
+                # resurrect an old component id
+                # bounded collect: the remap is increment-sized; the
+                # isin literal list gives the delta table a genuine
+                # parquet pushdown. Past the cap, fall back to a
+                # broadcast semi-join (no pushdown, still one scan).
+                olds = [r["_old"]
+                        for r in mapping.limit(10_001).collect()]
+                if len(olds) > 10_000:
+                    cand_nodes = (prior_labels.join(
+                        F.broadcast(mapping),
+                        prior_labels["component"] == F.col("_old"),
+                        "leftsemi").select(id_col).distinct())
+                else:
+                    cand_nodes = (prior_labels
+                                  .filter(F.col("component").isin(olds))
+                                  .select(id_col).distinct())
+                if olds:
+                    hist = prior_labels.join(F.broadcast(cand_nodes),
+                                             id_col, "leftsemi")
+                    # the inner join against mapping below re-applies
+                    # the component∈olds condition exactly (and
+                    # correctly in the >cap fallback, where `olds` is
+                    # truncated): only latest rows whose CURRENT
+                    # component is a remapped old label survive
+                    cur = _latest(hist)
+                    moved = (cur.join(F.broadcast(mapping),
+                                      cur["component"] == F.col("_old"))
+                             .select(id_col,
+                                     F.col("_new").alias("component")))
+                    # endpoint rows already carry their remap in
+                    # `fresh`; don't write a node twice in one epoch
+                    moved = moved.join(ends, id_col, "left_anti")
+                    fresh = fresh.unionByName(moved)
+            # unchanged known endpoints don't need a delta row
+            if prior_labels is not None:
+                fresh = fresh.join(
+                    known.withColumnRenamed("component", "_oldc"),
+                    id_col, "left").filter(
+                        F.col("_oldc").isNull()
+                        | (F.col("_oldc") != F.col("component"))
+                    ).select(id_col, "component")
+            # epoch=<id> dir name IS the epoch column (partition
+            # discovery on read) — writing it as a data column too
+            # would collide with the discovered partition column
+            fresh.write.mode("overwrite").parquet(
+                os.path.join(labels_path, f"epoch={epoch_id}"))
+
+            # -- corpus + index append -----------------------------
+            batch.write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"epoch={epoch_id}"))
+            (bb.withColumnRenamed("batch_id", "corpus_id")
+             .write.mode("overwrite").parquet(
+                 os.path.join(index_path, f"epoch={epoch_id}")))
+        finally:
             for fr in epoch_caches:
                 try:
                     fr.unpersist(False)

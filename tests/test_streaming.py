@@ -625,3 +625,71 @@ def test_tail_stager_ownership_matrix(tmp_path):
     # idempotent re-stop: nothing left to signal in either scope
     assert stop_tail_stagers(scopes["qa"]) == 0
     assert stop_tail_stagers(scopes["qb"]) == 0
+
+
+def test_stream_cluster_ingest_matches_full_recompute(spark, tmp_path):
+    """Streaming cluster-label maintenance (r9 verdict #7's streaming
+    twin): three micro-batches ingest near-dup docs — including a
+    LATER doc whose id UNDERCUTS an existing cluster's label (5 joins
+    {10,11}: the whole cluster must relabel to 5 via the delta path,
+    not a rewrite) — and the resolved labels equal dedup_clusters run
+    from scratch on the full corpus with the same LSH parameters."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from octosql_spark.datapipe import dedup_clusters, minhash_lsh_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "sun sets slowly behind the tall green hills of summer")
+    uniq = ("completely different vocabulary about spacecraft "
+            "engines orbital mechanics and interplanetary travel "
+            "using ion propulsion systems for deep space missions")
+    fresh = ("many colorful birds sing sweet morning songs in the "
+             "old oak tree near the quiet village river bank today")
+    b1 = [{"doc_id": 10, "text": base},
+          {"doc_id": 11, "text": base.replace("lazy", "sleepy")},
+          {"doc_id": 12, "text": uniq}]
+    b2 = [{"doc_id": 5, "text": base.replace("summer", "autumn")}]
+    b3 = [{"doc_id": 20, "text": uniq.replace("deep", "far")},
+          {"doc_id": 21, "text": fresh}]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, b in enumerate((b1, b2, b3), 1):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(_json.dumps(r) for r in b))
+        os.utime(f, (i, i))
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    labels = str(tmp_path / "labels")
+    stream = (st.read_stream_file(spark, str(src), "json",
+                                  maxFilesPerTrigger=1)
+              .select(F.col("doc_id").cast("long"), "text"))
+    q = st.stream_cluster_ingest(stream, corpus, index, labels,
+                                 checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+
+    got = {(r.doc_id, r.component)
+           for r in st.read_cluster_labels(spark, labels).collect()}
+    # every ingested doc got a label; the id-5 merge relabeled 10+11
+    assert got == {(5, 5), (10, 5), (11, 5), (12, 12),
+                   (20, 12), (21, 21)}
+    # differential: full recompute on the whole corpus agrees
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for b in (b1, b2, b3) for r in b],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(all_docs)
+    full = {(r.doc_id, r.cluster_id)
+            for r in dedup_clusters(all_docs, pairs).collect()}
+    assert got == full
+    # delta discipline: epoch 1 wrote 3 rows; the id-5 merge wrote
+    # rows only for the touched cluster (5, 10, 11), not for 12
+    by_epoch = {}
+    for r in spark.read.parquet(labels).collect():
+        by_epoch.setdefault(r.epoch, set()).add((r.doc_id, r.component))
+    assert by_epoch[0] == {(10, 10), (11, 10), (12, 12)}
+    assert by_epoch[1] == {(5, 5), (10, 5), (11, 5)}
+    assert by_epoch[2] == {(20, 12), (21, 21)}
