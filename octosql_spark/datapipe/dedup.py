@@ -174,9 +174,12 @@ def _input_fingerprint(df: DataFrame) -> str | None:
         p = urlparse(uri).path or uri
         try:
             st = os.stat(p)
-            h.update(f"{p}|{st.st_mtime_ns}|{st.st_size};".encode())
         except OSError:
-            h.update(f"{p}|?;".encode())
+            # non-driver-visible storage (object store): a path-only
+            # fingerprint would never change when the data does — the
+            # exact staleness this key exists to prevent. No memo.
+            return None
+        h.update(f"{p}|{st.st_mtime_ns}|{st.st_size};".encode())
     return h.hexdigest()
 
 
