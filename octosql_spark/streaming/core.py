@@ -366,6 +366,59 @@ def read_cluster_labels(spark: SparkSession, labels_path: str,
             .select(id_col, "component"))
 
 
+def compact_cluster_labels(spark: SparkSession, labels_path: str,
+                           id_col: str = "doc_id") -> int:
+    """Offline compaction for a ``stream_cluster_ingest`` label table:
+    fold every delta into the NEWEST epoch partition (full
+    latest-per-node state) and drop the older epoch dirs, so
+    ``read_cluster_labels``'s window and the ingest loop's pushdown
+    scans stop paying for history. Run while the stream is stopped.
+
+    The rewrite lands INSIDE the existing max epoch id — introducing a
+    NEW higher epoch would collide with the next micro-batch id when
+    the stream resumes from its checkpoint. Ordering is crash-aware:
+    the full state is staged to ``.compact_tmp`` first, so the only
+    unsafe window is the overwrite of the max-epoch dir itself, and
+    the staged copy survives for manual recovery (true atomicity
+    needs a table format with commit semantics — out of scope for
+    plain parquet). Uses the Hadoop FileSystem API throughout, so the
+    same code compacts HDFS/S3A-resident tables.
+
+    Returns the number of epoch directories removed."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(labels_path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return 0
+    epochs = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("epoch="):
+            try:
+                epochs.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    if len(epochs) <= 1:
+        return 0
+    max_e = max(epochs)
+    tmp = jvm.org.apache.hadoop.fs.Path(labels_path + "/.compact_tmp")
+    cur = read_cluster_labels(spark, labels_path, id_col)
+    cur.write.mode("overwrite").parquet(tmp.toString())
+    (spark.read.parquet(tmp.toString())
+     .write.mode("overwrite")
+     .parquet(f"{labels_path}/epoch={max_e}"))
+    removed = 0
+    for e in sorted(epochs):
+        if e == max_e:
+            continue
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{labels_path}/epoch={e}"), True)
+        removed += 1
+    fs.delete(tmp, True)
+    return removed
+
+
 def stream_cluster_ingest(df: DataFrame, corpus_path: str,
                           index_path: str, labels_path: str,
                           id_col: str = "doc_id",

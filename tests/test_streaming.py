@@ -693,3 +693,87 @@ def test_stream_cluster_ingest_matches_full_recompute(spark, tmp_path):
     assert by_epoch[0] == {(10, 10), (11, 10), (12, 12)}
     assert by_epoch[1] == {(5, 5), (10, 5), (11, 5)}
     assert by_epoch[2] == {(20, 12), (21, 21)}
+
+
+def test_compact_cluster_labels(spark, tmp_path):
+    """Compaction folds every delta into the newest epoch and drops
+    the older dirs; read_cluster_labels resolves identically before
+    and after, and a node whose latest row lived only in an OLD epoch
+    survives the fold."""
+    labels = str(tmp_path / "labels")
+    rows = {0: [(1, 1), (2, 1), (3, 3)],       # epoch 0
+            1: [(2, 2)],                       # epoch 1: 2 relabeled
+            2: [(4, 4)]}                       # epoch 2: new node
+    for e, rs in rows.items():
+        spark.createDataFrame(rs, "doc_id long, component long") \
+            .write.mode("overwrite").parquet(f"{labels}/epoch={e}")
+    before = {(r.doc_id, r.component)
+              for r in st.read_cluster_labels(spark, labels).collect()}
+    assert before == {(1, 1), (2, 2), (3, 3), (4, 4)}
+    removed = st.compact_cluster_labels(spark, labels)
+    assert removed == 2
+    after = {(r.doc_id, r.component)
+             for r in st.read_cluster_labels(spark, labels).collect()}
+    assert after == before
+    import os
+    dirs = sorted(d for d in os.listdir(labels) if d.startswith("epoch="))
+    assert dirs == ["epoch=2"]
+    # idempotent: single-epoch table is a no-op
+    assert st.compact_cluster_labels(spark, labels) == 0
+
+
+def test_stream_cluster_ingest_restart_and_compaction(spark, tmp_path):
+    """Stop/restart durability for cluster maintenance: the restarted
+    query processes only the file that arrived while it was down, its
+    merge still relabels the existing cluster, and an offline
+    compaction between the runs does not disturb the checkpointed
+    epoch sequence (compaction folds INTO the max epoch id instead of
+    minting a new one — a new id would collide with the next batch)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from octosql_spark.datapipe import dedup_clusters, minhash_lsh_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "sun sets slowly behind the tall green hills of summer")
+    b1 = [{"doc_id": 10, "text": base},
+          {"doc_id": 11, "text": base.replace("lazy", "sleepy")}]
+    b2 = [{"doc_id": 5, "text": base.replace("summer", "autumn")}]
+    src = tmp_path / "in"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    labels = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (st.read_stream_file(spark, str(src), "json")
+                  .select(F.col("doc_id").cast("long"), "text"))
+        q = st.stream_cluster_ingest(stream, corpus, index, labels,
+                                     checkpoint=ckpt)
+        q.awaitTermination(180)
+
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    run_once()
+    assert {(r.doc_id, r.component) for r in
+            st.read_cluster_labels(spark, labels).collect()} == \
+        {(10, 10), (11, 10)}
+    # offline compaction while the stream is down (single epoch: noop)
+    st.compact_cluster_labels(spark, labels)
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
+    run_once()
+    got = {(r.doc_id, r.component) for r in
+           st.read_cluster_labels(spark, labels).collect()}
+    assert got == {(5, 5), (10, 5), (11, 5)}
+    # restart processed ONLY b2: epoch 0 rows intact, epoch 1 = merge
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b1 + b2],
+        "doc_id long, text string")
+    full = {(r.doc_id, r.cluster_id) for r in dedup_clusters(
+        all_docs, minhash_lsh_pairs(all_docs)).collect()}
+    assert got == full
+    # compaction after the merge folds history and preserves state
+    assert st.compact_cluster_labels(spark, labels) == 1
+    assert {(r.doc_id, r.component) for r in
+            st.read_cluster_labels(spark, labels).collect()} == got
