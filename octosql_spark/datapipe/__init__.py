@@ -29,7 +29,8 @@ from octosql_spark.datapipe.cluster import (  # noqa: F401
     cluster_representatives, cluster_ingest_components,
 )
 from octosql_spark.datapipe.curate import (  # noqa: F401
-    decontaminate, semantic_decontaminate, sample_stratified,
+    decontaminate, decontaminate_prefilter, semantic_decontaminate,
+    sample_stratified,
     sample_hash_bucket, pack_sequences, pack_bins_bfd,
     repetition_metrics, mixture_sample, shard_shuffle, chunk_documents,
     budget_select, weighted_sample_wor,

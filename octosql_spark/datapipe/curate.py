@@ -57,6 +57,52 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
             .distinct())
 
 
+def decontaminate_prefilter(docs: DataFrame, benchmark: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            n: int = 4) -> DataFrame:
+    """``decontaminate`` for LARGE benchmark sets — e.g. holding out a
+    test SPLIT of the corpus itself (GBs of grams), where broadcasting
+    every distinct gram STRING stops fitting. Same result, two-level:
+
+    1. PREFILTER: broadcast the benchmark's distinct 64-bit gram
+       hashes (8 B/gram vs 50-100+ B for the strings — a Bloom filter
+       in spirit, but a hash set keeps everything in native Catalyst
+       expressions; Spark's BloomFilter object is only reachable from
+       Python through a row-at-a-time UDF, the forbidden slow path).
+       One map-only corpus scan keeps candidate docs; hash collisions
+       make this a superset.
+    2. VERIFY: re-join only the CANDIDATE docs' grams against the
+       true benchmark gram strings via a SHUFFLE semi-join (the
+       benchmark strings are shuffled once, never broadcast), so the
+       xxhash64 collisions the prefilter admits (~n²/2⁶⁴) cost a few
+       extra rows here, never a wrong answer.
+
+    Output is byte-identical to ``decontaminate`` (the gate runs both
+    against the same DuckDB oracle). At 100 TB with a 10 GB benchmark:
+    plain ``decontaminate`` ships ~10 GB of strings to EVERY executor;
+    this broadcasts ~1 GB of hashes and shuffles the strings once
+    against the contaminated sliver."""
+    bench_grams = (benchmark
+                   .select(F.explode(_word_ngrams(F.col(text_col), n))
+                           .alias("gram"))
+                   .distinct())
+    bench_hashes = bench_grams.select(
+        F.xxhash64("gram").alias("_gh")).distinct()
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"))
+    # ONE corpus scan: the hash semi-join keeps candidate (id, gram)
+    # ROWS directly, so the string verify sees only the sliver
+    cand = doc_grams.join(F.broadcast(bench_hashes),
+                          F.xxhash64("gram") == F.col("_gh"),
+                          "left_semi")
+    return (cand
+            .join(bench_grams.hint("shuffle_hash"), "gram", "left_semi")
+            .select(id_col)
+            .distinct())
+
+
 def semantic_decontaminate(corpus: DataFrame, eval_df: DataFrame,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",

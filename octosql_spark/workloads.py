@@ -2562,6 +2562,29 @@ def curate_decontaminate_q(spark, sf_dir):
     return decontaminate(train, bench, n=4)
 
 
+@workload("curate_decontaminate_prefilter", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+             array_to_string(ws[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gram
+      FROM w, UNNEST(range(1, len(ws) - 4 + 2)) AS t(i)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT DISTINCT doc_id FROM g
+WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench)
+""", broadcast_ok=True)
+def curate_decontaminate_prefilter_q(spark, sf_dir):
+    """Large-benchmark decontamination: 64-bit gram-hash prefilter
+    broadcast (8 B/gram) + shuffle string verify on the candidate
+    sliver — byte-identical output to curate_decontaminate (same
+    DuckDB oracle), built for benchmarks too big to broadcast as
+    strings. broadcast_ok: the hinted frames are the benchmark's
+    hash set and the candidate-id sliver, both benchmark-bounded."""
+    from octosql_spark.datapipe import decontaminate_prefilter
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_prefilter(train, bench, n=4)
+
+
 @workload("curate_semantic_decontaminate", """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

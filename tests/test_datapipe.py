@@ -2390,3 +2390,26 @@ def test_cluster_ingest_components_empty_increment(spark):
     got = {(r.node, r.component)
            for r in cluster_ingest_components(labels, inc).collect()}
     assert got == {(1, 1), (2, 1), (7, 7)}
+
+
+def test_decontaminate_prefilter_matches_exact(spark):
+    """The hash-prefilter + shuffle-verify path returns the same ids
+    as the broadcast-strings path, including a planted near-miss
+    (3-gram overlap only — must NOT flag at n=4) and an exact 4-gram
+    hit."""
+    from octosql_spark.datapipe import decontaminate, decontaminate_prefilter
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question about alpha particles"),
+         (101, "what is the capital of atlantis exactly")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "discussion of the secret benchmark question here"),
+         (2, "what is a capital city of france"),  # 3-gram max overlap
+         (3, "totally unrelated content about gardening tips"),
+         (4, "is the capital of atlantis exactly a myth")],
+        "doc_id long, text string")
+    exact = {r.doc_id for r in decontaminate(docs, bench, n=4).collect()}
+    pref = {r.doc_id
+            for r in decontaminate_prefilter(docs, bench, n=4).collect()}
+    assert pref == exact == {1, 4}
