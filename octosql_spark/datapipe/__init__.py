@@ -9,7 +9,8 @@ the genuinely imperative parts like multimodal decode).
 from octosql_spark.datapipe.dedup import (  # noqa: F401
     exact_dedup, minhash_signatures, minhash_lsh_pairs, simhash,
     simhash_near_dup_pairs, ngram_jaccard_pairs, embedding_near_dup_pairs,
-    duplicated_spans, remove_duplicated_spans, minhash_ingest_near_dups,
+    duplicated_spans, remove_duplicated_spans, remove_duplicated_lines,
+    minhash_ingest_near_dups,
     embedding_ingest_near_dups, edit_distance_pairs,
 )
 from octosql_spark.datapipe.similarity import (  # noqa: F401

@@ -1135,3 +1135,56 @@ def hybrid_dedup_evidence(docs: DataFrame, embeddings: DataFrame,
                     F.round(jac, 6).alias("jaccard"),
                     F.coalesce(jac >= F.lit(jaccard_threshold),
                                F.lit(False)).alias("lexical_match")))
+
+
+def remove_duplicated_lines(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            min_dup_docs: int = 2,
+                            sep: str = "\n") -> DataFrame:
+    """Line-level boilerplate removal — CCNet's paragraph dedup
+    (Wenzek et al. 2020 §3.1) and the standard first pass over crawl
+    text: split each document on ``sep``, drop every line whose
+    content recurs in >= ``min_dup_docs`` DISTINCT documents (nav
+    bars, cookie banners, footers), and reassemble the survivors in
+    order. Blank/whitespace-only lines never participate in dup
+    counting and are always kept (they are document structure, and
+    counting them would delete every newline in the corpus).
+
+    Returns one row per input document: (id_col, text_col cleaned,
+    ``n_lines``, ``n_removed``); a document whose every content line
+    was boilerplate comes back with its blank lines only.
+
+    Scale shape: split+posexplode is narrow; the dup-line count is
+    ONE map-side-combined shuffle keyed by the 8-byte line hash (the
+    same xxhash64-fingerprint contract as ``exact_dedup`` — the
+    engine-side key is the hash, the DuckDB oracle groups by the
+    string itself, and the gate proves they agree); the removal is an
+    anti-join on that hash; reassembly is one per-document
+    aggregation. Nothing shuffles full text except the final
+    per-document line collect, which is the output itself."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1))
+        .alias("_pos", "_line"))
+    dup = (lines
+           .filter(F.trim("_line") != "")
+           .groupBy(F.xxhash64("_line").alias("_h"))
+           .agg(F.count_distinct(id_col).alias("_d"))
+           .filter(F.col("_d") >= min_dup_docs)
+           .select("_h"))
+    # one left join to flag dup lines + ONE per-doc aggregation doing
+    # reassembly and both counts together (collect_list skips the NULL
+    # structs of removed lines; an all-removed doc concat_ws's an
+    # empty array to "") — vs the naive anti-join + two groupBys +
+    # join-back, which shuffled the lines three times
+    flagged = lines.join(dup.withColumn("_dup", F.lit(True)),
+                         F.xxhash64(F.col("_line")) == F.col("_h"),
+                         "left")
+    return (flagged.groupBy(id_col)
+            .agg(F.concat_ws(sep, F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("_dup").isNull(),
+                                F.struct("_pos", "_line")))),
+                     lambda s: s["_line"])).alias(text_col),
+                 F.count(F.lit(1)).alias("n_lines"),
+                 F.count("_dup").alias("n_removed")))

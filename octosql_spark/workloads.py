@@ -2585,6 +2585,51 @@ def curate_decontaminate_prefilter_q(spark, sf_dir):
     return decontaminate_prefilter(train, bench, n=4)
 
 
+# line-level boilerplate fixture: HEADER NAV in 4 docs, FOOTER in 3,
+# COOKIE BANNER in 2 — all removed at min_dup_docs=2; blank lines and
+# unique content survive; doc 5 is pure boilerplate and empties out.
+_BOILER_DOCS = [
+    (1, "HEADER NAV\nunique content one\nCOOKIE BANNER\nFOOTER"),
+    (2, "HEADER NAV\nunique content two\nFOOTER"),
+    (3, "HEADER NAV\n\nunique content three\nCOOKIE BANNER"),
+    (4, "all unique here\nnothing shared"),
+    (5, "HEADER NAV\nFOOTER"),
+]
+
+
+@workload("dedup_remove_lines", r"""
+WITH src(doc_id, text) AS (VALUES """ + ", ".join(
+    f"({i}, '" + t.replace("'", "''").replace(chr(10), "' || chr(10) || '")
+    + "')" for i, t in _BOILER_DOCS) + r"""),
+w AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+l AS (SELECT doc_id, ls[CAST(i AS INT)] AS line, i AS pos
+      FROM w, UNNEST(range(1, len(ls) + 1)) AS t(i)),
+dup AS (SELECT line FROM l WHERE trim(line) <> ''
+        GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT doc_id, line, pos FROM l
+         WHERE line NOT IN (SELECT line FROM dup)),
+agg AS (SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS text,
+               COUNT(*) AS kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
+       COALESCE(agg.text, '') AS text,
+       CAST(tot.n_lines AS BIGINT) AS n_lines,
+       CAST(tot.n_lines - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
+FROM tot LEFT JOIN agg USING (doc_id)
+""")
+def dedup_remove_lines_q(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal: lines recurring in
+    >=2 distinct docs are dropped, blanks and unique content survive,
+    reassembly preserves order. Engine side groups by the 8-byte line
+    hash (the exact_dedup fingerprint contract); the DuckDB replay
+    groups by the line STRING — the gate proves they agree."""
+    from octosql_spark.datapipe import remove_duplicated_lines
+    docs = spark.createDataFrame(_BOILER_DOCS, "doc_id long, text string")
+    return remove_duplicated_lines(docs)
+
+
 @workload("curate_semantic_decontaminate", """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

@@ -2413,3 +2413,25 @@ def test_decontaminate_prefilter_matches_exact(spark):
     pref = {r.doc_id
             for r in decontaminate_prefilter(docs, bench, n=4).collect()}
     assert pref == exact == {1, 4}
+
+
+def test_remove_duplicated_lines(spark):
+    """Line-level boilerplate removal: repeated lines drop, blank
+    lines never count as dups and are kept, per-doc counts are right,
+    a pure-boilerplate doc empties to '' and a within-doc repeat
+    (same doc only) does NOT count toward min_dup_docs."""
+    from octosql_spark.datapipe import remove_duplicated_lines
+
+    docs = spark.createDataFrame([
+        (1, "SHARED\nalpha\nSHARED"),       # within-doc repeat of a
+        (2, "SHARED\nbeta"),                # cross-doc dup line
+        (3, "gamma\ngamma\ndelta"),         # within-doc ONLY repeat
+        (4, ""),                            # empty doc
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_lines, r.n_removed)
+           for r in remove_duplicated_lines(docs).collect()}
+    assert got[1] == ("alpha", 3, 2)
+    assert got[2] == ("beta", 2, 1)
+    # gamma repeats only WITHIN doc 3: count_distinct(doc) == 1 < 2
+    assert got[3] == ("gamma\ngamma\ndelta", 3, 0)
+    assert got[4] == ("", 1, 0)
