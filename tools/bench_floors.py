@@ -34,9 +34,16 @@ def main(paths: list[str]) -> int:
         blocks = {k: v for k, v in run["queries"].items()
                   if k != "csv_groupby_baseline_shape"}
         blocks.update(run.get("tpch_suite", {}).get("queries", {}))
+        # sf1 entries measured with count() semantics get a distinct
+        # floor key: a semantics flip (r10 moved dedup_edit_distance
+        # from collect() to count() timing) must invalidate the floor,
+        # not silently blend two incomparable timing bases (ADVICE r10)
+        count_sem = set(run.get("sf1_block", {})
+                        .get("count_semantics", []) or [])
         for name, sec in (run.get("sf1_block", {})
                           .get("queries", {}) or {}).items():
-            blocks[f"sf1/{name}"] = sec
+            suffix = "#count" if name in count_sem else ""
+            blocks[f"sf1/{name}{suffix}"] = sec
         for name, sec in blocks.items():
             if name not in floors or sec < floors[name]:
                 floors[name] = sec
