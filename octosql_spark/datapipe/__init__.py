@@ -16,6 +16,7 @@ from octosql_spark.datapipe.dedup import (  # noqa: F401
 from octosql_spark.datapipe.similarity import (  # noqa: F401
     cosine_topk_bruteforce, lsh_bucketed_topk, embedding_norms,
     ivf_topk, pq_topk, build_ivf_index, ivf_index_topk,
+    build_pq_index, pq_index_topk,
 )
 from octosql_spark.datapipe.text import (  # noqa: F401
     token_count, quality_metrics, language_id, fingerprint,
@@ -28,6 +29,7 @@ from octosql_spark.datapipe.text import (  # noqa: F401
 from octosql_spark.datapipe.cluster import (  # noqa: F401
     connected_components, dedup_clusters, semantic_dedup,
     cluster_representatives, cluster_ingest_components,
+    build_semantic_index, read_semantic_labels, semantic_ingest,
 )
 from octosql_spark.datapipe.curate import (  # noqa: F401
     decontaminate, decontaminate_prefilter, semantic_decontaminate,

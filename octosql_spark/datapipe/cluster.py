@@ -421,6 +421,204 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
     return out
 
 
+def build_semantic_index(embeddings: DataFrame, path: str,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.9, n_cells: int = 16,
+                         seed: int = 42,
+                         train_cap: int = 100_000) -> None:
+    """Write the STORED maintenance form of ``semantic_dedup`` — the
+    base ``semantic_ingest`` increments against (r10 verdict #4: the
+    lexical side has ``stream_cluster_ingest``; the embedding side
+    recomputed cells from scratch). Layout under ``path``:
+
+    - ``cells``: (cell, centroid) — the k-means quantizer, trained
+      ONCE on a bounded sample and frozen; every later increment
+      assigns against these stored centers, which is what makes
+      incremental results comparable to the base at all (SemDeDup's
+      cells are a partition of SPACE; re-training per increment would
+      silently re-shuffle cluster membership);
+    - ``vectors``: (vec_id, nv normalized, ccos, cell) partitioned by
+      ``cell`` — increments probe only their own cells' directories;
+    - ``labels``: (vec_id, cluster_id, ccos) — the current component
+      labels (min member id), from within-cell pairing at
+      ``threshold`` exactly as ``semantic_dedup(method="cells")``
+      pairs them.
+
+    ``read_semantic_labels`` resolves keep flags (min-ccos
+    representative per cluster, the paper's rule)."""
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from octosql_spark.datapipe.similarity import _dot
+
+    sess = embeddings.sparkSession
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).cast("array<double>")
+                          .alias("_v"))
+    norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    e = e.withColumn("nv", F.transform("_v", lambda x: x / norm))
+    n = e.count()
+    frac = min(1.0, 1.2 * float(train_cap) / max(1, n))
+    feat = e.select("vec_id", "nv", array_to_vector("nv")
+                    .alias("features"))
+    tr = ((feat if frac >= 1.0 else feat.sample(False, frac, seed))
+          .select("features")
+          .coalesce(max(2, int(train_cap) // 25_000)).persist())
+    try:
+        model = KMeans(k=n_cells, seed=seed,
+                       featuresCol="features").fit(tr)
+    finally:
+        tr.unpersist()
+    ctrs = sess.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>")
+    x = (model.transform(feat)
+         .withColumn("cell", F.col("prediction").cast("int"))
+         .join(F.broadcast(ctrs), "cell")
+         .select("vec_id", "nv", "cell",
+                 _dot(F.col("nv"), F.col("centroid")).alias("ccos"))
+         .persist())
+    a = x.select(F.col("vec_id").alias("id_a"), "cell",
+                 F.col("nv").alias("_va"))
+    b = x.select(F.col("vec_id").alias("id_b"), "cell",
+                 F.col("nv").alias("_vb"))
+    pairs = (a.join(b, "cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(_dot(F.col("_va"), F.col("_vb")) >= threshold)
+             .select("id_a", "id_b"))
+    comp = connected_components(pairs, max_iter=25)
+    labels = (x.join(comp.withColumnRenamed("node", "vec_id"),
+                     "vec_id", "left")
+              .select("vec_id",
+                      F.coalesce("component", F.col("vec_id"))
+                      .alias("cluster_id"), "ccos"))
+    x.select("vec_id", "nv", "ccos", "cell").write.mode("overwrite") \
+        .partitionBy("cell").parquet(os.path.join(path, "vectors"))
+    labels.write.mode("overwrite").parquet(os.path.join(path, "labels"))
+    ctrs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "cells"))
+    x.unpersist()
+
+
+def read_semantic_labels(spark, path: str) -> DataFrame:
+    """(vec_id, cluster_id, keep) resolved from a semantic index:
+    keep = the cluster's min-ccos member (ties: min id) — SemDeDup's
+    farthest-from-centroid representative rule."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    labels = spark.read.parquet(os.path.join(path, "labels"))
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.col("ccos").asc(),
+                                                 F.col("vec_id").asc()))
+    return (labels.withColumn("_rk", rk)
+            .select("vec_id", "cluster_id",
+                    (F.col("_rk") == 1).alias("keep")))
+
+
+def semantic_ingest(spark, path: str, batch: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    threshold: float = 0.9) -> DataFrame:
+    """Incremental SemDeDup maintenance (r10 verdict #4): assign a
+    NEW vector batch to the STORED k-means cells of a
+    ``build_semantic_index`` index, probe for near-dups only against
+    the stored members of the probed cells (one partition-pruned
+    read) plus within the batch itself, merge labels through the same
+    quotient-graph delta path as ``cluster_ingest_components``, and
+    persist the updated tables. Returns the updated full
+    (vec_id, cluster_id, keep) — equal to ``read_semantic_labels``
+    after the write.
+
+    Scale shape: per increment the work is O(batch) assignment (the
+    bounded cell-center list enters the plan as a literal, like
+    ``ivf_index_topk``), one equi-join of the batch against the
+    probed cells' stored vectors (partition filter: only those cell
+    directories are scanned), label propagation on the
+    increment-bounded quotient graph, and a keep-flag window over the
+    TOUCHED clusters only — never a full-corpus pairing or a
+    re-train. Contract (pinned by the gate entry and a differential
+    test): the result equals ``semantic_dedup(method="cells")``
+    recomputed from scratch on the full corpus whenever the frozen
+    quantizer and a fresh fit partition the vectors into the same
+    cells (well-separated corpora; the planted fixture pins it) —
+    re-training on the grown corpus can legitimately move cell
+    BOUNDARIES, which is exactly why the production index freezes
+    them."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from octosql_spark.datapipe.similarity import (_dot,
+                                                   _nearest_centroid_ids)
+
+    centers = [list(map(float, r.centroid)) for r in
+               spark.read.parquet(os.path.join(path, "cells"))
+               .orderBy("cell").collect()]  # bounded: n_cells rows
+    prior = spark.read.parquet(os.path.join(path, "labels"))
+    b = batch.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    # replay idempotence: already-indexed ids are settled
+    b = b.join(prior.select("vec_id"), "vec_id", "left_anti")
+    norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    b = b.withColumn("nv", F.transform("_v", lambda x: x / norm))
+    b = b.withColumn(
+        "cell", _nearest_centroid_ids(F.col("nv"), centers, 1)[0])
+    ctr = F.array(*[F.array(*[F.lit(float(v)) for v in c])
+                    for c in centers])
+    b = (b.withColumn("ccos",
+                      _dot(F.col("nv"),
+                           F.element_at(ctr, F.col("cell") + 1)))
+         .select("vec_id", "nv", "ccos", "cell").persist())
+    cells = sorted({r.cell for r in
+                    b.select("cell").distinct().collect()})
+    stored = (spark.read.parquet(os.path.join(path, "vectors"))
+              .filter(F.col("cell").isin(cells)))
+    bb = b.select(F.col("vec_id").alias("id_a"), "cell",
+                  F.col("nv").alias("_va"))
+    sb = stored.select(F.col("vec_id").alias("id_b"), "cell",
+                       F.col("nv").alias("_vb"))
+    cross = (bb.join(sb, "cell")
+             .filter(_dot(F.col("_va"), F.col("_vb")) >= threshold)
+             .select("id_a", "id_b"))
+    b2 = b.select(F.col("vec_id").alias("id_b"), "cell",
+                  F.col("nv").alias("_vb"))
+    within = (bb.join(b2, "cell")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .filter(_dot(F.col("_va"), F.col("_vb")) >= threshold)
+              .select("id_a", "id_b"))
+    edges = cross.unionByName(within)
+    # novel batch nodes enter the label table, then the quotient-graph
+    # delta merge relabels exactly the touched components
+    base = prior.select("vec_id", "cluster_id").unionByName(
+        b.select("vec_id", F.col("vec_id").alias("cluster_id")))
+    merged = cluster_ingest_components(
+        base, edges, node_col="vec_id", comp_col="cluster_id")
+    ccos_all = (prior.select("vec_id", "ccos")
+                .unionByName(b.select("vec_id", "ccos")))
+    labels = merged.join(ccos_all, "vec_id")
+    # persist the grown index: batch vectors append into their cell
+    # partitions; the label table is rewritten (it is the small table
+    # — one slim row per vector; the heavy vectors table only appends)
+    b.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "vectors"))
+    out = os.path.join(path, "labels")
+    tmp = os.path.join(path, ".labels_tmp")
+    labels.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    staged.write.mode("overwrite").parquet(out)
+    jvm = spark._jvm
+    tp = jvm.org.apache.hadoop.fs.Path(tmp)
+    tp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(tp, True)
+    b.unpersist()
+    return read_semantic_labels(spark, path)
+
+
 def graph_metrics(edges: DataFrame, a_col: str = "id_a",
                   b_col: str = "id_b") -> DataFrame:
     """Structure metrics of the near-dup graph in one row:

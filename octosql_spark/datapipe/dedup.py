@@ -977,15 +977,34 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def _dup_span_frames(df: DataFrame, id_col: str, text_col: str,
-                     min_len: int, min_dup_docs: int):
+                     min_len: int, min_dup_docs: int,
+                     unit: str = "token"):
     """Shared span-detection core for ``duplicated_spans`` /
     ``remove_duplicated_spans``: returns ``(toks, spans)`` where
-    ``toks`` is (id, n_tokens, _ws words array) and ``spans`` is the
+    ``toks`` is (id, n_tokens, _ws units array) and ``spans`` is the
     merged maximal duplicated spans (id, s, e) in 1-based inclusive
-    token positions. See ``duplicated_spans`` for the topology."""
+    unit positions. ``unit="token"`` splits on whitespace;
+    ``unit="char"`` makes every character a unit (Lee et al. 2021's
+    deployed ExactSubstr policy is CHARACTER-level length-50 matches
+    — token grams cannot see a duplicate that crosses token
+    boundaries with different surrounding whitespace). Same topology
+    either way; only the split and the join separator differ."""
     from pyspark.sql.window import Window
     k = min_len
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    if unit == "char":
+        # split between every pair of characters: lookahead at
+        # neither start nor ABSOLUTE end (\z, not $ — $ also matches
+        # before a final newline and would glue "x\n" into one unit;
+        # and F.split keeps trailing empties, so an end split point
+        # would add a phantom ""). The empty-string guard keeps
+        # n_tokens exact (Java's split of "" yields [""], not []).
+        words = F.when(F.length(F.col(text_col)) == 0,
+                       F.array().cast("array<string>")) \
+                 .otherwise(F.split(F.col(text_col), r"(?!^|\z)"))
+    elif unit == "token":
+        words = F.split(F.trim(F.col(text_col)), r"\s+")
+    else:
+        raise ValueError(f"unit must be 'token' or 'char', got {unit!r}")
     base = df.select(id_col, words.alias("_ws"))
     toks = base.select(id_col, F.size("_ws").alias("n_tokens"), "_ws")
     grams = (toks.filter(F.col("n_tokens") >= k)
@@ -1016,7 +1035,8 @@ def _dup_span_frames(df: DataFrame, id_col: str, text_col: str,
 
 def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", min_len: int = 8,
-                     min_dup_docs: int = 2) -> DataFrame:
+                     min_dup_docs: int = 2,
+                     unit: str = "token") -> DataFrame:
     """Substring-level exact duplicate detection (the train-set dedup
     of Lee et al. 2021, "Deduplicating Training Data Makes Language
     Models Better" — their ExactSubstr pass, re-expressed for a
@@ -1043,9 +1063,14 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     construction); the join back to positions is a plain equi-join
     AQE can re-plan; span merging is a per-document window — parallel
     across documents, never global. No all-pairs stage anywhere.
+
+    ``unit="char"`` switches to character-level grams (the paper's
+    deployed policy is length-50 CHARACTER matches): positions,
+    ``n_tokens`` and spans are then in characters, and duplicates
+    that cross token boundaries are caught — see ``_dup_span_frames``.
     """
     toks, spans = _dup_span_frames(df, id_col, text_col, min_len,
-                                   min_dup_docs)
+                                   min_dup_docs, unit)
     per_doc = (spans.groupBy(id_col).agg(
         F.count(F.lit(True)).alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
@@ -1066,7 +1091,8 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
 
 def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", min_len: int = 8,
-                            min_dup_docs: int = 2) -> DataFrame:
+                            min_dup_docs: int = 2,
+                            unit: str = "token") -> DataFrame:
     """Apply ExactSubstr dedup (Lee et al. 2021 §4.1, the reference's
     policy of dropping the duplicated text rather than the document):
     delete every token covered by a duplicated span (as detected by
@@ -1079,9 +1105,13 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     span-list aggregation; the rewrite itself is a within-row
     higher-order ``filter`` over the words array against the (few)
     merged spans — no extra corpus shuffle, no Python in the row path.
+
+    ``unit="char"`` deletes characters covered by >= ``min_len``-CHAR
+    duplicated runs (the paper's deployed length-50 policy) and
+    reassembles without separators.
     """
     toks, spans = _dup_span_frames(df, id_col, text_col, min_len,
-                                   min_dup_docs)
+                                   min_dup_docs, unit)
     span_arr = (spans.groupBy(id_col).agg(
         F.array_sort(F.collect_list(
             F.struct(F.col("s").cast("long").alias("s"),
@@ -1098,7 +1128,8 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
         id_col,
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("kept_tokens"),
-        F.concat_ws(" ", kept).alias("text_clean"))
+        F.concat_ws("" if unit == "char" else " ", kept)
+        .alias("text_clean"))
 
 
 def hybrid_dedup_evidence(docs: DataFrame, embeddings: DataFrame,

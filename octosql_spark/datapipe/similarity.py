@@ -326,6 +326,53 @@ def _np_kmeans(S, k: int, max_iter: int, rng):
     return cent.tolist()
 
 
+def _pq_centroid(booklit: Column, j, code) -> Column:
+    """Subspace-j centroid #code out of the nested codebook literal."""
+    return F.element_at(F.element_at(booklit, j + 1), code + 1)
+
+
+def _pq_code_expr(vec: Column, booklit: Column, j: int, sub: int,
+                  n_codes: int) -> Column:
+    """Nearest-centroid code of subspace j (squared L2)."""
+    sv = F.slice(vec, j * sub + 1, sub)
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(n_codes - 1)),
+        lambda code: F.struct(
+            F.aggregate(
+                F.zip_with(sv, _pq_centroid(booklit, F.lit(j), code),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            code.alias("c")))
+    return F.array_sort(dists)[0].getField("c")
+
+
+def _pq_adc_table(vec: Column, booklit: Column, n_subvectors: int,
+                  n_codes: int, sub: int) -> Column:
+    """Per-query ADC lookup table of subspace inner products,
+    flat-indexed [j * n_codes + code]."""
+    return F.flatten(F.transform(
+        F.sequence(F.lit(0), F.lit(n_subvectors - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda code: _dot(F.slice(vec, j * sub + 1, sub),
+                              _pq_centroid(booklit, j, code)))))
+
+
+def _pq_nearest_cells(vec: Column, celllit: Column, n_cells: int,
+                      top: int) -> Column:
+    """ids of the ``top`` nearest coarse cells (squared L2)."""
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda cid: F.struct(
+            F.aggregate(
+                F.zip_with(vec, F.element_at(celllit, cid + 1),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            cid.alias("cid")))
+    return F.transform(F.slice(F.array_sort(dists), 1, top),
+                       lambda s: s.getField("cid"))
+
+
 def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_subvectors: int = 8, n_codes: int = 16,
@@ -402,57 +449,22 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                   for ctr in book])
         for book in books])
 
-    def _centroid(j, code) -> Column:
-        return F.element_at(F.element_at(booklit, j + 1), code + 1)
-
-    def _code(vec: Column, j: int) -> Column:
-        """Nearest-centroid code of subspace j (squared L2)."""
-        sv = F.slice(vec, j * sub + 1, sub)
-        dists = F.transform(
-            F.sequence(F.lit(0), F.lit(n_codes - 1)),
-            lambda code: F.struct(
-                F.aggregate(
-                    F.zip_with(sv, _centroid(F.lit(j), code),
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, v: acc + v).alias("d"),
-                code.alias("c")))
-        return F.array_sort(dists)[0].getField("c")
-
     cells = (_np_kmeans(sample, n_cells, max_iter, rng)
              if n_cells else None)
     celllit = (F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
                          for ctr in cells]) if cells else None)
 
-    def _nearest_cells(vec: Column, top: int) -> Column:
-        dists = F.transform(
-            F.sequence(F.lit(0), F.lit(n_cells - 1)),
-            lambda cid: F.struct(
-                F.aggregate(
-                    F.zip_with(vec, F.element_at(celllit, cid + 1),
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, v: acc + v).alias("d"),
-                cid.alias("cid")))
-        return F.transform(F.slice(F.array_sort(dists), 1, top),
-                           lambda s: s.getField("cid"))
-
     encoded = c.select(
         "neighbor_id",
-        F.array(*[_code(F.col("_cv"), j)
+        F.array(*[_pq_code_expr(F.col("_cv"), booklit, j, sub, n_codes)
                   for j in range(n_subvectors)]).alias("_codes"),
-        *([_nearest_cells(F.col("_cv"), 1)[0].alias("_cell")]
-          if cells else []))
+        *([_pq_nearest_cells(F.col("_cv"), celllit, n_cells, 1)[0]
+           .alias("_cell")] if cells else []))
 
-    # --- serve: per-query ADC table of subspace inner products,
-    # flat-indexed [j * n_codes + code]
-    def _adc_table(vec: Column) -> Column:
-        return F.flatten(F.transform(
-            F.sequence(F.lit(0), F.lit(n_subvectors - 1)),
-            lambda j: F.transform(
-                F.sequence(F.lit(0), F.lit(n_codes - 1)),
-                lambda code: _dot(F.slice(vec, j * sub + 1, sub),
-                                  _centroid(j, code)))))
-
-    qt = q.select("query_id", "_qv", _adc_table(F.col("_qv")).alias("_tab"))
+    # --- serve: per-query ADC table of subspace inner products
+    qt = q.select("query_id", "_qv",
+                  _pq_adc_table(F.col("_qv"), booklit, n_subvectors,
+                                n_codes, sub).alias("_tab"))
     approx_ip = F.aggregate(
         F.sequence(F.lit(0), F.lit(n_subvectors - 1)),
         F.lit(0.0),
@@ -462,7 +474,8 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .cast("int")))
     if cells:
         qt = qt.withColumn(
-            "_cell", F.explode(_nearest_cells(F.col("_qv"), n_probe)))
+            "_cell", F.explode(_pq_nearest_cells(F.col("_qv"), celllit,
+                                                 n_cells, n_probe)))
         cand = encoded.join(F.broadcast(qt), "_cell")
     else:
         cand = encoded.crossJoin(F.broadcast(qt))
@@ -478,6 +491,191 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
     return (rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def build_pq_index(corpus: DataFrame, path: str,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_subvectors: int = 8, n_codes: int = 16,
+                   n_cells: int | None = None,
+                   train_rows: int = 25_000, max_iter: int = 10,
+                   seed: int = 42,
+                   coarse_path: str | None = None) -> None:
+    """Write the STORED serving form of ``pq_topk``/IVF-PQ — the
+    build-once/probe-many split that is the production shape at
+    100 TB (FAISS index files): codebooks train ONCE here and
+    ``pq_index_topk`` probes with NO training stage in its plan
+    (r10 verdict #3: ``pq_topk`` retrained per call).
+
+    Layout under ``path``:
+    - ``codebooks``: (j, code, centroid) — n_subvectors × n_codes rows;
+    - ``cells``: (cell, centroid) coarse quantizer — only with
+      ``n_cells`` (IVF-PQ). Pass ``coarse_path`` pointing at an
+      existing ``build_ivf_index`` dir to REUSE its stored coarse
+      quantizer instead of training a new one (shared cell space
+      between the IVF and IVF-PQ indexes — probes stay comparable);
+    - ``codes``: (vec_id, codes array<int>) — the compressed corpus,
+      partitioned by ``cell`` when coarse cells exist so a probe
+      lists only its cells' directories;
+    - ``vectors``: (vec_id, vec), same partitioning — raw vectors
+      fetched only for the bounded rerank candidates;
+    - ``meta``: one row (n_subvectors, n_codes, sub).
+
+    Training pulls a bounded ``train_rows`` sample (quantizer quality
+    saturates long before the corpus is exhausted); encoding is a
+    one-pass map whose codebooks enter the write plan as a single
+    nested literal."""
+    import os
+
+    import numpy as np
+
+    sess = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("vec"))
+    sample = np.array(
+        [r[0] for r in c.select("vec").limit(train_rows).collect()],
+        dtype="float64")
+    dim = sample.shape[1]
+    if dim % n_subvectors:
+        raise ValueError(f"dim {dim} not divisible by {n_subvectors}")
+    sub = dim // n_subvectors
+    if len(sample) < max(n_codes, n_cells or 0):
+        raise ValueError(f"corpus sample ({len(sample)}) smaller than "
+                         f"n_codes/n_cells")
+    rng = np.random.RandomState(seed)
+    books = [_np_kmeans(sample[:, j * sub:(j + 1) * sub],
+                        n_codes, max_iter, rng)
+             for j in range(n_subvectors)]
+    booklit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
+                  for ctr in book])
+        for book in books])
+
+    cells = None
+    if coarse_path is not None:
+        cells = [list(map(float, r.centroid)) for r in
+                 sess.read.parquet(os.path.join(coarse_path,
+                                                "centroids"))
+                 .orderBy("cell").collect()]
+        n_cells = len(cells)
+    elif n_cells:
+        cells = _np_kmeans(sample, n_cells, max_iter, rng)
+    celllit = (F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
+                         for ctr in cells]) if cells else None)
+
+    codes = F.array(*[_pq_code_expr(F.col("vec"), booklit, j, sub,
+                                    n_codes)
+                      for j in range(n_subvectors)])
+    enc = c.select("vec_id", "vec", codes.alias("codes"),
+                   *([_pq_nearest_cells(F.col("vec"), celllit, n_cells,
+                                        1)[0].alias("cell")]
+                     if cells else []))
+    part = ["cell"] if cells else []
+    w = enc.select("vec_id", "codes", *part).write.mode("overwrite")
+    (w.partitionBy(*part) if part else w).parquet(
+        os.path.join(path, "codes"))
+    w = enc.select("vec_id", "vec", *part).write.mode("overwrite")
+    (w.partitionBy(*part) if part else w).parquet(
+        os.path.join(path, "vectors"))
+    book_rows = [(j, code, [float(x) for x in ctr])
+                 for j, book in enumerate(books)
+                 for code, ctr in enumerate(book)]
+    (sess.createDataFrame(book_rows,
+                          "j int, code int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "codebooks")))
+    if cells:
+        (sess.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(cells)],
+            "cell int, centroid array<double>")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(path, "cells")))
+    (sess.createDataFrame([(n_subvectors, n_codes, sub)],
+                          "n_subvectors int, n_codes int, sub int")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "meta")))
+
+
+def pq_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
+                  rerank: int = 50, n_probe: int = 4,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Top-k probe of a ``build_pq_index`` index — ADC scoring over
+    the stored code table with exact rerank, NO training anywhere in
+    the plan (the codebooks and coarse cells come back as bounded
+    driver reads and enter the plan as literals, exactly like
+    ``ivf_index_topk``'s centroid list). With coarse cells the query
+    batch's probed cell set pushes as a static ``cell IN (...)``
+    partition filter, so the code scan reads ~n_probe/n_cells of the
+    compressed bytes and the raw-vector fetch only the rerank
+    candidates' cells. Returns (query_id, neighbor_id, rank, cosine)
+    — cosines exact on the returned rows."""
+    import os
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    n_subvectors, n_codes, sub = (meta.n_subvectors, meta.n_codes,
+                                  meta.sub)
+    books: dict = {}
+    for r in spark.read.parquet(os.path.join(path, "codebooks")) \
+            .collect():  # bounded: n_subvectors x n_codes rows
+        books.setdefault(r.j, {})[r.code] = list(map(float, r.centroid))
+    booklit = F.array(*[
+        F.array(*[F.array(*[F.lit(x) for x in books[j][code]])
+                  for code in range(n_codes)])
+        for j in range(n_subvectors)])
+    try:
+        cells = [list(map(float, r.centroid)) for r in
+                 spark.read.parquet(os.path.join(path, "cells"))
+                 .orderBy("cell").collect()]  # bounded: n_cells rows
+    except Exception:  # noqa: BLE001 — flat PQ index (no coarse stage)
+        cells = None
+    celllit = (F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
+                         for ctr in cells]) if cells else None)
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_qv"))
+    qt = q.select("query_id", "_qv",
+                  _pq_adc_table(F.col("_qv"), booklit, n_subvectors,
+                                n_codes, sub).alias("_tab"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    if cells:
+        qt = qt.withColumn(
+            "cell", F.explode(_pq_nearest_cells(F.col("_qv"), celllit,
+                                                len(cells), n_probe)))
+        probed = sorted({r.cell for r in
+                         qt.select("cell").distinct().collect()})
+        codes = codes.filter(F.col("cell").isin(probed))
+        cand = codes.join(F.broadcast(qt), "cell")
+    else:
+        cand = codes.crossJoin(F.broadcast(qt))
+    approx_ip = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_subvectors - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.col("_tab"),
+            (j * n_codes + F.element_at(F.col("codes"), j + 1) + 1)
+            .cast("int")))
+    cand = (cand.filter(F.col("query_id") != F.col("vec_id"))
+            .withColumn("_aip", approx_ip))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_aip").desc(),
+                                                F.col("vec_id"))
+    shortlist = (cand.withColumn("_r", F.row_number().over(wq))
+                 .filter(F.col("_r") <= rerank)
+                 .select("query_id",
+                         F.col("vec_id").alias("neighbor_id"), "_qv",
+                         *(["cell"] if cells else [])))
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    if cells:
+        vecs = vecs.filter(F.col("cell").isin(probed)).drop("cell")
+    rescored = (shortlist.drop(*(["cell"] if cells else []))
+                .join(vecs.withColumnRenamed("vec_id", "neighbor_id"),
+                      "neighbor_id")
+                .withColumn("cosine", _dot(F.col("_qv"), F.col("vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (rescored.withColumn("rank",
+                                F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
 

@@ -366,25 +366,40 @@ def read_cluster_labels(spark: SparkSession, labels_path: str,
             .select(id_col, "component"))
 
 
+_COMPACT_BASE_EPOCH = -1  # reserved: below every foreachBatch epoch id
+
+
 def compact_cluster_labels(spark: SparkSession, labels_path: str,
                            id_col: str = "doc_id") -> int:
     """Offline compaction for a ``stream_cluster_ingest`` label table:
-    fold every delta into the NEWEST epoch partition (full
-    latest-per-node state) and drop the older epoch dirs, so
-    ``read_cluster_labels``'s window and the ingest loop's pushdown
-    scans stop paying for history. Run while the stream is stopped.
+    fold every delta into the reserved BASE partition
+    ``epoch=-1`` (full latest-per-node state) and drop the stream
+    epoch dirs, so ``read_cluster_labels``'s window and the ingest
+    loop's pushdown scans stop paying for history. Run while the
+    stream is stopped.
 
-    The rewrite lands INSIDE the existing max epoch id — introducing a
-    NEW higher epoch would collide with the next micro-batch id when
-    the stream resumes from its checkpoint. Ordering is crash-aware:
-    the full state is staged to ``.compact_tmp`` first, so the only
-    unsafe window is the overwrite of the max-epoch dir itself, and
-    the staged copy survives for manual recovery (true atomicity
-    needs a table format with commit semantics — out of scope for
-    plain parquet). Uses the Hadoop FileSystem API throughout, so the
-    same code compacts HDFS/S3A-resident tables.
+    The base epoch is numbered BELOW every possible stream epoch
+    (foreachBatch ids start at 0), which makes compaction safe
+    against checkpoint-uncommitted crashes (ADVICE r10): if the max
+    epoch present was written by a micro-batch that crashed before
+    its checkpoint commit, the restart REPLAYS that epoch id — under
+    the old fold-into-max-epoch scheme the replay's overwrite of
+    ``epoch=max`` destroyed the compacted full state (the older
+    epochs it folded were already deleted). With the base at -1 the
+    replay overwrites only its own epoch dir; ``_read_prior``'s
+    ``epoch < replay_id`` filter still sees the base (which already
+    incorporates the crashed epoch's labels), the replay recomputes
+    the same merges, finds every endpoint already carrying its label,
+    and writes an empty-or-equal delta — state is preserved either
+    way. Ordering within compaction itself is also crash-aware: the
+    full state is staged to ``.compact_tmp`` first, then written to
+    the base, and stream epoch dirs are deleted only after the base
+    write returns; the staged copy survives for manual recovery
+    (true atomicity needs a table format with commit semantics — out
+    of scope for plain parquet). Uses the Hadoop FileSystem API
+    throughout, so the same code compacts HDFS/S3A-resident tables.
 
-    Returns the number of epoch directories removed."""
+    Returns the number of stream epoch directories removed."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(labels_path)
@@ -399,19 +414,17 @@ def compact_cluster_labels(spark: SparkSession, labels_path: str,
                 epochs.append(int(name.split("=", 1)[1]))
             except ValueError:
                 continue
-    if len(epochs) <= 1:
+    stream_epochs = [e for e in epochs if e > _COMPACT_BASE_EPOCH]
+    if not stream_epochs:
         return 0
-    max_e = max(epochs)
     tmp = jvm.org.apache.hadoop.fs.Path(labels_path + "/.compact_tmp")
     cur = read_cluster_labels(spark, labels_path, id_col)
     cur.write.mode("overwrite").parquet(tmp.toString())
     (spark.read.parquet(tmp.toString())
      .write.mode("overwrite")
-     .parquet(f"{labels_path}/epoch={max_e}"))
+     .parquet(f"{labels_path}/epoch={_COMPACT_BASE_EPOCH}"))
     removed = 0
-    for e in sorted(epochs):
-        if e == max_e:
-            continue
+    for e in sorted(stream_epochs):
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             f"{labels_path}/epoch={e}"), True)
         removed += 1
@@ -469,13 +482,28 @@ def stream_cluster_ingest(df: DataFrame, corpus_path: str,
     Correctness contract (pinned by the equivalence test): after any
     sequence of batches, ``read_cluster_labels`` equals
     ``dedup_clusters`` run from scratch on the full corpus with the
-    same LSH parameters — modulo the same ``max_bucket`` cap both
-    paths share."""
+    same LSH parameters, for corpora whose LSH buckets stay within
+    ``max_bucket``. Cap semantics AT the boundary (ADVICE r10):
+
+    - each epoch counts a bucket's population over the UNION of the
+      stored index and the batch's bands — the same population a
+      recompute counts — so a bucket that exceeds the cap only when
+      combined is suppressed on both paths alike;
+    - verbatim within-batch duplicates always connect (linear
+      hash-chain edges, cap-exempt), mirroring the batch operator's
+      collapse exemption; verbatim duplicates split ACROSS epochs in
+      an over-cap bucket may not — the batch collapse counts distinct
+      contents where the stored index counts raw docs;
+    - cap history is monotone: edges committed while a bucket was
+      under the cap persist after later growth pushes it over,
+      whereas a from-scratch recompute would suppress the whole
+      bucket. Merges are never undone — by design (dedup merges are
+      permanent); an exact-parity rebuild is ``dedup_clusters`` on
+      the full corpus."""
     import os
 
     from octosql_spark.datapipe.dedup import (_band_table,
                                               _word_shingles,
-                                              minhash_lsh_pairs,
                                               minhash_signatures)
 
     def _latest(rows: DataFrame) -> DataFrame:
@@ -504,32 +532,98 @@ def stream_cluster_ingest(df: DataFrame, corpus_path: str,
         batch = _persist(batch)
         try:
             # -- increment edge set --------------------------------
-            within = minhash_lsh_pairs(
-                batch, id_col, text_col, num_hashes, bands, shingle,
-                jaccard_threshold, max_bucket, collapse=True,
-                cache_registry=epoch_caches).select("id_a", "id_b")
+            # Candidates come from ONE combined bucket pass: the
+            # batch's band table and the (bucket-restricted) prior
+            # index are counted TOGETHER per (band_id, band_hash), and
+            # ``max_bucket`` applies to that combined population — the
+            # same population a from-scratch recompute counts — so a
+            # bucket that exceeds the cap only when batch and prior
+            # members are combined is suppressed on both paths alike
+            # (ADVICE r10; the old code capped the two sides
+            # independently). Within-batch candidate pairs and
+            # batch-vs-corpus probes both draw from the surviving
+            # buckets; verification is exact shingle Jaccard either
+            # way. Verbatim within-batch duplicates additionally get
+            # LINEAR hash-chain edges (connectivity needs a chain,
+            # not a clique), so byte-identical docs cluster even when
+            # their shared buckets blow past the cap — mirroring the
+            # collapse semantics of the batch operator.
             bs = minhash_signatures(batch, text_col, num_hashes,
                                     shingle).select(id_col, "minhash")
             bb = _persist(_band_table(bs, id_col, num_hashes, bands)
                           .withColumnRenamed(id_col, "batch_id"))
-            edges = within
             idx = _read_prior(sess, index_path, epoch_id)
+            if idx is not None and prior_corpus is None:
+                raise RuntimeError(
+                    f"cluster ingest: index at {index_path} has "
+                    f"prior epochs but corpus at {corpus_path} is "
+                    f"missing — the tables are maintained "
+                    f"together; refusing to ingest")
             if idx is not None:
-                if prior_corpus is None:
-                    raise RuntimeError(
-                        f"cluster ingest: index at {index_path} has "
-                        f"prior epochs but corpus at {corpus_path} is "
-                        f"missing — the tables are maintained "
-                        f"together; refusing to ingest")
+                # restrict the stored index to the batch's candidate
+                # buckets before any aggregation (r8 review: the full-
+                # index groupBy shuffled every epoch per micro-batch)
                 pb = (bb.select("band_id", "band_hash")
                       .dropDuplicates(["band_id", "band_hash"]))
-                idx = idx.join(pb, ["band_id", "band_hash"], "leftsemi")
-                sizes = (idx.groupBy("band_id", "band_hash")
-                         .agg(F.count(F.lit(True)).alias("_n"))
-                         .filter(F.col("_n") <= max_bucket).drop("_n"))
-                cand = (bb.join(idx.join(sizes,
-                                         ["band_id", "band_hash"]),
-                                ["band_id", "band_hash"])
+                idx = _persist(
+                    idx.join(pb, ["band_id", "band_hash"], "leftsemi")
+                    .select("corpus_id", "band_id", "band_hash"))
+            bsizes = (bb.groupBy("band_id", "band_hash")
+                      .agg(F.count(F.lit(True)).alias("_bn")))
+            if idx is not None:
+                psizes = (idx.groupBy("band_id", "band_hash")
+                          .agg(F.count(F.lit(True)).alias("_pn")))
+                sizes = (bsizes.join(psizes, ["band_id", "band_hash"],
+                                     "left")
+                         .select("band_id", "band_hash",
+                                 (F.col("_bn")
+                                  + F.coalesce("_pn", F.lit(0)))
+                                 .alias("_n")))
+            else:
+                sizes = bsizes.withColumnRenamed("_bn", "_n")
+            ok = (sizes.filter(F.col("_n") <= max_bucket)
+                  .select("band_id", "band_hash"))
+            bbok = _persist(bb.join(ok, ["band_id", "band_hash"],
+                                    "leftsemi"))
+            bsh = _persist(batch.select(
+                F.col(id_col).alias("batch_id"),
+                _word_shingles(F.col(text_col), shingle).alias("_sa")))
+            inter = F.size(F.array_intersect("_sa", "_sb"))
+            union = F.size(F.array_union("_sa", "_sb"))
+            # within-batch: self-join on surviving buckets (fan-out
+            # bounded by max_bucket), verified with exact Jaccard
+            wcand = (bbok.join(bbok
+                               .withColumnRenamed("batch_id", "_b2"),
+                               ["band_id", "band_hash"])
+                     .filter(F.col("batch_id") < F.col("_b2"))
+                     .select("batch_id", "_b2")
+                     .dropDuplicates(["batch_id", "_b2"]))
+            bsh2 = bsh.select(F.col("batch_id").alias("_b2"),
+                              F.col("_sa").alias("_sb"))
+            within = (wcand.join(bsh, "batch_id").join(bsh2, "_b2")
+                      .filter((inter / union) >= jaccard_threshold)
+                      .select(F.col("batch_id").alias("id_a"),
+                              F.col("_b2").alias("id_b")))
+            # verbatim dup chain edges (linear, cap-exempt)
+            hashed = (batch.filter(F.col(text_col).isNotNull())
+                      .select(id_col,
+                              F.xxhash64(F.col(text_col)).alias("_h")))
+            hgrp = (hashed.groupBy("_h")
+                    .agg(F.array_sort(F.collect_list(id_col))
+                         .alias("_ids"))
+                    .filter(F.size("_ids") >= 2))
+            chain = F.transform(
+                F.slice(F.col("_ids"), 1, F.size("_ids") - 1),
+                lambda x, i: F.struct(
+                    x.alias("id_a"),
+                    F.element_at(F.col("_ids"), i + 2).alias("id_b")))
+            exact = (hgrp.select(F.explode(chain).alias("_p"))
+                     .select("_p.id_a", "_p.id_b"))
+            edges = within.unionByName(exact)
+            if idx is not None:
+                # bbok carries only surviving buckets, so the bucket
+                # equi-join restricts idx to them implicitly
+                cand = (bbok.join(idx, ["band_id", "band_hash"])
                         .select("batch_id", "corpus_id")
                         .dropDuplicates(["batch_id", "corpus_id"]))
                 cids = (cand.select(F.col("corpus_id").alias(id_col))
@@ -538,12 +632,6 @@ def stream_cluster_ingest(df: DataFrame, corpus_path: str,
                        .select(F.col(id_col).alias("corpus_id"),
                                _word_shingles(F.col(text_col), shingle)
                                .alias("_sb")))
-                bsh = batch.select(
-                    F.col(id_col).alias("batch_id"),
-                    _word_shingles(F.col(text_col), shingle)
-                    .alias("_sa"))
-                inter = F.size(F.array_intersect("_sa", "_sb"))
-                union = F.size(F.array_union("_sa", "_sb"))
                 cross = (cand.join(bsh, "batch_id")
                          .join(csh, "corpus_id")
                          .filter((inter / union) >= jaccard_threshold)

@@ -1797,6 +1797,49 @@ def dedup_remove_spans_q(spark, sf_dir):
     return remove_duplicated_spans(d, min_len=8)
 
 
+@workload("dedup_remove_spans_chars", """
+WITH t AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n_tokens
+           FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             substr(text, CAST(i AS INT), 40) AS gram
+      FROM t, UNNEST(range(1, n_tokens - 40 + 2)) AS r(i)
+      WHERE n_tokens >= 40),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+cov AS (SELECT DISTINCT p.doc_id, p.pos + CAST(j AS BIGINT) AS idx
+        FROM p, UNNEST(range(0, 40)) AS u(j)),
+tok AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+               substr(text, CAST(i AS INT), 1) AS w
+        FROM t, UNNEST(range(1, n_tokens + 1)) AS r(i)),
+kept AS (SELECT tok.doc_id, tok.idx, tok.w
+         FROM tok LEFT JOIN cov
+           ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+         WHERE cov.doc_id IS NULL),
+ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+              string_agg(w, '' ORDER BY idx) AS text_clean
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(ka.text_clean, '') AS text_clean
+FROM t LEFT JOIN ka USING (doc_id)
+""")
+def dedup_remove_spans_chars_q(spark, sf_dir):
+    """ExactSubstr at CHARACTER granularity (r10 verdict #5): Lee et
+    al. 2021's deployed policy removes length-50+ character matches,
+    not token n-grams — a duplicate that crosses token boundaries
+    with different surrounding whitespace is invisible to token
+    grams but caught here (pinned by the planted pytest case).
+    Same frame machinery as dedup_remove_spans with unit="char"
+    (40-char runs duplicated across >= 2 docs at this fixture's
+    scale); positions/counts are characters and reassembly joins
+    without separators. Scale shape identical: 8-byte gram hashes
+    through one count shuffle — never the gram text."""
+    from octosql_spark.datapipe import remove_duplicated_spans
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicated_spans(d, min_len=40, unit="char")
+
+
 @workload("dedup_ngram_jaccard", """
 WITH d AS (
   SELECT doc_id,
@@ -3365,6 +3408,73 @@ def dedup_semantic_cells_q(spark, sf_dir):
                 .alias("keep_one_per_cluster_ok"))))
 
 
+# ---- planted semantic-ingest fixture: expected labels known BY
+# CONSTRUCTION. 3 mutually-orthogonal planes in R^8; cluster i's
+# members are cos(θ)·e_i + sin(θ)·e_{3+i}. Base members sit at
+# θ=5°,10°,15° (ids 10i..10i+2) — their k-means center is EXACTLY the
+# 10° direction (Σsin/Σcos telescopes). The increment adds θ=20°,30°
+# (ids 10i+3, 10i+4; every pairwise angle within the five ≤ 25°, so
+# cos ≥ cos25° ≈ 0.906 ≥ the 0.9 threshold — one component, label
+# 10i) and an in-plane OUTLIER at θ=80° (id 10i+5; nearest member
+# 50° away, cos50° ≈ 0.64 < 0.9 — same cell, no edge, singleton).
+# keep = farthest-from-centroid: ccos ∝ cos(θ−10°), minimized at
+# θ=30° → id 10i+4 (and the singleton keeps itself).
+
+_SEM_INGEST_EXPECTED = sorted(
+    [(10 * i + j, 10 * i, j == 4) for i in range(3) for j in range(5)]
+    + [(10 * i + 5, 10 * i + 5, True) for i in range(3)])
+
+_SEM_INGEST_SQL = (
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+    "CAST(cluster_id AS BIGINT) AS cluster_id, keep FROM (VALUES "
+    + ", ".join(f"({v}, {c}, {'TRUE' if k else 'FALSE'})"
+                for v, c, k in _SEM_INGEST_EXPECTED)
+    + ") AS t(vec_id, cluster_id, keep)")
+
+
+def _sem_planted(spark):
+    import math
+
+    def vec(i, deg):
+        v = [0.0] * 8
+        th = math.radians(deg)
+        v[i] = math.cos(th)
+        v[3 + i] = math.sin(th)
+        return v
+
+    base = [(10 * i + j, vec(i, 5 * (j + 1)))
+            for i in range(3) for j in range(3)]
+    inc = ([(10 * i + 3, vec(i, 20)) for i in range(3)]
+           + [(10 * i + 4, vec(i, 30)) for i in range(3)]
+           + [(10 * i + 5, vec(i, 80)) for i in range(3)])
+    schema = "vec_id long, embedding array<double>"
+    return (spark.createDataFrame(base, schema),
+            spark.createDataFrame(inc, schema))
+
+
+@workload("dedup_semantic_ingest", _SEM_INGEST_SQL)
+def dedup_semantic_ingest_q(spark, sf_dir):
+    """Incremental SemDeDup maintenance (r10 verdict #4:
+    datapipe.cluster.build_semantic_index → semantic_ingest): the
+    embedding twin of cluster_ingest_components — new vectors assign
+    to the STORED k-means cells (frozen quantizer), near-dup probes
+    touch only the probed cells' stored members (partition-pruned
+    read), labels merge through the quotient-graph delta path, and
+    keep flags follow the paper's farthest-from-centroid rule.
+    Planted-fixture pinned: labels and keeps equal the construction
+    (comment above) exactly."""
+    import tempfile
+
+    from octosql_spark.datapipe import (build_semantic_index,
+                                        semantic_ingest)
+    b, inc = _sem_planted(spark)
+    path = tempfile.mkdtemp(prefix="octosql_sem_idx_")
+    build_semantic_index(b, path, threshold=0.9, n_cells=3)
+    out = semantic_ingest(spark, path, inc, threshold=0.9)
+    return out.select("vec_id", F.col("cluster_id").cast("long")
+                      .alias("cluster_id"), "keep")
+
+
 @workload("dedup_embedding_cosine_lsh", """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
@@ -3779,6 +3889,31 @@ def ann_ivfpq_topk_q(spark, sf_dir):
     return _ann_rank_cols(
         pq_topk(q, c, k=3, n_subvectors=2, n_codes=8, rerank=15,
                 n_cells=3, n_probe=1))
+
+
+@workload("ann_pq_index_topk", _ANN_VALUES_SQL)
+def ann_pq_index_topk_q(spark, sf_dir):
+    """STORED IVF-PQ index (datapipe.similarity.build_pq_index →
+    pq_index_topk, r10 verdict #3): codebooks + coarse cells train
+    ONCE at build time; the probe plan contains NO training stage —
+    codebooks/cells come back as bounded parquet reads and the
+    cell-partitioned code table is scanned under a static partition
+    filter (build-once/probe-many, the FAISS index-file serving
+    shape). Planted-fixture pinned: rerank >= |corpus| makes final
+    scores exact, so the output must equal the construction's exact
+    ranking. The coarse quantizer is REUSED from a build_ivf_index
+    dir (coarse_path), pinning the shared-cell-space contract too."""
+    import tempfile
+
+    from octosql_spark.datapipe import (build_ivf_index, build_pq_index,
+                                        pq_index_topk)
+    c, q = _planted_ann(spark)
+    ivf = tempfile.mkdtemp(prefix="octosql_ivf_for_pq_")
+    build_ivf_index(c, ivf, n_centroids=3)
+    path = tempfile.mkdtemp(prefix="octosql_pq_idx_")
+    build_pq_index(c, path, n_subvectors=2, n_codes=8, coarse_path=ivf)
+    return _ann_rank_cols(
+        pq_index_topk(spark, path, q, k=3, rerank=15, n_probe=1))
 
 
 @workload("ann_lsh_topk", _ANN_VALUES_SQL, cartesian_ok=True)

@@ -92,3 +92,26 @@ def test_verify_refuses_red_or_missing(tmp_path, monkeypatch):
     _git(d, "add", "-A")
     _git(d, "commit", "-qm", "red closeout")
     assert _verify(monkeypatch, d) == 1
+
+
+def test_verify_refuses_non_py_code_in_new_dir(tmp_path, monkeypatch):
+    """ADVICE r10: the artifact check is an ALLOWLIST — behavior-
+    bearing non-.py files in a new top-level directory (scripts/
+    run.sh, SQL fixture dirs) are code and must refuse, not slip
+    through as 'artifact-only'."""
+    d = _fake_repo(tmp_path)
+    _certify(d)
+    (d / "scripts").mkdir()
+    (d / "scripts" / "run.sh").write_text("echo hi\n")
+    _git(d, "add", "-A")
+    _git(d, "commit", "-qm", "helper script")
+    assert _verify(monkeypatch, d) == 1
+
+
+def test_verify_refuses_unknown_top_level_file(tmp_path, monkeypatch):
+    d = _fake_repo(tmp_path)
+    _certify(d)
+    (d / "setup.cfg").write_text("[tool]\n")
+    _git(d, "add", "-A")
+    _git(d, "commit", "-qm", "config")
+    assert _verify(monkeypatch, d) == 1

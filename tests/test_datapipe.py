@@ -76,6 +76,55 @@ def test_ivf_index_build_and_probe(spark, sf_dir, tmp_path):
             assert r.cosine == bf[(r.query_id, r.neighbor_id)]
 
 
+def test_pq_index_build_and_probe(spark, sf_dir, tmp_path):
+    """Stored PQ/IVF-PQ index (r10 verdict #3): build once, probe with
+    NO training stage in the plan. rerank >= |corpus| makes the final
+    scores exact, so a full-coverage probe equals brute force; the
+    cell-partitioned code scan pushes a static PartitionFilter; and a
+    build with coarse_path REUSES the IVF index's stored quantizer
+    (cells table equals the IVF centroids table)."""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = dp.cosine_topk_bruteforce(q, emb, k=5)
+    as_set = lambda df: {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+                         for r in df.collect()}
+
+    # flat PQ (no coarse stage): rerank = corpus → exact equality
+    flat = str(tmp_path / "pq_flat")
+    dp.build_pq_index(emb, flat, n_subvectors=4, n_codes=16)
+    out = dp.pq_index_topk(spark, flat, q, k=5, rerank=n)
+    assert as_set(out) == as_set(brute)
+
+    # IVF-PQ with the coarse quantizer REUSED from a stored IVF index
+    ivf = str(tmp_path / "ivf_for_pq")
+    dp.build_ivf_index(emb, ivf, n_centroids=8)
+    pq = str(tmp_path / "pq_ivf")
+    dp.build_pq_index(emb, pq, n_subvectors=4, n_codes=16,
+                      coarse_path=ivf)
+    import os
+    ivf_ctrs = {(r.cell, tuple(r.centroid)) for r in spark.read.parquet(
+        os.path.join(ivf, "centroids")).collect()}
+    pq_cells = {(r.cell, tuple(r.centroid)) for r in spark.read.parquet(
+        os.path.join(pq, "cells")).collect()}
+    assert pq_cells == ivf_ctrs
+    # full probe of every cell + full rerank → exact equality again
+    out2 = dp.pq_index_topk(spark, pq, q, k=5, rerank=n, n_probe=8)
+    assert as_set(out2) == as_set(brute)
+    # partial probe: static partition filter on the code scan, no
+    # KMeans anywhere in the serving plan
+    part = dp.pq_index_topk(spark, pq, q, k=5, rerank=10, n_probe=2)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "KMeans" not in plan
+    # partial-probe hits carry exact cosines
+    bf = {(r.query_id, r.neighbor_id): r.cosine for r in brute.collect()}
+    for r in part.collect():
+        if (r.query_id, r.neighbor_id) in bf:
+            assert r.cosine == bf[(r.query_id, r.neighbor_id)]
+
+
 def test_simhash_md5_60_mode(spark, docs):
     """The engine-neutral md5_60 token hash (used by the gate oracle)
     drives the same banding/verification topology: identical texts
@@ -667,6 +716,81 @@ def test_semantic_dedup_cells_outlier_rep(spark):
     kept = [i for i in grp if got[i]["keep"]]
     assert len(kept) == 1                     # exactly one representative
     assert sum(1 for r in out if r.keep) == 4  # 14, 20, 21 + the rep
+
+
+def test_char_mode_catches_cross_token_boundary_dup(spark):
+    """r10 verdict #5: Lee et al.'s deployed ExactSubstr removes
+    length-50 CHARACTER matches; token n-grams cannot see a duplicate
+    whose boundary falls mid-token. Planted: two docs share a 44-char
+    run, but in doc 2 the run's first word is fused to a leading 'qq'
+    (different tokenization) — token mode at ANY n>=2 finds nothing
+    (the shared region is only 3 intact shared tokens), char mode
+    finds the run in both docs and removes exactly it."""
+    run = "abcdefghij klmnopqrst uvwxyzabcd efghijklmn"  # 43 chars
+    docs = spark.createDataFrame(
+        [(1, "intro words " + run + " tail one"),
+         (2, "qq" + run + " other ending")],
+        "doc_id long, text string")
+    # token mode: the fused 'qqabcdefghij' breaks the leading gram and
+    # only 3 shared intact tokens remain — below a 4-token window
+    tok = {r.doc_id: r.n_dup_spans for r in dp.duplicated_spans(
+        docs, min_len=4, unit="token").collect()}
+    assert tok == {1: 0, 2: 0}
+    # char mode: the 43-char run clears a 40-char window in BOTH docs
+    ch = {r.doc_id: r.asDict() for r in dp.duplicated_spans(
+        docs, min_len=40, unit="char").collect()}
+    assert ch[1]["n_dup_spans"] == 1 and ch[2]["n_dup_spans"] == 1
+    assert ch[1]["dup_tokens"] >= 43 and ch[2]["dup_tokens"] >= 43
+    # removal drops exactly the covered characters and reassembles
+    # without separators
+    rm = {r.doc_id: r.asDict() for r in dp.remove_duplicated_spans(
+        docs, min_len=40, unit="char").collect()}
+    for i, full in ((1, "intro words " + run + " tail one"),
+                    (2, "qq" + run + " other ending")):
+        assert rm[i]["n_tokens"] == len(full)
+        assert rm[i]["kept_tokens"] == len(rm[i]["text_clean"])
+        assert run not in rm[i]["text_clean"]
+    assert rm[2]["text_clean"].startswith("qq")
+
+
+def test_semantic_ingest_matches_recompute(spark, tmp_path):
+    """Incremental SemDeDup (r10 verdict #4): build a stored index on
+    the planted base, ingest two increments, and the resolved
+    membership equals semantic_dedup(method="cells") recomputed from
+    scratch on the full corpus (cluster sets; keep flags are pinned
+    by the gate's VALUES oracle against the frozen-quantizer centers
+    — a fresh fit's centers shift with the grown corpus, so keep is
+    compared on INVARIANTS: exactly one per cluster). Replay of an
+    already-ingested batch is a no-op."""
+    from octosql_spark.datapipe import (build_semantic_index,
+                                        read_semantic_labels,
+                                        semantic_dedup, semantic_ingest)
+    from octosql_spark.workloads import _sem_planted
+
+    base, inc = _sem_planted(spark)
+    path = str(tmp_path / "semidx")
+    build_semantic_index(base, path, threshold=0.9, n_cells=3)
+    inc1 = inc.filter(F.col("vec_id") % 10 <= 3)   # the 20° members
+    inc2 = inc.filter(F.col("vec_id") % 10 >= 4)   # 30° + outliers
+    semantic_ingest(spark, path, inc1, threshold=0.9)
+    out = semantic_ingest(spark, path, inc2, threshold=0.9)
+    got = {(r.vec_id, r.cluster_id) for r in out.collect()}
+    full = semantic_dedup(base.unionByName(inc), threshold=0.9,
+                          method="cells", n_cells=3)
+    assert got == {(r.vec_id, r.cluster_id) for r in full.collect()}
+    # exactly one keep per cluster on both paths
+    from collections import Counter
+    keeps = Counter(r.cluster_id for r in out.collect() if r.keep)
+    assert set(keeps.values()) == {1}
+    assert set(keeps) == {c for _, c in got}
+    # replay idempotence: re-ingesting inc2 changes nothing
+    again = semantic_ingest(spark, path, inc2, threshold=0.9)
+    assert {(r.vec_id, r.cluster_id, r.keep) for r in again.collect()} \
+        == {(r.vec_id, r.cluster_id, r.keep) for r in out.collect()}
+    # read-side resolution agrees with the returned frame
+    rd = read_semantic_labels(spark, path)
+    assert {(r.vec_id, r.cluster_id, r.keep) for r in rd.collect()} \
+        == {(r.vec_id, r.cluster_id, r.keep) for r in out.collect()}
 
 
 def test_shard_shuffle_permutation(spark):

@@ -695,10 +695,63 @@ def test_stream_cluster_ingest_matches_full_recompute(spark, tmp_path):
     assert by_epoch[2] == {(20, 12), (21, 21)}
 
 
+def test_stream_cluster_ingest_combined_bucket_cap(spark, tmp_path):
+    """ADVICE r10 (low): the ``max_bucket`` cap must count the UNION
+    of prior-index and batch members per bucket — a bucket that is
+    under the cap on each side separately but over it combined has to
+    be suppressed, exactly as a from-scratch recompute suppresses it.
+    With max_bucket=1: a prior doc and a near-dup batch doc occupy
+    their shared buckets 1+1=2 > 1, so they must NOT link (the old
+    per-side cap linked them); verbatim within-batch duplicates still
+    link via the cap-exempt hash-chain edges, mirroring the batch
+    operator's collapse exemption. The resolved labels equal
+    dedup_clusters run from scratch with the same cap."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from octosql_spark.datapipe import dedup_clusters, minhash_lsh_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "sun sets slowly behind the tall green hills of summer")
+    vtext = ("many colorful birds sing sweet morning songs in the "
+             "old oak tree near the quiet village river bank today")
+    b1 = [{"doc_id": 1, "text": base}]
+    b2 = [{"doc_id": 2, "text": base.replace("lazy", "sleepy")},
+          {"doc_id": 3, "text": vtext},
+          {"doc_id": 4, "text": vtext}]
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, b in enumerate((b1, b2), 1):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(_json.dumps(r) for r in b))
+        os.utime(f, (i, i))
+    labels = str(tmp_path / "labels")
+    stream = (st.read_stream_file(spark, str(src), "json",
+                                  maxFilesPerTrigger=1)
+              .select(F.col("doc_id").cast("long"), "text"))
+    q = st.stream_cluster_ingest(stream, str(tmp_path / "corpus"),
+                                 str(tmp_path / "index"), labels,
+                                 max_bucket=1,
+                                 checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+    got = {(r.doc_id, r.component)
+           for r in st.read_cluster_labels(spark, labels).collect()}
+    assert got == {(1, 1), (2, 2), (3, 3), (4, 3)}
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for b in (b1, b2) for r in b],
+        "doc_id long, text string")
+    full = {(r.doc_id, r.cluster_id) for r in dedup_clusters(
+        all_docs, minhash_lsh_pairs(all_docs, max_bucket=1)).collect()}
+    assert got == full
+
+
 def test_compact_cluster_labels(spark, tmp_path):
-    """Compaction folds every delta into the newest epoch and drops
-    the older dirs; read_cluster_labels resolves identically before
-    and after, and a node whose latest row lived only in an OLD epoch
+    """Compaction folds every delta into the reserved BASE partition
+    (epoch=-1, below every stream epoch id) and drops the stream
+    epoch dirs; read_cluster_labels resolves identically before and
+    after, and a node whose latest row lived only in an OLD epoch
     survives the fold."""
     labels = str(tmp_path / "labels")
     rows = {0: [(1, 1), (2, 1), (3, 3)],       # epoch 0
@@ -711,15 +764,44 @@ def test_compact_cluster_labels(spark, tmp_path):
               for r in st.read_cluster_labels(spark, labels).collect()}
     assert before == {(1, 1), (2, 2), (3, 3), (4, 4)}
     removed = st.compact_cluster_labels(spark, labels)
-    assert removed == 2
+    assert removed == 3
     after = {(r.doc_id, r.component)
              for r in st.read_cluster_labels(spark, labels).collect()}
     assert after == before
     import os
     dirs = sorted(d for d in os.listdir(labels) if d.startswith("epoch="))
-    assert dirs == ["epoch=2"]
-    # idempotent: single-epoch table is a no-op
+    assert dirs == ["epoch=-1"]
+    # idempotent: base-only table is a no-op
     assert st.compact_cluster_labels(spark, labels) == 0
+
+
+def test_compact_cluster_labels_survives_uncommitted_replay(spark,
+                                                            tmp_path):
+    """ADVICE r10 (medium): if the max epoch present at compaction
+    time was written by a micro-batch that crashed BEFORE its
+    checkpoint commit, the restart replays that epoch id and
+    overwrites its dir. Under the old fold-into-max-epoch scheme that
+    overwrite destroyed the compacted full state (older epochs were
+    already deleted). With the base at epoch=-1 the replay can only
+    touch its own dir: simulate the worst case — the replay writes an
+    EMPTY delta over the former max epoch — and every node, including
+    those whose latest row lived only in deleted older epochs, still
+    resolves from the base."""
+    labels = str(tmp_path / "labels")
+    rows = {0: [(1, 1), (2, 1), (3, 3)],
+            1: [(2, 2)],
+            2: [(4, 4)]}  # pretend epoch 2's commit never landed
+    for e, rs in rows.items():
+        spark.createDataFrame(rs, "doc_id long, component long") \
+            .write.mode("overwrite").parquet(f"{labels}/epoch={e}")
+    assert st.compact_cluster_labels(spark, labels) == 3
+    # replay of uncommitted epoch 2: prior = base only (epoch -1 < 2),
+    # which already carries (4, 4) — the delta it rewrites is empty
+    empty = spark.createDataFrame([], "doc_id long, component long")
+    empty.write.mode("overwrite").parquet(f"{labels}/epoch=2")
+    got = {(r.doc_id, r.component)
+           for r in st.read_cluster_labels(spark, labels).collect()}
+    assert got == {(1, 1), (2, 2), (3, 3), (4, 4)}
 
 
 def test_stream_cluster_ingest_restart_and_compaction(spark, tmp_path):
@@ -727,8 +809,9 @@ def test_stream_cluster_ingest_restart_and_compaction(spark, tmp_path):
     query processes only the file that arrived while it was down, its
     merge still relabels the existing cluster, and an offline
     compaction between the runs does not disturb the checkpointed
-    epoch sequence (compaction folds INTO the max epoch id instead of
-    minting a new one — a new id would collide with the next batch)."""
+    epoch sequence (compaction folds into the reserved base epoch=-1,
+    numbered below every stream epoch — it can never collide with the
+    next batch id or be overwritten by a crash-replay)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -759,8 +842,10 @@ def test_stream_cluster_ingest_restart_and_compaction(spark, tmp_path):
     assert {(r.doc_id, r.component) for r in
             st.read_cluster_labels(spark, labels).collect()} == \
         {(10, 10), (11, 10)}
-    # offline compaction while the stream is down (single epoch: noop)
-    st.compact_cluster_labels(spark, labels)
+    # offline compaction while the stream is down: folds epoch 0 into
+    # the base; the restarted stream's next epoch id (1, from the
+    # checkpoint) is untouched by it
+    assert st.compact_cluster_labels(spark, labels) == 1
     (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
     run_once()
     got = {(r.doc_id, r.component) for r in

@@ -86,10 +86,23 @@ def verify() -> int:
                 cwd=REPO, capture_output=True).returncode == 0
             diff = _git("diff", "--name-only",
                         m.group(1), head).splitlines() if known else []
-            code = [f for f in diff
-                    if f.endswith(".py") or "/" in f and
-                    f.split("/")[0] in ("octosql_spark", "tests",
-                                        "tools")]
+            # ALLOWLIST inversion (ADVICE r10): only known top-level
+            # measurement/doc artifacts may land after the gate;
+            # everything else in the diff — any directory path, any
+            # non-artifact extension — is code requiring
+            # re-certification (the old .py/known-dirs denylist let a
+            # new top-level scripts/run.sh ship uncertified).
+            def _artifact(f: str) -> bool:
+                if "/" in f:
+                    return False
+                return (re.fullmatch(
+                    r"(CLOSEOUT|BENCH_r\d+|CORRECTNESS_r\d+|SCALE"
+                    r"|SCALE_REPORT|PLAN_REPORT|BENCH_FLOORS|VERDICT"
+                    r"|ADVICE|README|SURVEY|DEVIATIONS|PAPERS"
+                    r"|SNIPPETS|TESTDATA|BASELINE|FIXTURES|PROGRESS)"
+                    r"\.(md|json|jsonl)", f) is not None)
+
+            code = [f for f in diff if not _artifact(f)]
             if not known:
                 problems.append("certified hash unknown to this repo")
             elif code:
