@@ -96,12 +96,23 @@ def main() -> None:
         sizes = [sz(os.path.join(d, f)) for f in os.listdir(d)
                  if f.endswith(".parquet")]
         biggest = max(sizes, default=0)
-        split = min(max(biggest // (2 * cpus), 2 << 20), 256 << 20)
+        # r11: the 2 MB split floor was the suite's biggest self-wound
+        # (measured: dedup_minhash_lsh 10.5 s at 2 MB vs 1.6 s at 8 MB
+        # AQE-off; pricing_summary 1.5 → 0.30) — tiny splits fragment
+        # every scan into openCost-dominated tasks. 8 MB floor keeps
+        # the biggest local table at a few tasks/core while the
+        # biggest//2·cpus term still drives real sizing at scale.
+        split = min(max(biggest // (2 * cpus), 8 << 20), 256 << 20)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-        # AQE is the 100 TB story (skew re-plan, partition coalescing)
-        # but pure latency overhead (~30%) on sub-GB inputs — size-gate
-        spark.conf.set("spark.sql.adaptive.enabled",
-                       "true" if sum(sizes) >= (1 << 30) else "false")
+        # AQE always ON (r11): the old <1 GiB off-gate encoded a
+        # stale "~30% latency overhead" measurement that Spark 4.1 +
+        # sane split sizing no longer shows — measured warm at sf0.1
+        # the AQE-on suite is FASTER (focus set 7.7 s vs 8.7 s off;
+        # q16 0.45 vs 0.91, q21 0.68 vs 0.96, minhash 1.13 vs 1.21)
+        # and it is the setting the 100 TB story runs under anyway
+        # (skew re-plan, partition coalescing) — one less local-only
+        # special case.
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     tune(sf_dir)
 
@@ -207,6 +218,25 @@ def main() -> None:
                             f"re-measure)")
         return res, adjudicated, clean
 
+    # HEADLINE metric is floor-normalized (r10 verdict #1: the raw
+    # total led with a load-inflated 22.06 s while the same tree's
+    # clean figure was 14.12 s, so every round re-litigated host
+    # noise): each query contributes min(measured, 1.5x its committed
+    # clean floor). A real regression still moves the number (floors
+    # only tighten downward and the 1.5x band passes genuine slowdowns
+    # through up to the cap, where the per-query floor_flags take
+    # over); transient host spikes no longer do. Queries without a
+    # committed floor contribute their measurement unchanged.
+    # (Defined BEFORE the sf1 block that calls it — at r11 open the
+    # def sat after its first call site and the sf1 try/except was
+    # silently recording the NameError as its result.)
+    def floor_norm(vals: dict, prefix: str = "") -> float:
+        tot = 0.0
+        for n, sec in vals.items():
+            fl = floors.get(prefix + n)
+            tot += min(sec, 1.5 * fl) if fl else sec
+        return round(tot, 4)
+
     headline = [n for n, w in REGISTRY.items() if w.headline]
     timings, headline_adj, headline_clean = run_block(
         "headline", headline, sf_dir, 2, 5)
@@ -294,35 +324,18 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001 — sf1 block is best-effort
         sf1_block = {"error": str(ex)[:200]}
 
-    # HEADLINE metric is floor-normalized (r10 verdict #1: the raw
-    # total led with a load-inflated 22.06 s while the same tree's
-    # clean figure was 14.12 s, so every round re-litigated host
-    # noise): each query contributes min(measured, 1.5x its committed
-    # clean floor). A real regression still moves the number (floors
-    # only tighten downward and the 1.5x band passes genuine slowdowns
-    # through up to the cap, where the per-query floor_flags take
-    # over); transient host spikes no longer do. Queries without a
-    # committed floor contribute their measurement unchanged.
-    def floor_norm(vals: dict, prefix: str = "") -> float:
-        tot = 0.0
-        for n, sec in vals.items():
-            fl = floors.get(prefix + n)
-            tot += min(sec, 1.5 * fl) if fl else sec
-        return round(tot, 4)
-
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
-        "metric": "headline_queries_floor_normalized_warm",
-        "value": floor_norm(timings),
-        "unit": "sec",
-        "raw_total_sec": total,
-        "queries": timings,
-        "sf": sf,
-        "startup_sec": round(startup, 2),
-        "load_suspect": any(a["suspect"] for a in anchors),
+
+    # Full diagnostics live in BENCH_DETAIL.json, NOT on the contract
+    # line. The driver keeps only the LAST 2000 CHARS of stdout and
+    # parses the JSON line out of that tail: r7's 1665-char line
+    # parsed, but from r8 the line grew past 2000 chars and the
+    # driver recorded parsed:null for three straight rounds — the
+    # harness had no bench numbers at all. The contract line below is
+    # kept compact (guarded <=1900 chars) and is the last thing
+    # printed; everything verbose goes to the side file.
+    detail = {
         "solo_floor_csv_sec": SOLO_FLOOR_CSV,
-        "clean_blocks": [t for t, c in [("headline", headline_clean),
-                                        ("tpch", tpch_clean)] if c],
         "floor_flags": floor_flags,
         "anchors": [{k: a[k] for k in ("tag", "sec", "suspect")}
                     for a in anchors],
@@ -338,7 +351,49 @@ def main() -> None:
                        "floor_normalized_sec": floor_norm(tpch),
                        "queries": tpch},
         "sf1_block": sf1_block,
-    }))
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+
+    # tpch per-query numbers are ADDED to the queries map (contract
+    # allows adding, never removing/renaming); headline-block timings
+    # win for the two names in both blocks.
+    all_queries = dict(tpch)
+    all_queries.update(timings)
+    line_obj = {
+        "metric": "headline_queries_floor_normalized_warm",
+        "value": floor_norm(timings),
+        "unit": "sec",
+        "raw_total_sec": total,
+        "queries": all_queries,
+        "sf": sf,
+        "startup_sec": round(startup, 2),
+        "load_suspect": any(a["suspect"] for a in anchors),
+        "clean_blocks": [t for t, c in [("headline", headline_clean),
+                                        ("tpch", tpch_clean)] if c],
+        "floor_flags": [fl.split(":")[0] for fl in floor_flags],
+        "tpch_total_sec": round(sum(tpch.values()), 4),
+        "tpch_floor_normalized_sec": floor_norm(tpch),
+        "sf1_total_sec": sf1_block.get("total_sec"),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(line_obj)
+    # hard guard: shed optional keys until the line fits the tail
+    for drop in ("detail", "sf1_total_sec", "tpch_floor_normalized_sec",
+                 "floor_flags", "clean_blocks"):
+        if len(line) <= 1900:
+            break
+        line_obj.pop(drop, None)
+        line = json.dumps(line_obj)
+    if len(line) > 1900:  # last resort: queries back to headline-only
+        line_obj["queries"] = timings
+        line = json.dumps(line_obj)
+    print(line)
     spark.stop()
 
 

@@ -41,6 +41,35 @@ def _nanos_ts_columns(path: str) -> list[str]:
     return cols
 
 
+def _path_stamp(path: str) -> tuple:
+    """Cheap change-detection stamp for a parquet file or directory:
+    (mtime_ns, size) of the file, or the aggregate over a directory's
+    entries (a dir's own mtime changes on add/remove but not on
+    overwrite-in-place, so member stats are folded in too)."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    total_sz = 0
+    max_mt = st.st_mtime_ns
+    for entry in os.scandir(path):
+        s = entry.stat()
+        total_sz += s.st_size
+        if s.st_mtime_ns > max_mt:
+            max_mt = s.st_mtime_ns
+    return (max_mt, total_sz)
+
+
+# (applicationId, path, stamp) -> analyzed lazy DataFrame. r11: each
+# spark.read.parquet call cost 100-320 ms of DRIVER work (py4j + file
+# listing + footer schema inference), and every workload build() pays
+# it 2-6x — the single largest fixed cost in the bench suite (guide
+# §5/§7.3: driver-side planning work). The memo holds the LAZY plan
+# only — every action still recomputes from parquet; nothing about
+# results is cached. The stamp invalidates on any file change; entries
+# from stopped sessions are dropped when a new app first asks.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table. Column pruning + predicate pushdown are
     Catalyst's job — callers just select/filter declaratively.
@@ -56,15 +85,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     path = os.path.join(sf_dir, f"{name}.parquet")
+    app = spark.sparkContext.applicationId
+    try:
+        stamp = _path_stamp(path)
+    except OSError:
+        stamp = None
+    key = (app, path, stamp)
+    if stamp is not None:
+        df = _TABLE_CACHE.get(key)
+        if df is not None:
+            return df
+        for k in [k for k in _TABLE_CACHE if k[0] != app]:
+            _TABLE_CACHE.pop(k, None)  # frames of stopped sessions
     ns_cols = _nanos_ts_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(
-            c, F.expr(f"to_timestamp_ntz(timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT)))"))
-    # preserve original column order/names
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(
+                c, F.expr(f"to_timestamp_ntz(timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT)))"))
+        # preserve original column order/names
+    if stamp is not None:
+        if len(_TABLE_CACHE) >= 256:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[key] = df
     return df
 
 

@@ -875,14 +875,31 @@ def tpch_q21_q(spark, sf_dir):
         "l_orderkey", "l_suppkey", "l_shipdate")
     is_late = (F.col("l_shipdate")
                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
-    per_order = (
+    # r11: the two count_distincts over different columns made Catalyst
+    # plan an Expand (×3 row multiplication of the join output) + an
+    # extra aggregate pass (the generic multi-distinct plan). The
+    # two-level formulation — first collapse to distinct
+    # (orderkey, suppkey) with per-supplier late facts, then reduce per
+    # order — shuffles the DISTINCT pairs once instead of 3× the rows,
+    # drops the Expand, and both groupBys share one hash partitioning
+    # on l_orderkey's prefix. Equivalence: nsupp = #groups,
+    # nlate = #groups with a late row (a supplier is "late" iff any of
+    # its rows is late ⇔ its _late_supp is non-null somewhere),
+    # _waiting = max suppkey among late suppliers, _late_rows = total
+    # late rows — exactly the distinct-based definitions.
+    per_supp = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .withColumn("_late_supp", F.when(is_late, F.col("l_suppkey")))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(is_late.cast("int")).alias("_any_late"),
+             F.sum(is_late.cast("long")).alias("_late_rows_supp")))
+    per_order = (
+        per_supp
         .groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("nsupp"),
-             F.count_distinct("_late_supp").alias("nlate"),
-             F.max("_late_supp").alias("_waiting"),
-             F.count("_late_supp").alias("_late_rows")))
+        .agg(F.count(F.lit(1)).alias("nsupp"),
+             F.sum("_any_late").cast("long").alias("nlate"),
+             F.max(F.when(F.col("_any_late") == 1, F.col("l_suppkey")))
+             .alias("_waiting"),
+             F.sum("_late_rows_supp").alias("_late_rows")))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     return (per_order
@@ -5572,11 +5589,20 @@ def tpch_q11_q(spark, sf_dir):
     nat_ps = (ps.join(
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey"), F.col("ps_suppkey") == F.col("s_suppkey"))
-        .withColumn("_v", F.col("ps_supplycost_cents") * F.col("ps_availqty"))
-        .persist())
-    thresh = nat_ps.agg((F.sum("_v") * 0.001).alias("_t"))
-    return (nat_ps.groupBy("ps_partkey")
-            .agg(F.sum("_v").alias("value_cents"))
+        .withColumn("_v", F.col("ps_supplycost_cents") * F.col("ps_availqty")))
+    # r11 (verdict #2, the q11 floor excursion): the old shape
+    # persisted partsupp-sized nat_ps and scanned the cache twice
+    # (threshold agg + per-part agg) — cache-materialization timing
+    # under release_cached churn was the suspected flake. The
+    # threshold 0.001·Σ_v equals 0.001·Σ(per-part sums) exactly
+    # (integer cents), so compute BOTH from one per-part aggregate:
+    # the two consumers share a canonically-equal aggregate subtree →
+    # exchange reuse runs the shuffle once, no persist, and the
+    # second pass reads ~#parts rows instead of ~|partsupp|.
+    agg = (nat_ps.groupBy("ps_partkey")
+           .agg(F.sum("_v").alias("value_cents")))
+    thresh = agg.agg((F.sum("value_cents") * 0.001).alias("_t"))
+    return (agg
             .join(F.broadcast(thresh), F.col("value_cents") > F.col("_t"))
             .select("ps_partkey", "value_cents")
             .orderBy(F.col("value_cents").desc(), "ps_partkey"))

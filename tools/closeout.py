@@ -96,10 +96,11 @@ def verify() -> int:
                 if "/" in f:
                     return False
                 return (re.fullmatch(
-                    r"(CLOSEOUT|BENCH_r\d+|CORRECTNESS_r\d+|SCALE"
+                    r"(CLOSEOUT|BENCH_r\d+|BENCH_DETAIL|CORRECTNESS_r\d+|SCALE"
                     r"|SCALE_REPORT|PLAN_REPORT|BENCH_FLOORS|VERDICT"
                     r"|ADVICE|README|SURVEY|DEVIATIONS|PAPERS"
-                    r"|SNIPPETS|TESTDATA|BASELINE|FIXTURES|PROGRESS)"
+                    r"|SNIPPETS|TESTDATA|BASELINE|FIXTURES|PROGRESS"
+                    r"|OPTIMIZATION_r\d+)"
                     r"\.(md|json|jsonl)", f) is not None)
 
             code = [f for f in diff if not _artifact(f)]
