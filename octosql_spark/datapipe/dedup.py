@@ -183,6 +183,51 @@ def _input_fingerprint(df: DataFrame) -> str | None:
     return h.hexdigest()
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Restore scan parallelism when the file LAYOUT defeats split
+    sizing. A parquet row group is the minimum split unit: a table
+    written as one (or few) giant row groups scans as one (or few)
+    tasks no matter how small ``spark.sql.files.maxPartitionBytes``
+    is, and every narrow map pipelined into that scan — shingling,
+    gram hashing, banding — serializes with it (guide §2.5: "one huge
+    unsplittable file … repartition immediately after the read").
+    The sf0.1 testdata is exactly this shape (one file, ONE row group
+    per table), which silently ran the map side of every text/dedup
+    operator on a single core.
+
+    Fires ONLY when (a) the frame is a plain file scan over few files
+    (≤ default parallelism — more files already parallelize at file
+    granularity), (b) the files are driver-visible parquet, and
+    (c) their total row-group count is under half the default
+    parallelism. Cost when it fires: one round-robin shuffle of the
+    projected input. At production scale (many files / many row
+    groups) conditions (a)/(c) fail and this is a no-op by
+    construction — the layout, not a size threshold, decides."""
+    try:
+        if df.isStreaming:
+            return df
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — connect mode / odd plans
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if not files or len(files) > par:
+        return df
+    from urllib.parse import urlparse
+    rgs = 0
+    try:
+        import pyarrow.parquet as pq
+        for uri in files:
+            p = urlparse(uri).path or uri
+            if not p.endswith(".parquet") or not os.path.isfile(p):
+                return df
+            rgs += pq.ParquetFile(p).metadata.num_row_groups
+            if rgs >= max(par // 2, 1):
+                return df
+    except Exception:  # noqa: BLE001 — non-parquet / unreadable
+        return df
+    return df.repartition(par)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 64,
                       bands: int = 16, shingle: int = 3,

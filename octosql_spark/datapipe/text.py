@@ -414,6 +414,10 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
         impl = _winnow_auto_impl()
     if impl not in ("jvm", "arrow"):
         raise ValueError(impl)
+    # single-row-group inputs otherwise serialize the whole gram-hash
+    # + window-min map on one core (no-op when the layout splits)
+    from .dedup import spread_scan
+    df = spread_scan(df)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     if hash_mode == "xxhash64":
         def grams_of(ws: Column) -> Column:

@@ -5591,16 +5591,17 @@ def tpch_q11_q(spark, sf_dir):
         .select("s_suppkey"), F.col("ps_suppkey") == F.col("s_suppkey"))
         .withColumn("_v", F.col("ps_supplycost_cents") * F.col("ps_availqty")))
     # r11 (verdict #2, the q11 floor excursion): the old shape
-    # persisted partsupp-sized nat_ps and scanned the cache twice
-    # (threshold agg + per-part agg) — cache-materialization timing
-    # under release_cached churn was the suspected flake. The
-    # threshold 0.001·Σ_v equals 0.001·Σ(per-part sums) exactly
-    # (integer cents), so compute BOTH from one per-part aggregate:
-    # the two consumers share a canonically-equal aggregate subtree →
-    # exchange reuse runs the shuffle once, no persist, and the
-    # second pass reads ~#parts rows instead of ~|partsupp|.
+    # persisted partsupp-SIZED nat_ps and scanned that cache twice
+    # (threshold agg + per-part agg). The threshold 0.001·Σ_v equals
+    # 0.001·Σ(per-part sums) exactly (integer cents), so both
+    # consumers derive from ONE per-part aggregate instead; what gets
+    # persisted is now the ~#parts-row aggregate, not |partsupp|
+    # rows. (A persist-free exchange-reuse variant measured 1.39 s vs
+    # the 0.394 s floor — under AQE the broadcast-threshold subplan
+    # executes as its own query and re-runs the whole join+aggregate;
+    # the small persist is load-bearing.)
     agg = (nat_ps.groupBy("ps_partkey")
-           .agg(F.sum("_v").alias("value_cents")))
+           .agg(F.sum("_v").alias("value_cents")).persist())
     thresh = agg.agg((F.sum("value_cents") * 0.001).alias("_t"))
     return (agg
             .join(F.broadcast(thresh), F.col("value_cents") > F.col("_t"))

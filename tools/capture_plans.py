@@ -25,8 +25,7 @@ def main() -> None:
         os.path.abspath(__file__))), "plans", "r11")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plans")
-    # match bench.py tune() at sf0.1: AQE off below 1 GiB total
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # session default AQE-on matches bench.py tune() since r11
     names = sorted({n for n, w in REGISTRY.items() if w.headline}
                    | {n for n in REGISTRY if n.startswith("tpch_")}
                    | {"dedup_edit_distance", "curate_weighted_sample",

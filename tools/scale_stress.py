@@ -77,9 +77,19 @@ def build_scaled(spark, src: str, dst: str, k: int) -> None:
             "_r", F.explode(F.array(*[F.lit(i) for i in range(k)])))
         for c in keys:
             rep = rep.withColumn(c, (F.col(c) + F.col("_r") * OFFSET))
-        # single parquet file per table to mirror the testdata layout
-        # (the point is plan shape, not write parallelism)
-        rep.drop("_r").coalesce(4).write.mode("overwrite").parquet(
+        # r11: the old .coalesce(4) on a 1-partition source (testdata
+        # files hold ONE row group) produced a single part file with a
+        # single row group — every replica scan was physically
+        # single-threaded no matter maxPartitionBytes (a row group is
+        # the minimum split unit), which silently serialized the map
+        # side of every sf1 bench query. Write size-derived part
+        # files (~4 MB each, capped) so scans of the replica actually
+        # parallelize — the layout a real table at this size would
+        # have (guide §6: small-files vs split-parallelism balance).
+        est = os.path.getsize(os.path.join(src, f"{t}.parquet")) * k \
+            if os.path.isfile(os.path.join(src, f"{t}.parquet")) else 0
+        nparts = max(1, min(est // (2 << 20), 64))
+        rep.drop("_r").repartition(nparts).write.mode("overwrite").parquet(
             os.path.join(dst, f"{t}.parquet"))
 
 
