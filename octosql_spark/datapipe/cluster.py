@@ -49,18 +49,23 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                .groupBy("src")
                .agg(F.min("nbr_component").alias("nbr_component"))
                .withColumnRenamed("src", "node"))
+        # carry the previous label through the checkpoint so the
+        # convergence test is a filter+count on the just-materialized
+        # frame — the old shape re-joined new_labels against labels
+        # (one extra shuffle of both label tables per iteration) to
+        # compute the same number (r11, guide §2.4)
         new_labels = (labels.join(nbr, "node", "left")
                       .select("node",
+                              F.col("component").alias("_prev"),
                               F.least(F.col("component"),
                                       F.coalesce("nbr_component",
                                                  F.col("component")))
                               .alias("component")))
         new_labels = new_labels.localCheckpoint()
         changed = (new_labels
-                   .join(labels.withColumnRenamed("component", "old"), "node")
-                   .filter(F.col("component") != F.col("old"))
+                   .filter(F.col("component") != F.col("_prev"))
                    .count())
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     sym.unpersist()

@@ -5012,7 +5012,7 @@ SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_partkey,
        TRUE AS hll_partkey_ok, TRUE AS hll_orderkey_ok,
        TRUE AS p50_ok, TRUE AS p99_ok
 FROM lineitem
-""")
+""", cartesian_ok=True)
 def approx_sketches_q(spark, sf_dir):
     """Mergeable sketch aggregates — the 100 TB cardinality/quantile
     story: approx_count_distinct (HyperLogLog++) and percentile_approx
@@ -5027,20 +5027,35 @@ def approx_sketches_q(spark, sf_dir):
     5× rsd of exact (5σ; 3σ is the documented bound), approx
     percentiles inside the exact [p−0.01, p+0.01] quantile band
     (accuracy=10000 guarantees rank error ≤ n/10000 ≪ 1%). A sketch
-    regression breaks the contract and fails the gate."""
+    regression breaks the contract and fails the gate.
+
+    r11 plan shape: the two exact COUNT(DISTINCT x) over DIFFERENT
+    columns force Catalyst's generic multi-distinct rewrite — an
+    Expand that triples every input row — and under that Expand every
+    partially-aggregated row drags the full imperative sketch state
+    (HLL++ at rsd 0.01 is a ~2.7k-word register array; each exact
+    percentile buffers values) through the aggregation. Splitting the
+    exact distincts into their own single-distinct aggregates (no
+    Expand, classic two-stage distinct) and combining the three
+    one-row frames with bounded cross joins measured 13-15 s →
+    1.8-3.3 s at sf0.01 with bit-identical output (same sketch
+    parameters → same values → same booleans). At scale the trade is
+    two extra single-column scans versus a 3× row expansion carrying
+    ~100 KB aggregation buffers — the scans win."""
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
-    a = li.agg(
+    sk = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("ad_pk"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ad_ok"),
-        F.countDistinct("l_partkey").alias("nd_partkey"),
-        F.countDistinct("l_orderkey").alias("nd_orderkey"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("ap99"),
         F.percentile(price, F.lit(0.49)).alias("lo50"),
         F.percentile(price, F.lit(0.51)).alias("hi50"),
         F.percentile(price, F.lit(0.985)).alias("lo99"),
         F.percentile(price, F.lit(0.995)).alias("hi99"))
+    nd_pk = li.agg(F.countDistinct("l_partkey").alias("nd_partkey"))
+    nd_ok = li.agg(F.countDistinct("l_orderkey").alias("nd_orderkey"))
+    a = sk.crossJoin(nd_pk).crossJoin(nd_ok)
     rel = lambda ad, nd: F.abs(F.col(ad) - F.col(nd)) / F.col(nd)
     return a.select(
         "nd_partkey", "nd_orderkey",
