@@ -379,14 +379,25 @@ def main() -> None:
 
     # tpch per-query numbers are ADDED to the queries map (contract
     # allows adding, never removing/renaming); headline-block timings
-    # win for the two names in both blocks.
+    # win for the two names in both blocks. sf1 per-query numbers are
+    # ADDED under an "sf1_" prefix (r11 verdict #3: the driver's
+    # 8-vs-32-core scaling probe compares this map across core
+    # counts, and at sf0.1 every query is fixed-cost-bound so all the
+    # ratios sat at ~1 — the sf1 replica is where plans stretch and
+    # core-count signal exists).
     all_queries = dict(tpch)
+    for n, s in sf1_block.get("queries", {}).items():
+        all_queries[f"sf1_{n}"] = s
     all_queries.update(timings)
+    headline_norm = floor_norm(timings)
     line_obj = {
         "metric": "headline_queries_floor_normalized_warm",
-        "value": floor_norm(timings),
+        "value": headline_norm,
         "unit": "sec",
         "raw_total_sec": total,
+        # floor-cap clamping made visible on the contract line (r11
+        # verdict #7): 0.0 means no per-query 1.5x-floor cap fired
+        "clamped_sec": round(total - headline_norm, 4),
         "queries": all_queries,
         "sf": sf,
         "startup_sec": round(startup, 2),
@@ -401,7 +412,8 @@ def main() -> None:
     }
     line = json.dumps(line_obj)
     # hard guard: shed optional keys until the line fits the tail
-    for drop in ("detail", "sf1_total_sec", "tpch_floor_normalized_sec",
+    for drop in ("detail", "clamped_sec", "sf1_total_sec",
+                 "tpch_floor_normalized_sec",
                  "floor_flags", "clean_blocks"):
         if len(line) <= 1900:
             break

@@ -53,7 +53,12 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         # convergence test is a filter+count on the just-materialized
         # frame — the old shape re-joined new_labels against labels
         # (one extra shuffle of both label tables per iteration) to
-        # compute the same number (r11, guide §2.4)
+        # compute the same number (r11, guide §2.4). Storage trade
+        # (ADVICE r11): each iteration's localCheckpoint holds one
+        # extra long column (~50% more label-table bytes) — cheap
+        # next to the shuffle it replaces, but it is executor memory;
+        # swap localCheckpoint for checkpoint on memory-tight
+        # clusters.
         new_labels = (labels.join(nbr, "node", "left")
                       .select("node",
                               F.col("component").alias("_prev"),

@@ -33,7 +33,7 @@ _SCALE_CONFS = {
     # edit-distance 2.6→2.05 s, sf1 minhash 4.5→2.6 s); at production
     # scale per-partition bytes = total/parallelism >> 1 MB, so the
     # floor is never the binding term there and the setting is inert.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(256 * 1024),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),

@@ -1846,6 +1846,14 @@ def _rewrite_tvfs(spark: SparkSession, toks: list[Tok], out: Transpiled) -> list
             def _int_arg(key: str, idx: int) -> int:
                 if key in kwargs:
                     return int("".join(t.text for t in kwargs[key]).strip())
+                if idx >= len(args):
+                    # both args are Required in the reference
+                    # (range.go:28-41) — a missing one is a typecheck
+                    # error there, so raise the matching ValueError
+                    # instead of an IndexError (r11 verdict #8)
+                    raise ValueError(
+                        f"range: missing required argument '{key}' — "
+                        "usage range(start, end)")
                 return int(args[idx])
             res = tvfmod.range_tvf(spark, _int_arg("start", 0),
                                    _int_arg("end", 1))

@@ -40,8 +40,12 @@ class Workload:
     # a cross product, or it broadcasts a 1-row scalar (corpus stats /
     # IDF denominator) against the corpus — the scalar-broadcast plan.
     # Declared here so tools/plan_audit.py keys its allowlist on the
-    # workload definition instead of a drifting name list.
-    cartesian_ok: bool = False
+    # workload definition instead of a drifting name list. The string
+    # "single_row" is the narrow waiver (ADVICE r11): the audit still
+    # checks every cartesian/BNLJ and requires both sides to be
+    # provably single-row (global aggregates) — use it for
+    # sketch/scalar-combination plans instead of the blanket True.
+    cartesian_ok: bool | str = False
     # Plan intentionally force-broadcasts a frame DERIVED from an
     # SF-scaled table whose boundedness the audit cannot see in the
     # plan: a bounded candidate/query set (fixed id filter), a
@@ -5012,7 +5016,7 @@ SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_partkey,
        TRUE AS hll_partkey_ok, TRUE AS hll_orderkey_ok,
        TRUE AS p50_ok, TRUE AS p99_ok
 FROM lineitem
-""", cartesian_ok=True)
+""", cartesian_ok="single_row")
 def approx_sketches_q(spark, sf_dir):
     """Mergeable sketch aggregates — the 100 TB cardinality/quantile
     story: approx_count_distinct (HyperLogLog++) and percentile_approx
@@ -5561,9 +5565,23 @@ def tpch_q9_q(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - (F.col("ps_supplycost_cents") / 100.0) * F.col("l_quantity"))
-    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-            .join(ps, (F.col("ps_suppkey") == F.col("l_suppkey"))
-                  & (F.col("ps_partkey") == F.col("l_partkey")))
+    # r12 (guide §3.2 "reduce the big side before shuffling it"): the
+    # derived partsupp is nearly lineitem-sized (591k of 600k rows at
+    # sf0.1 — one distinct pair per lineitem row), so joining lineitem
+    # against FULL partsupp made the suite's biggest join build side
+    # (and at the 10x replica pushed it past the broadcast gate into a
+    # full fact-fact shuffle). p_type='STANDARD' keeps ~1/6 of parts;
+    # filtering partsupp by the part keys FIRST (both keyed on
+    # partkey, part is small → broadcast) shrinks the composite-key
+    # build side ~6x and subsumes the separate lineitem⋈part join:
+    # p_partkey and (ps_partkey, ps_suppkey) are both unique, so
+    # li⋈p⋈ps ≡ li⋈(ps⋈p) row-for-row. Oracle hash-green at
+    # sf0.001/0.01/0.1.
+    ps_std = ps.join(p.select("p_partkey"),
+                     F.col("ps_partkey") == F.col("p_partkey")) \
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+    return (li.join(ps_std, (F.col("ps_suppkey") == F.col("l_suppkey"))
+                    & (F.col("ps_partkey") == F.col("l_partkey")))
             .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
             .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

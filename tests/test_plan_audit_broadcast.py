@@ -95,3 +95,39 @@ def test_audit_respects_broadcast_ok(spark, sf_dir):
     assert any("forced broadcast" in f for f in audit("x", df))
     assert not any("forced broadcast" in f
                    for f in audit("x", df, broadcast_ok=True))
+
+
+def test_single_row_waiver_allows_scalar_cross(spark, sf_dir):
+    # the approx_sketches shape: global aggregates cross-joined one
+    # row at a time — allowed by the NARROW waiver (ADVICE r11)
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.agg(F.sum("l_quantity").alias("_a"))
+    b = li.agg(F.max("l_extendedprice").alias("_b"))
+    c = li.agg(F.count(F.lit(1)).alias("_c"))
+    df = a.crossJoin(b).crossJoin(c)
+    assert not any("cartesian" in f.lower()
+                   for f in audit("x", df, cartesian_ok="single_row"))
+
+
+def test_single_row_waiver_flags_real_cartesian(spark, sf_dir):
+    # a data-sized cartesian must NOT ride the narrow waiver — this is
+    # exactly the regression the blanket cartesian_ok=True would hide
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    df = o.crossJoin(c)
+    assert any("single-row" in f
+               for f in audit("x", df, cartesian_ok="single_row"))
+    # the blanket waiver still exempts it (legacy cross-product
+    # entries), and no waiver flags it
+    assert not any("cartesian" in f.lower()
+                   for f in audit("x", df, cartesian_ok=True))
+    assert any("cartesian" in f.lower() for f in audit("x", df))
+
+
+def test_single_row_waiver_flags_one_bounded_side(spark, sf_dir):
+    # single-row on ONE side only is still a data-sized join fan-out
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    a = li.agg(F.count(F.lit(1)).alias("_a"))
+    df = li.crossJoin(a)
+    assert any("single-row" in f
+               for f in audit("x", df, cartesian_ok="single_row"))

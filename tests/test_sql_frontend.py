@@ -187,6 +187,15 @@ def test_tvf_range_named_args(spark, views):
     assert [x.i for x in df.collect()] == list(range(1, 10))
 
 
+def test_tvf_range_missing_arg_is_clear_error(spark, views):
+    # both args are Required in the reference (range.go:28-41);
+    # a single-arg call used to escape as a bare IndexError (r11
+    # verdict #8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="range: missing required"):
+        q(spark, "SELECT * FROM range(10)")
+
+
 def test_tvf_tumble(spark, views):
     df = q(spark, "SELECT window_end, COUNT(*) AS n FROM "
                   "tumble(source => TABLE(events), "

@@ -1,5 +1,5 @@
 """Capture .explain('formatted') for every bench-visible query to
-plans/r11/<name>_<tag>.txt (judge-checkable plan evidence).
+plans/$PLANS_ROUND/<name>_<tag>.txt (default r12) (judge-checkable plan evidence).
 
 Run: python tools/capture_plans.py <before|after> [sf_dir]
 """
@@ -22,7 +22,7 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+        os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plans")
     # session default AQE-on matches bench.py tune() since r11

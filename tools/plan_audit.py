@@ -96,15 +96,66 @@ def forced_broadcast_flags(df) -> list[str]:
     return sorted(set(flags))
 
 
-def audit(name: str, df, cartesian_ok: bool = False,
+_SR_WRAPPERS = {
+    "BroadcastExchange", "Exchange", "Project", "AQEShuffleRead",
+    "ColumnarToRow", "InputAdapter", "Sort", "Filter",
+    "AdaptiveSparkPlan", "ResultQueryStage", "BroadcastQueryStage",
+    "ShuffleQueryStage",
+}
+
+
+def _single_row_joins_ok(plan: str) -> bool:
+    """True iff every CartesianProduct/BNLJ in the plan text provably
+    joins single-row sides: each child chains (through row-preserving
+    wrappers) to a GLOBAL aggregate (``keys=[]`` — exactly one output
+    row) or to another such single-row cross join. This is the
+    narrowed exemption for sketch-combination plans (ADVICE r11): a
+    real data-sized cartesian sneaking into such an entry now flags
+    instead of riding the blanket ``cartesian_ok`` waiver.
+    (``Filter`` counts as a wrapper: ≤1 row stays ≤1 row.)"""
+    nodes = []
+    for line in plan.splitlines():
+        if not line.strip():
+            break  # toString tree ends at the first blank line
+        d = _depth(line)
+        t = re.sub(r"^\*\(\d+\) ", "", line[d * 3:].strip())
+        m = re.match(r"[A-Za-z]+", t)
+        nodes.append((d, m.group(0) if m else t, t))
+
+    def single_row(i: int) -> bool:
+        d, name, t = nodes[i]
+        if "Aggregate" in name:
+            return "keys=[]" in t
+        if name in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            ch, j = [], i + 1
+            while j < len(nodes) and nodes[j][0] > d:
+                if nodes[j][0] == d + 1:
+                    ch.append(j)
+                j += 1
+            return len(ch) == 2 and all(single_row(c) for c in ch)
+        if name in _SR_WRAPPERS:
+            j = i + 1
+            if j < len(nodes) and nodes[j][0] == d + 1:
+                return single_row(j)
+        return False
+
+    return all(single_row(i)
+               for i, (_, name, _t) in enumerate(nodes)
+               if name in ("BroadcastNestedLoopJoin", "CartesianProduct"))
+
+
+def audit(name: str, df, cartesian_ok=False,
           broadcast_ok: bool = False) -> list[str]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     flags = []
     if not broadcast_ok:
         flags.extend(forced_broadcast_flags(df))
-    if not cartesian_ok and \
-            ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan):
-        flags.append("unintended cartesian/BNLJ")
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        if cartesian_ok == "single_row":
+            if not _single_row_joins_ok(plan):
+                flags.append("cartesian/BNLJ not provably single-row")
+        elif not cartesian_ok:
+            flags.append("unintended cartesian/BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("row-at-a-time Python UDF in plan")
     # stop at end-of-line: executedPlan toString TRUNCATES long scan
