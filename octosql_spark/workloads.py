@@ -5565,23 +5565,20 @@ def tpch_q9_q(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - (F.col("ps_supplycost_cents") / 100.0) * F.col("l_quantity"))
-    # r12 (guide §3.2 "reduce the big side before shuffling it"): the
-    # derived partsupp is nearly lineitem-sized (591k of 600k rows at
-    # sf0.1 — one distinct pair per lineitem row), so joining lineitem
-    # against FULL partsupp made the suite's biggest join build side
-    # (and at the 10x replica pushed it past the broadcast gate into a
-    # full fact-fact shuffle). p_type='STANDARD' keeps ~1/6 of parts;
-    # filtering partsupp by the part keys FIRST (both keyed on
-    # partkey, part is small → broadcast) shrinks the composite-key
-    # build side ~6x and subsumes the separate lineitem⋈part join:
-    # p_partkey and (ps_partkey, ps_suppkey) are both unique, so
-    # li⋈p⋈ps ≡ li⋈(ps⋈p) row-for-row. Oracle hash-green at
-    # sf0.001/0.01/0.1.
-    ps_std = ps.join(p.select("p_partkey"),
-                     F.col("ps_partkey") == F.col("p_partkey")) \
-        .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
-    return (li.join(ps_std, (F.col("ps_suppkey") == F.col("l_suppkey"))
-                    & (F.col("ps_partkey") == F.col("l_partkey")))
+    # r12 join-order audit (guide §3.2): three topologies measured
+    # interleaved in one session (median of 3, identical results
+    # asserted) — (A) this one: li⋈broadcast(p) first so the probe
+    # side is cut ~6x before the composite-key join against the
+    # persisted pair table; (B) cut only the BUILD side
+    # (li⋈(ps⋈p), full-lineitem probe): 0.89→1.39 s at sf0.1,
+    # 2.55→7.7 s at the 10x replica — losing the early probe cut
+    # dominates everything the smaller build saves; (C) cut both
+    # sides: 1.12 s / 2.33 s — the extra build-side join stage costs
+    # more at local scale than re-reading the slim persisted ps
+    # saves, and the sf1 delta vs (A) is inside noise. (A) kept.
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .join(ps, (F.col("ps_suppkey") == F.col("l_suppkey"))
+                  & (F.col("ps_partkey") == F.col("l_partkey")))
             .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
             .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
