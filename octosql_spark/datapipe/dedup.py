@@ -73,14 +73,23 @@ def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_hashes: int = 64, shingle: int = 3,
-                       out_col: str = "minhash") -> DataFrame:
+                       out_col: str = "minhash",
+                       shingles_out: str | None = None) -> DataFrame:
     """MinHash signature via the standard universal-hash construction:
     ONE string-hash pass (xxhash64 per shingle, reduced mod a Mersenne
     prime), then k cheap affine permutations h_i(x) = (a_i·x + b_i)
     mod p — arithmetic on longs instead of k string hashes (~10×
     cheaper signatures; all operands stay < 2^62 so ANSI-mode long
-    arithmetic cannot overflow)."""
+    arithmetic cannot overflow).
+
+    ``shingles_out``: when set, the intermediate shingle array is kept
+    as a column of that name — callers that also need the raw shingles
+    (the LSH verify join) get them from the SAME pass instead of
+    re-shingling in a second subtree."""
     sh = _word_shingles(F.col(text_col), shingle)
+    if shingles_out is not None:
+        df = df.withColumn(shingles_out, sh)
+        sh = F.col(shingles_out)
     p = F.lit(_MERSENNE31)
     df = df.withColumn(
         "_base", F.transform(sh, lambda s: F.pmod(F.xxhash64(s), p)))
@@ -362,16 +371,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                  F.collect_list(id_col).alias("_ids")))
         reps = canon.select(F.col("_rid").alias(id_col),
                             F.col("_s").alias(text_col))
-    # slim signature table (id, minhash) — persisted: the banding is
-    # its only consumer since the one-shuffle topology (r7), but the
-    # persist is still load-bearing as a PROJECTION BARRIER — without
-    # it CollapseProject inlines the k-permutation signature
-    # expression into every per-band element reference (~32×
-    # recompute; measured 1.4 → 4.8 s at sf0.1 when removed, r9).
+    # signature table (id, minhash, _sh) — persisted: the banding is
+    # the minhash column's only consumer since the one-shuffle
+    # topology (r7), but the persist is still load-bearing as a
+    # PROJECTION BARRIER — without it CollapseProject inlines the
+    # k-permutation signature expression into every per-band element
+    # reference (~32× recompute; measured 1.4 → 4.8 s at sf0.1 when
+    # removed, r9). r12: the shingle array rides in the SAME persist
+    # (shingles_out) — the verify join used to re-shingle reps in its
+    # own persisted subtree (a second cache + a second shingle pass
+    # over the corpus); now it projects _sh out of this cache and the
+    # operator has one persist and one shingle pass fewer.
     sigs = minhash_signatures(reps.select(id_col, text_col), text_col,
-                              num_hashes, shingle).select(id_col, "minhash")
+                              num_hashes, shingle, shingles_out="_sh") \
+        .select(id_col, "minhash", "_sh")
     sigs = _persist(sigs)
-    banded = _band_table(sigs, id_col, num_hashes, bands)
+    banded = _band_table(sigs.select(id_col, "minhash"), id_col,
+                         num_hashes, bands)
     # ONE shuffle for candidate generation: group each bucket's ids,
     # cap pathological buckets (constant/empty docs — the n² hazard)
     # by array size, and emit ordered pairs with array HOFs inside the
@@ -391,12 +407,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("_p.id_a").alias("id_a"),
                     F.col("_p.id_b").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    # exact-Jaccard verification only for candidates: shingles are
-    # recomputed for the (small) REPRESENTATIVE candidate id set, not
+    # exact-Jaccard verification only for candidates: shingles come
+    # from the signature persist above (same pass, same cache), not
     # carried through the banding shuffle
-    with_sh = _persist(
-        reps.select(id_col, _word_shingles(F.col(text_col), shingle)
-                    .alias("_sh")))
+    with_sh = sigs.select(id_col, "_sh")
     sh_a = with_sh.select(F.col(id_col).alias("id_a"),
                           F.col("_sh").alias("_sh_a"))
     sh_b = with_sh.select(F.col(id_col).alias("id_b"),
