@@ -41,7 +41,9 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
            .persist())
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node")))
-    labels = labels.localCheckpoint()
+    # lazy for the same reason as the loop checkpoint: iteration 1's
+    # convergence count materializes it together with `sym`'s persist
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("node", "dst")
                         .withColumnRenamed("component", "nbr_component"),
@@ -66,7 +68,15 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                                       F.coalesce("nbr_component",
                                                  F.col("component")))
                               .alias("component")))
-        new_labels = new_labels.localCheckpoint()
+        # LAZY checkpoint: the convergence count below is the action
+        # that materializes it (count computes every partition, so the
+        # checkpoint is complete) — one job per iteration instead of
+        # the eager checkpoint's materialize-then-count two (r12,
+        # guide §5 driver-side job overhead; this loop sits inside
+        # dedup_clusters, cluster/semantic ingest, streaming labels
+        # and graph_metrics, so each saved job is saved per iteration
+        # per caller)
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (new_labels
                    .filter(F.col("component") != F.col("_prev"))
                    .count())
@@ -619,12 +629,22 @@ def semantic_ingest(spark, path: str, batch: DataFrame,
         os.path.join(path, "vectors"))
     out = os.path.join(path, "labels")
     tmp = os.path.join(path, ".labels_tmp")
+    # labels reads the CURRENT label parquet (prior), so it cannot
+    # overwrite that directory in place; stage to a sibling and swap
+    # with a filesystem rename — ONE write job instead of the old
+    # write-tmp → read-tmp → rewrite-out chain (a second full write +
+    # read of the label table per increment, r12 guide §5). Crash
+    # safety is unchanged: the old overwrite(out) also deleted out
+    # before rewriting, so in both schemes a crash inside the swap
+    # window leaves out missing and tmp complete.
     labels.write.mode("overwrite").parquet(tmp)
-    staged = spark.read.parquet(tmp)
-    staged.write.mode("overwrite").parquet(out)
     jvm = spark._jvm
     tp = jvm.org.apache.hadoop.fs.Path(tmp)
-    tp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(tp, True)
+    op = jvm.org.apache.hadoop.fs.Path(out)
+    fs = tp.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(op, True)
+    if not fs.rename(tp, op):
+        raise RuntimeError(f"rename {tmp} -> {out} failed")
     b.unpersist()
     return read_semantic_labels(spark, path)
 
