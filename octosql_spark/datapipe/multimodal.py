@@ -206,8 +206,39 @@ def _png_decode(data: bytes):
         return None
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters, rows = raw[:, 0], raw[:, 1:]
-    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels
+    fset = set(np.unique(filters).tolist())
+    if not fset <= {0, 1, 2, 3, 4}:
+        return None
+    # Bulk unfilter paths (r12, guide §4.2 — the unfilter is the
+    # decoder's per-row Python loop; these three filter classes cover
+    # every PNG our own encoder or any filter-0/Sub/Up producer
+    # emits, and uint8 wraparound IS the spec's mod-256 arithmetic):
+    # - all None: the inflated bytes are the pixels
+    # - Sub rows depend only on their own row: one uint8
+    #   add-accumulate along x over all such rows at once
+    # - Up runs depend only on the segment-starting resolved row: one
+    #   uint8 add-accumulate along y per run
+    # Average/Paeth recurse on both neighbors; those keep the loop.
+    if fset <= {0, 1, 2}:
+        out = np.ascontiguousarray(rows)
+        if 1 in fset:
+            sub = filters == 1
+            seg = out[sub].reshape(-1, w, bpp)
+            np.add.accumulate(seg, axis=1, dtype=np.uint8, out=seg)
+            out[sub] = seg.reshape(-1, stride)
+        if 2 in fset:
+            starts = np.flatnonzero(filters != 2)
+            if filters[0] == 2:  # implicit zero row above the image
+                starts = np.concatenate(([0], starts))
+            bounds = np.append(starts, h)
+            for i, s in enumerate(starts):
+                e = bounds[i + 1]
+                if e - s > 1:
+                    np.add.accumulate(out[s:e], axis=0,
+                                      dtype=np.uint8, out=out[s:e])
+        return out.reshape(h, w, channels)
+    out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         f = int(filters[y])
         cur = rows[y].astype(np.int32)
@@ -987,7 +1018,13 @@ def _png_encode(arr) -> bytes:
                               & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    # one interleave instead of h per-row Python concatenations; the
+    # bytes fed to zlib (filter byte 0 + row) are identical
+    import numpy as np
+    body = np.empty((h, w * ch + 1), dtype=np.uint8)
+    body[:, 0] = 0
+    body[:, 1:] = np.asarray(arr, dtype=np.uint8).reshape(h, w * ch)
+    raw = body.tobytes()
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 6))
             + chunk(b"IEND", b""))
