@@ -858,25 +858,40 @@ def tpch_q21_q(spark, sf_dir):
     a late lineitem counts iff its order has >1 distinct supplier
     and exactly 1 distinct LATE supplier (necessarily this one).
     Lateness adapted to shipdate > orderdate + 60d (no receipt/
-    commit dates in the testdata). Scale shape (r4): ONE pass —
-    lineitem joins status-F orders once, then a single groupBy on
-    orderkey computes all three facts via conditional aggregation
-    (nsupp, nlate, and the late-row count). Because nlate = 1 in
-    every qualifying order, max(late supplier) IS the waiting
-    supplier and the late-row count attributes to them exactly —
-    identical to the two-aggregate + re-join formulation but with
-    one lineitem shuffle instead of two plus a re-join. The join
-    output is already hash-partitioned on orderkey, so the groupBy
-    adds no extra exchange. nation stays broadcast (25 rows);
-    supplier is SF-scaled → no forced hint.
+    commit dates in the testdata). Scale shape (r12): ONE pass and
+    ONE lineitem-sized exchange — the projected lineitem scan is
+    hash-partitioned by l_orderkey up front, joins status-F orders,
+    and both aggregate levels (per-(order,supplier) late facts, then
+    per-order counts) run exchange-free on that partitioning.
+    Because nlate = 1 in every qualifying order, max(late supplier)
+    IS the waiting supplier and the late-row count attributes to
+    them exactly — identical to the two-aggregate + re-join
+    formulation but with one lineitem shuffle instead of two plus a
+    re-join. nation stays broadcast (25 rows); supplier is SF-scaled
+    → no forced hint.
 
     Note: per_order here counts suppliers among status-F orders only,
     which matches the oracle because non-F orders can never appear in
     `late` and are dropped by its join anyway."""
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate")
+    # r12: hash lineitem by l_orderkey ONCE, up front. HashPartitioning
+    # on a PREFIX of an aggregate's keys satisfies its clustered
+    # distribution, so BOTH groupBy levels below — (orderkey, suppkey)
+    # then (orderkey) — run exchange-free on top of this partitioning
+    # and fuse into one codegen span: the inner block drops from two
+    # exchanges (hash(ok,sk) then hash(ok), each carrying ~the pair
+    # table, since (ok,sk) pairs are nearly distinct per row the
+    # map-side partial agg deduplicated almost nothing) to this single
+    # exchange of the 3-column projected scan. If orders ever outgrows
+    # the broadcast threshold the same exchange doubles as the
+    # sort-merge join's left-side requirement, so it is never
+    # redundant. Interleaved A/B (median-of-3 warm, results asserted
+    # identical): sf0.1 1.11 -> 0.98 s; 10x replica 2.37 -> 1.31 s and
+    # 4.37 -> 1.68 s on the two pairs.
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .repartition("l_orderkey"))
     is_late = (F.col("l_shipdate")
                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
     # r11: the two count_distincts over different columns made Catalyst
@@ -884,9 +899,8 @@ def tpch_q21_q(spark, sf_dir):
     # extra aggregate pass (the generic multi-distinct plan). The
     # two-level formulation — first collapse to distinct
     # (orderkey, suppkey) with per-supplier late facts, then reduce per
-    # order — shuffles the DISTINCT pairs once instead of 3× the rows,
-    # drops the Expand, and both groupBys share one hash partitioning
-    # on l_orderkey's prefix. Equivalence: nsupp = #groups,
+    # order — shuffles the DISTINCT pairs once instead of 3× the rows
+    # and drops the Expand. Equivalence: nsupp = #groups,
     # nlate = #groups with a late row (a supplier is "late" iff any of
     # its rows is late ⇔ its _late_supp is non-null somewhere),
     # _waiting = max suppkey among late suppliers, _late_rows = total
