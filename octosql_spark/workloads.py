@@ -752,9 +752,23 @@ def tpch_q16_q(spark, sf_dir):
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
     bad = _t(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0).select("s_suppkey")
+    # r12: count_distinct plans as dedup-by-(brand,type,size,suppkey)
+    # then count-by-(brand,type,size) — TWO hash exchanges, and the
+    # map-side partial dedup before the first one removes almost
+    # nothing (duplicate 4-tuples within a map task are rare in
+    # scan-ordered lineitem). Hash once on the (brand,type,size)
+    # PREFIX instead: that partitioning satisfies both levels'
+    # clustered distributions, so all four aggregate nodes fuse
+    # exchange-free into one codegen span (5 -> 3 exchanges; the
+    # survivors are this one, the orderBy range exchange over the
+    # ~#combos result, and the broadcasts). ~18k distinct combos
+    # spread any partition count. Interleaved A/B, results asserted
+    # identical: sf0.1 0.52 -> 0.49 s; 10x replica 0.99 -> 0.86 s.
     return (li.join(bad,
                     F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
             .join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .select("p_brand", "p_type", "p_size", "l_suppkey")
+            .repartition("p_brand", "p_type", "p_size")
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
             .orderBy(F.col("supplier_cnt").desc(),
@@ -5532,9 +5546,25 @@ def tpch_q2_q(spark, sf_dir):
     # consume eu_ps — without the persist the derived partsupp is
     # computed twice per query (with a stored partsupp this frame is
     # |partsupp∩EU|-sized; here it is a testdata artifact, see q9)
-    eu_ps = ps.join(eu_supp.select("s_suppkey", "s_acctbal",
-                                   "s_name", "n_name"),
-                    F.col("ps_suppkey") == F.col("s_suppkey")).persist()
+    # r12: persist it PARTITIONED by ps_partkey. Both consumers key on
+    # ps_partkey (the MIN groupBy, and the min-cost equi-join whose
+    # key list ps_partkey prefixes), so once the cache materializes
+    # its partitioning satisfies their distributions: in the EXECUTED
+    # plan the MIN aggregate runs exchange-free straight off the
+    # InMemoryTableScan (partial+final fused, no hash exchange) and
+    # the join-back loses its sort-merge sorts. The static explain
+    # dump still shows the conservative exchanges (cache partitioning
+    # is unknown before materialization), which is why the frozen
+    # static budget records 5 -> 6 shuffles — the +1 is the
+    # REPARTITION_BY_COL paid once at cache build, and the runtime
+    # elision is visible in the executed-plan section of
+    # plans/r12/tpch_q2_min_cost_supplier_after.txt. Interleaved A/B,
+    # results asserted identical: sf0.1 flat (0.27 s both), 10x
+    # replica 0.84 -> 0.38/0.42 s.
+    eu_ps = (ps.join(eu_supp.select("s_suppkey", "s_acctbal",
+                                    "s_name", "n_name"),
+                     F.col("ps_suppkey") == F.col("s_suppkey"))
+             .repartition("ps_partkey").persist())
     min_cost = (eu_ps.groupBy(F.col("ps_partkey").alias("_mpk"))
                 .agg(F.min("ps_supplycost_cents").alias("_mc")))
     # min_cost is PART-scaled — no broadcast hint (auto-gate decides)
